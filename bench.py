@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Per-query wall time includes plan + execution to completion (count-style
+action that consumes every output row), excluding session startup. The
+headline metric is total seconds across headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tbench_agentic_data_pipeline_spark import registry
+from tbench_agentic_data_pipeline_spark.session import get_session
+
+# Headline set: one per operator family, weighted toward shuffle-heavy work.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "a4_completion_rate",
+    "a8_distinct_users_per_type",
+    "j1_semi_join_customers_with_orders",
+    "j5_broadcast_dim_join",
+    "w3_pergroup_topn",
+    "so1_union_by_name",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "sim_topk_cosine",
+    "text_quality_score",
+    "st_session_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+    entries = registry.collect()
+    names = [n for n in HEADLINE if n in entries] or sorted(entries)
+    # Warm the JVM + parquet footers once with the cheapest query.
+    try:
+        entries[names[0]].fn(spark, sf_dir).count()
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = entries[name].fn(spark, sf_dir)
+        # Force full materialization of every output row.
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

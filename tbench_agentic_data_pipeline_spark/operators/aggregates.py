@@ -1,0 +1,264 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A8).
+
+The reference computes histograms, conditional rates, map-value-sum
+constraints and error rollups with row-at-a-time Python loops
+(e.g. status histogram at ``task_manager/task_manager.py:348-376``,
+completion rate at ``data_pipeline.py:143-154``, weight-sum constraint at
+``shared_tools/validators.py:311-315``, error rollup at
+``scripts/validate_all_prod_dps.py:246-253``). Here each is a single
+declarative groupBy — Catalyst plans partial (map-side) + final hash
+aggregation with whole-stage codegen, so the shuffle carries only the
+grouped partials, never raw rows. That is the property that survives a
+100 TB scan: bytes shuffled scale with group cardinality, not input size.
+
+Scale notes:
+- Zero-fill joins use a broadcast of the (tiny) dimension side.
+- ``value``-style double sums are rounded in query outputs only for
+  cross-engine hash stability; the engine API returns full precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Reusable operator API
+# ---------------------------------------------------------------------------
+
+
+def histogram(df: DataFrame, key: str, zero_fill_dim: DataFrame | None = None) -> DataFrame:
+    """A1/A2: count-by-key histogram, optionally zero-filled against a
+    dimension of expected keys (the reference pre-seeds all enum statuses
+    with 0, ``task_manager.py:358``)."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    if zero_fill_dim is None:
+        return counts
+    # Broadcast the dim (a handful of enum values) and left-join counts onto
+    # it — absent keys surface as 0 rather than disappearing.
+    return (
+        F.broadcast(zero_fill_dim)
+        .join(counts, on=key, how="left")
+        .select(key, F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+
+
+def conditional_rate(
+    df: DataFrame, group_key: str, predicate_col: str
+) -> DataFrame:
+    """A4: per-group total / matching / percentage in one pass
+    (``data_pipeline.py:143-154``). ``predicate_col`` is a boolean column."""
+    return df.groupBy(group_key).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col(predicate_col), 1).otherwise(0)).alias("matching"),
+    )
+
+
+def map_sum_check(
+    df: DataFrame, key: str, map_col: str, target: float = 1.0, tol: float = 1e-3
+) -> DataFrame:
+    """A5: per-key sum of map values within tolerance of ``target``
+    (``validators.py:311-315``: weights sum to 1.0 ± 0.001). Explode is
+    map-side; the groupBy shuffles only (key, partial-sum)."""
+    exploded = df.select(key, F.explode_outer(F.col(map_col)).alias("k", "v"))
+    return exploded.groupBy(key).agg(
+        F.sum("v").alias("value_sum"),
+        (F.abs(F.sum("v") - F.lit(target)) <= F.lit(tol)).alias("valid"),
+    )
+
+
+def error_rollup(df: DataFrame, error_col: str) -> DataFrame:
+    """A6: failed-work rollup grouped by error message, biggest groups first
+    (``validate_all_prod_dps.py:246-253``)."""
+    return (
+        df.groupBy(error_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col(error_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checkable queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_pricing_summary",
+    survey="A1,A2,A3,A4,W1",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+            ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+            ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+            ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+            COUNT(*)                                                    AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query: TPC-H-Q1-style pricing summary over lineitem.
+
+    Scan → filter → 2-key hash aggregate → sort. The filter and the
+    (l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+    l_linestatus, l_shipdate) projection both push into the parquet scan;
+    the aggregate is partial+final with ~6 output groups, so the exchange
+    carries a few hundred bytes regardless of input scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "a1_status_histogram_zero_filled",
+    survey="A1,A2,A3",
+    oracle="""
+        WITH dim(event_type) AS (
+            VALUES ('click'), ('view'), ('purchase'), ('signup'),
+                   ('error'), ('refund')
+        ),
+        counts AS (
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        )
+        SELECT d.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM dim d LEFT JOIN counts c USING (event_type)
+    """,
+)
+def a1_status_histogram_zero_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: histogram of event_type with zero-fill for expected-but-absent
+    statuses — the reference seeds every TaskStatus with 0 before counting
+    (``task_manager.py:358-369``); 'refund' plays the absent enum value."""
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(t,) for t in ["click", "view", "purchase", "signup", "error", "refund"]],
+        "event_type string",
+    )
+    return histogram(events, "event_type", zero_fill_dim=dim)
+
+
+@query(
+    "a4_completion_rate",
+    survey="A4,F21",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            COUNT(*)                                                    AS total,
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                                                                        AS matching,
+            ROUND(100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  / COUNT(*), 1)                                        AS pct
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def a4_completion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-type completion rate (``data_pipeline.py:143-154``) phrased
+    as per-priority share of finished ('F') orders."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "is_done", F.col("o_orderstatus") == "F"
+    )
+    out = conditional_rate(orders, "o_orderpriority", "is_done")
+    return out.select(
+        "o_orderpriority",
+        "total",
+        "matching",
+        F.round(100.0 * F.col("matching") / F.col("total"), 1).alias("pct"),
+    )
+
+
+@query(
+    "a5_map_value_sum_check",
+    survey="A5,F1,F19,F20",
+    oracle="""
+        SELECT
+            user_id,
+            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS value_sum,
+            (ABS(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) - 5000) <= 2500)
+                AS valid
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def a5_map_value_sum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: map-value-sum constraint (weights sum ≈ 1.0,
+    ``validators.py:311-315``) phrased over the events JSON props column:
+    per-user sum of props.k within a tolerance band. JSON decode is F1;
+    the band check is F19/F20."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("user_id").agg(
+        F.sum(k).alias("value_sum"),
+        (F.abs(F.sum(k) - F.lit(5000)) <= F.lit(2500)).alias("valid"),
+    )
+
+
+@query(
+    "a6_error_rollup",
+    survey="A6,W1",
+    oracle="""
+        SELECT
+            CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS error_bucket,
+            COUNT(*) AS n
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY error_bucket
+        ORDER BY n DESC, error_bucket
+    """,
+)
+def a6_error_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: failed-task rollup by error message ordered by frequency
+    (``validate_all_prod_dps.py:246-253``); error message ≈ props.k bucket."""
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.where(F.col("event_type") == "error").withColumn(
+        "error_bucket", F.get_json_object("props", "$.k").cast("bigint") % 10
+    )
+    return error_rollup(bucketed, "error_bucket")
+
+
+@query(
+    "a8_distinct_users_per_type",
+    survey="A7,A8",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS distinct_users,
+               COUNT(*)                AS n
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a8_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8: per-group exact distinct counts. At 100 TB you'd flip the
+    exact count to ``approx_count_distinct`` (HLL, no per-key shuffle of
+    raw values) — exposed as ``text.approx_distinct`` — but the oracle
+    needs exact semantics, so this query keeps COUNT(DISTINCT)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,113 @@
+"""Local re-implementation of the driver's DuckDB-oracle comparison.
+
+The driver runs each ``queries()[name]`` on Spark and ``oracle_sql()[name]``
+on DuckDB over the same parquet tables, then compares row-count + schema +
+order-insensitive value hash with columns sorted by name. We mirror that
+here (conservatively: exact value equality after canonicalization) so every
+registered query is verified in CI before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import math
+from dataclasses import dataclass
+
+import duckdb
+
+from tbench_agentic_data_pipeline_spark.catalog import TABLES
+
+
+def _canon(v: object) -> str:
+    """Canonicalize one cell for hashing, tolerant of cross-engine types."""
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # 12 significant digits: enough to distinguish real differences,
+        # forgiving of sum-order ulps the queries already round away.
+        return f"{v:.12g}"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted(
+        "|".join(_canon(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for r in canon_rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@dataclass
+class OracleResult:
+    name: str
+    ok: bool
+    detail: str
+    spark_rows: int
+    oracle_rows: int
+
+
+def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return cols, cur.fetchall()
+    finally:
+        con.close()
+
+
+def compare(name: str, spark, fn, sql: str, sf_dir: str) -> OracleResult:
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    d_cols, d_rows = run_duckdb(sql, sf_dir)
+
+    if sorted(s_cols) != sorted(d_cols):
+        return OracleResult(
+            name, False,
+            f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}",
+            len(s_rows), len(d_rows),
+        )
+    if len(s_rows) != len(d_rows):
+        return OracleResult(
+            name, False,
+            f"row-count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}",
+            len(s_rows), len(d_rows),
+        )
+    hs, hd = _hash_rows(s_cols, s_rows), _hash_rows(d_cols, d_rows)
+    if hs != hd:
+        # Produce a small diff sample to debug.
+        order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        set_s = {"|".join(_canon(r[i]) for i in order_s) for r in s_rows}
+        set_d = {"|".join(_canon(r[i]) for i in order_d) for r in d_rows}
+        only_s = sorted(set_s - set_d)[:3]
+        only_d = sorted(set_d - set_s)[:3]
+        return OracleResult(
+            name, False,
+            f"value-hash mismatch; cols={sorted(s_cols)} "
+            f"spark-only={only_s} duckdb-only={only_d}",
+            len(s_rows), len(d_rows),
+        )
+    return OracleResult(name, True, "ok", len(s_rows), len(d_rows))
