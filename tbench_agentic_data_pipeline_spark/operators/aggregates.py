@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
 from tbench_agentic_data_pipeline_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -96,9 +97,9 @@ def error_rollup(df: DataFrame, error_col: str) -> DataFrame:
             ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-            ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-            ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
-            ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+            ROUND(AVG(l_quantity) * (1 + 5e-13), 4)                     AS avg_qty,
+            ROUND(AVG(l_extendedprice) * (1 + 5e-13), 4)                AS avg_price,
+            ROUND(AVG(l_discount) * (1 + 5e-13), 4)                     AS avg_disc,
             COUNT(*)                                                    AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -125,9 +126,9 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -170,8 +171,8 @@ def a1_status_histogram_zero_filled(spark: SparkSession, sf_dir: str) -> DataFra
             COUNT(*)                                                    AS total,
             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
                                                                         AS matching,
-            ROUND(100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-                  / COUNT(*), 1)                                        AS pct
+            ROUND((100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  / COUNT(*)) * (1 + 5e-13), 1)                         AS pct
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -187,7 +188,7 @@ def a4_completion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "total",
         "matching",
-        F.round(100.0 * F.col("matching") / F.col("total"), 1).alias("pct"),
+        stable_round(100.0 * F.col("matching") / F.col("total"), 1).alias("pct"),
     )
 
 

@@ -1,0 +1,194 @@
+"""Window / sort / top-k operators (SURVEY.md §2.5, W1-W4 + extensions).
+
+Reference semantics: global first-N preview (``validate_all_prod_dps.py:
+255-259``), per-group first-N (``:265-270``), FIFO claim order
+(``task_manager.py:199-218``). The Spark shapes that survive scale:
+
+- global top-N = ``orderBy(...).limit(N)`` → ``TakeOrderedAndProject``,
+  a per-partition heap + driver merge of N rows, never a global sort;
+- per-group top-N = ``row_number`` over a partitioned window — one shuffle
+  on the partition key, no global order;
+- every ordering ends in a unique key so results are deterministic
+  (cross-engine hash stability and, at scale, rerun stability).
+
+Extensions beyond the reference (it has no frame-spec windows): running
+totals and lag/lead deltas over the events table — table stakes for an
+events surface, and oracle-checkable since DuckDB shares the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Reusable operator API
+# ---------------------------------------------------------------------------
+
+
+def top_n(df: DataFrame, order_cols: list, n: int) -> DataFrame:
+    """W2: global top-N under a deterministic total order."""
+    return df.orderBy(*order_cols).limit(n)
+
+
+def per_group_top_n(
+    df: DataFrame, partition_cols: list[str], order_cols: list, n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """W3: first N rows of each group via row_number."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= n
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checkable queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w2_global_topn",
+    survey="W2",
+    oracle="""
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def w2_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: top-10 preview (``validate_all_prod_dps.py:255-259``). Plans as
+    TakeOrderedAndProject — no global sort at any scale. Tie-break on the
+    unique key keeps the set deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_n(
+        orders, [F.desc("o_totalprice"), F.col("o_orderkey")], 10
+    ).select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+@query(
+    "w3_pergroup_topn",
+    survey="W3",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+               CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+)
+def w3_pergroup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: per-group first-N (``validate_all_prod_dps.py:265-270`` shows 5
+    per error group) — top-3 orders per priority. One shuffle on the
+    partition key; with skewed groups AQE splits oversized partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = per_group_top_n(
+        orders,
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        3,
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+@query(
+    "w4_fifo_claim_order",
+    survey="W4,P3,ST1",
+    oracle="""
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM (
+            SELECT user_id, event_id, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+)
+def w4_fifo_claim_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/ST1: FIFO claim — the first pending item per worker in
+    (created_at, id) order (``task_manager.py:199-218``). Deterministic
+    batch equivalent of N serialized claims (SURVEY.md §4.4)."""
+    events = load_table(spark, sf_dir, "events")
+    out = per_group_top_n(events, ["user_id"], [F.col("ts"), F.col("event_id")], 1)
+    return out.where(F.col("rn") == 1).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+@query(
+    "w5_running_total",
+    survey="W2,F17",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_value
+        FROM events
+    """,
+)
+def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-user running total (frame-spec window; absent from the
+    reference, required for an events surface). Same sequential accumulation
+    order in both engines → identical doubles before rounding."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@query(
+    "w6_lag_gap_seconds",
+    survey="W2,F17",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(COALESCE(
+                   (epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ))) // 1000, -1
+               ) AS BIGINT) AS gap_s
+        FROM events
+    """,
+)
+def w6_lag_gap_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: lag/lead — whole seconds since the user's previous event
+    (-1 for the first). The building block for session windows (§2.10)."""
+    events = load_table(spark, sf_dir, "events")
+    # Integer `div`, matching DuckDB's `//`: float division + bigint cast
+    # truncates in Spark but rounds in DuckDB — a cross-engine landmine.
+    gap_s = F.expr(
+        "(unix_millis(ts) - unix_millis(lag(ts) over "
+        "(partition by user_id order by ts, event_id))) div 1000"
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.coalesce(gap_s, F.lit(-1)).cast("bigint").alias("gap_s"),
+    )
