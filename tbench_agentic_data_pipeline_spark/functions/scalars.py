@@ -1,0 +1,224 @@
+"""Scalar function layer (SURVEY.md §2.8, F1-F22).
+
+Every scalar computation the reference performs — JSON map encode/decode,
+pipe-splitting, regex extraction, truncation, timestamp math, tolerance
+compares, doc rendering — as named column expressions built purely from
+``pyspark.sql.functions``. Nothing here leaves the JVM: all of it inlines
+into whole-stage codegen, which is the difference between a scalar layer
+that survives 100 TB and one that doesn't.
+
+Registered queries are "gauntlets": each exercises a family of functions in
+one pass over a fixture table so the oracle hash pins down every function's
+semantics at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Named expressions (the engine's scalar vocabulary)
+# ---------------------------------------------------------------------------
+
+
+def json_map(col: Column | str, value_type: str = "string") -> Column:
+    """F1: decode a JSON-object cell into a typed map
+    (``validators.py:276``, ``patch_dp.py:80``)."""
+    return F.from_json(col, f"map<string,{value_type}>")
+
+
+def json_is_valid(col: Column | str) -> Column:
+    """F3: JSON validity — invalid text decodes to NULL
+    (``data_pipeline.py:243-246``)."""
+    return F.from_json(col, "map<string,string>").isNotNull()
+
+
+def pipe_split_tags(col: Column | str) -> Column:
+    """F4: pipe-split + trim + drop empties (``categories_tags.py:58``)."""
+    return F.filter(
+        F.transform(F.split(col, r"\|"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def bounded_size(col: Column, lo: int, hi: int) -> Column:
+    """F5: array length bound (1..3 tags, ``categories_tags.py:60-64``)."""
+    return F.size(col).between(lo, hi)
+
+
+def truncate_ellipsis(col: Column | str, n: int) -> Column:
+    """F12: truncate with ellipsis (``add_dp_to_review.py:176``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(c) > n, F.concat(F.substring(c, 1, n), F.lit("..."))).otherwise(c)
+
+
+def collapse_blank_runs(col: Column | str) -> Column:
+    """F11: collapse 3+ newlines to 2 and trim (``init_seed_tasks.py:81-88``)."""
+    return F.trim(F.regexp_replace(col, r"\n{3,}", "\n\n"))
+
+
+def drop_matching_lines(col: Column | str, pattern: str) -> Column:
+    """F10: remove lines matching a pattern, rejoin
+    (``init_seed_tasks.py:40-48`` drops canary lines)."""
+    return F.array_join(
+        F.filter(F.split(col, "\n"), lambda l: ~l.rlike(pattern)), "\n"
+    )
+
+
+def weight_in_unit_interval(col: Column) -> Column:
+    """F20: numeric positivity/range check (``validators.py:304-309``)."""
+    d = col.cast("double")
+    return d.isNotNull() & (d > 0) & (d <= 1)
+
+
+# ---------------------------------------------------------------------------
+# Registered gauntlet queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_string_gauntlet",
+    survey="F4,F5,F6,F8,F12,F13,F14",
+    oracle="""
+        SELECT
+            doc_id,
+            length(text)                                    AS n_chars_computed,
+            len(string_split(text, ' '))                    AS n_tokens,
+            upper(substr(text, 1, 10))                      AS head_upper,
+            contains(text, 'spark')                         AS mentions_spark,
+            (text LIKE 'the%')                              AS starts_the,
+            CASE WHEN length(text) > 50
+                 THEN substr(text, 1, 50) || '...'
+                 ELSE text END                              AS preview,
+            CASE lang WHEN 'en' THEN 'english'
+                      WHEN 'fr' THEN 'french'
+                      WHEN 'de' THEN 'german'
+                      WHEN 'es' THEN 'spanish'
+                      ELSE 'other' END                      AS lang_name,
+            position('data' IN text)                        AS data_pos
+        FROM documents
+    """,
+)
+def f_string_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family string gauntlet: length (F13), tokenize (F4), case/substr,
+    contains (F8), prefix predicate (F6), truncate-with-ellipsis (F12),
+    dictionary mapping (F14), substring position (F8/F9) — one codegen'd
+    projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang_map = F.create_map(
+        F.lit("en"), F.lit("english"), F.lit("fr"), F.lit("french"),
+        F.lit("de"), F.lit("german"), F.lit("es"), F.lit("spanish"),
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.col("text").contains("spark").alias("mentions_spark"),
+        F.col("text").startswith("the").alias("starts_the"),
+        truncate_ellipsis("text", 50).alias("preview"),
+        F.coalesce(F.element_at(lang_map, F.col("lang")), F.lit("other")).alias(
+            "lang_name"
+        ),
+        F.instr(F.col("text"), "data").cast("bigint").alias("data_pos"),
+    )
+
+
+@query(
+    "f_json_gauntlet",
+    survey="F1,F2,F3,F19,F20",
+    oracle="""
+        SELECT
+            event_id,
+            CAST(json_extract(props, '$.k') AS BIGINT)          AS k_val,
+            json_valid(props)                                   AS props_valid,
+            (CAST(json_extract(props, '$.k') AS DOUBLE) / 100.0 > 0
+             AND CAST(json_extract(props, '$.k') AS DOUBLE) / 100.0 <= 1.0)
+                                                                AS k_in_unit,
+            (ABS(CAST(json_extract(props, '$.k') AS BIGINT) - 50) <= 10)
+                                                                AS near_fifty
+        FROM events
+    """,
+)
+def f_json_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3 JSON decode + validity, F20 unit-interval check, F19 tolerance
+    band — the weight-validation scalar kernel (``validators.py:274-315``)
+    phrased over the events props column."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    k_unit = k.cast("double") / 100.0
+    return events.select(
+        "event_id",
+        k.alias("k_val"),
+        json_is_valid("props").alias("props_valid"),
+        ((k_unit > 0) & (k_unit <= 1.0)).alias("k_in_unit"),
+        (F.abs(k - 50) <= 10).alias("near_fifty"),
+    )
+
+
+@query(
+    "f_datetime_gauntlet",
+    survey="F16,F17,F18",
+    oracle="""
+        SELECT
+            event_id,
+            strftime(ts, '%Y-%m-%dT%H:%M:%S')               AS iso_s,
+            strftime(ts, '%Y%m%d_%H%M%S')                   AS backup_name,
+            CAST(year(ts) AS BIGINT)                        AS y,
+            CAST(month(ts) AS BIGINT)                       AS m,
+            CAST(dayofweek(ts) AS BIGINT)                   AS dow,
+            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+            epoch_ms(ts)                                    AS ts_ms
+        FROM events
+    """,
+)
+def f_datetime_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/F17/F18 timestamp kernel: ISO formatting, timestamped backup
+    names (``approve_datapoint.py:58-60``), calendar parts, hour bucketing,
+    epoch millis. DuckDB ``dayofweek`` is 0=Sunday; Spark ``dayofweek`` is
+    1=Sunday — aligned here via ``dayofweek - 1``."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_s"),
+        F.date_format("ts", "yyyyMMdd_HHmmss").alias("backup_name"),
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_bucket"
+        ),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+
+@query(
+    "f_line_cleanup",
+    survey="F10,F11,F4",
+    oracle="""
+        SELECT
+            doc_id,
+            array_to_string(
+                list_filter(string_split(text, ' '), w -> w <> 'the'), ' '
+            )                                               AS cleaned,
+            len(list_filter(string_split(text, ' '), w -> w = 'the'))
+                                                            AS n_dropped
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def f_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: filter-and-rejoin cleanup (canary-line removal,
+    ``init_seed_tasks.py:40-48``) — higher-order filter over the token
+    array, no UDF, fully codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.array_join(F.filter(toks, lambda w: w != "the"), " ").alias("cleaned"),
+        F.size(F.filter(toks, lambda w: w == "the")).cast("bigint").alias("n_dropped"),
+    )
