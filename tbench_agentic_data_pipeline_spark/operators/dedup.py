@@ -1,0 +1,330 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond the reference's duplicate guard (a single-key existence check,
+``create_dp.py:42-49``), a 100 TB corpus needs the full dedup ladder:
+
+- exact:       content-hash groupBy — one shuffle on the hash key;
+- near (MinHash+LSH): shingle → minhash signature → band → bucket join —
+               turns O(n²) pair comparison into joins over hash buckets;
+- near (SimHash):     per-doc 32-bit locality-sensitive fingerprint built
+               with higher-order functions (no shuffle until pairing);
+- near (n-gram Jaccard): exact verification of candidate pairs.
+
+Everything below is built from JVM-side ``pyspark.sql.functions``: hashing,
+shingling and signatures are per-row projections (map-side, codegen), and
+the only shuffles are the groupBy/join on bucket keys. No UDFs, no
+``collect()``. The registered queries use md5-based hashing because the
+DuckDB oracle must reproduce it bit-for-bit; the engine API defaults to
+``xxhash64`` (cheaper, JVM-intrinsic) with hashing pluggable.
+
+At 1000 executors the hazard is band-bucket skew (a boilerplate shingle
+shared by millions of docs): cap bucket sizes or salt the band key before
+the pair join — ``lsh_candidate_pairs`` exposes ``max_bucket`` for that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Reusable operator API
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest key per identical content. One
+    shuffle keyed on a 64-bit content hash, not the content itself."""
+    h = F.xxhash64(F.col(content_col))
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(key_col).alias(key_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-gram shingles of a token array (0-based Spark indexing)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - k)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(tokens, i + j + 1) for j in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int, hash_fn: str = "xxhash64"
+) -> Column:
+    """MinHash signature: per seed, the minimum hash over the shingle set.
+    ``hash_fn='md5'`` gives the oracle-reproducible variant (string min of
+    hex digests); ``xxhash64`` is the production default."""
+    def one_hash(h: int) -> Column:
+        if hash_fn == "md5":
+            salted = lambda s: F.md5(F.concat(s, F.lit(f"#{h}")))
+        else:
+            salted = lambda s: F.xxhash64(s, F.lit(h))
+        return F.array_min(F.transform(shingle_col, salted))
+
+    return F.array(*[one_hash(h) for h in range(num_hashes)])
+
+
+def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of ``rows_per_band`` signature entries.
+    Docs sharing ANY band key are candidate pairs."""
+    def one_band(b: int) -> Column:
+        parts = [
+            F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        return F.md5(F.concat(*parts))
+
+    return F.array(*[one_band(b) for b in range(bands)])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, key_col: str, band_col: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Explode band keys and self-join per (band index, band key) to emit
+    candidate pairs (a < b, distinct). ``max_bucket`` drops pathological
+    buckets (boilerplate content) before the quadratic pair expansion —
+    the skew guard that matters at corpus scale."""
+    exploded = df.select(
+        F.col(key_col), F.posexplode(F.col(band_col)).alias("b", "band_key")
+    )
+    if max_bucket is not None:
+        sizes = exploded.groupBy("b", "band_key").agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
+        exploded = exploded.join(
+            sizes.where(F.col("__sz") <= max_bucket), ["b", "band_key"]
+        ).drop("__sz")
+    left = exploded.select(
+        F.col("b"), F.col("band_key"), F.col(key_col).alias("key_a")
+    )
+    right = exploded.select(
+        F.col("b"), F.col("band_key"), F.col(key_col).alias("key_b")
+    )
+    return (
+        left.join(right, ["b", "band_key"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
+def token_hashes32(tokens: Column) -> Column:
+    """32-bit token hashes from md5's first 8 hex chars — the
+    oracle-reproducible hash; production swaps in masked ``xxhash64``."""
+    return F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+
+
+def simhash32(th_col: str) -> Column:
+    """32-bit SimHash over a token-hash array column: per-bit majority vote,
+    entirely in higher-order functions (one pass per row, no explode, no
+    shuffle). Takes the column NAME because variable-distance bit shifts
+    (``h >> i`` with ``i`` a lambda variable) are SQL-only — the Python
+    ``shiftright`` helper accepts literal distances exclusively.
+
+    votes[i] = 2 * count(bit i set) - n_tokens; result bit i = votes[i] > 0.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+            sequence(0, 31),
+            0L,
+            (acc, i) -> acc + IF(
+                2 * size(filter({th_col}, h -> ((h >> i) & 1) = 1))
+                    - size({th_col}) > 0,
+                shiftleft(1L, i), 0L))
+        """
+    )
+
+
+def jaccard_milli(tokens_a: Column, tokens_b: Column) -> Column:
+    """Jaccard similarity of two distinct-token arrays in integer
+    thousandths. Exact integer arithmetic (floor of an exactly-representable
+    ratio) — engine-stable by construction, no float rounding."""
+    inter = F.size(F.array_intersect(tokens_a, tokens_b)).cast("bigint")
+    union = F.size(tokens_a).cast("bigint") + F.size(tokens_b).cast("bigint") - inter
+    return F.floor(inter * 1000 / union).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checkable queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    survey="P4,A7",
+    oracle="""
+        WITH keyed AS (
+            SELECT md5(substr(text, 1, 30)) AS h, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY h
+        )
+        SELECT canonical_id, n_copies FROM keyed WHERE n_copies >= 2
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups keyed on a content hash (30-char prefix as the
+    content key — the fixture corpus has no full-text duplicates, so the
+    prefix key exercises the group-and-canonicalize path on real
+    collisions). Plan: map-side hash projection → one groupBy shuffle on
+    the hash → tiny output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", F.md5(F.substring("text", 1, 30)))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select("canonical_id", "n_copies")
+    )
+
+
+@query(
+    "dedup_minhash_bands",
+    survey="P4,J1",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS shingles
+            FROM toks WHERE len(w) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   [list_min(list_transform(shingles,
+                        s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                    for h in range(0, 8)] AS mh
+            FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+            FROM sig, range(0, 4) t(b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+                      AND a.doc_id < b2.doc_id
+    """,
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-gram shingles → 8 md5 minhashes
+    → 4 bands × 2 rows → bucket self-join. Signature construction is pure
+    per-row projection; the only shuffles are the band-bucket join and the
+    final distinct. This is the shape that replaces O(n²) comparison at
+    corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    with_sig = (
+        docs.select("doc_id", toks.alias("w"))
+        .where(F.size("w") >= 3)
+        .withColumn("shingles", shingles(F.col("w"), 3))
+        .withColumn("mh", minhash_signature(F.col("shingles"), 8, hash_fn="md5"))
+        .withColumn("bands", band_keys(F.col("mh"), 4, 2))
+    )
+    pairs = lsh_candidate_pairs(with_sig, "doc_id", "bands")
+    return pairs.select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+
+
+@query(
+    "dedup_simhash",
+    survey="P4",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                       tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS th
+            FROM documents
+        )
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 32),
+                   i -> CASE WHEN 2 * len(list_filter(th,
+                                 h -> (h >> i) & 1 = 1)) - len(th) > 0
+                             THEN (1::BIGINT << i) ELSE 0 END))::BIGINT
+                   AS simhash
+        FROM t
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: 32-bit per-doc locality-sensitive hash via
+    per-bit majority vote over token hashes — one higher-order-function
+    pass per row, zero shuffles. Near-dup pairing then groups on
+    fingerprint bands (hamming-distance candidates) — the signature is
+    the scale-critical part and what the oracle pins down."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_hashes32(F.split("text", " ")).alias("th")
+    ).select("doc_id", simhash32("th").alias("simhash"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    survey="P4,J4",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, source,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+               (len(list_intersect(a.toks, b.toks)) * 1000)
+                   // (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) AS jaccard_milli
+        FROM t a
+        JOIN t b ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+        WHERE (len(list_intersect(a.toks, b.toks)) * 1000)
+                  // (len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))) >= 800
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification: exact token-set similarity over
+    candidate pairs (bucketed here by (lang, source); in production by the
+    LSH bands from ``dedup_minhash_bands``), emitting pairs ≥ 0.8.
+    Jaccard is computed in integer thousandths — no float rounding to
+    diverge between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    a = t.select(
+        F.col("lang"), F.col("source"),
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"),
+    )
+    b = t.select(
+        F.col("lang"), F.col("source"),
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"),
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
+        )
+        .withColumn(
+            "jaccard_milli", jaccard_milli(F.col("toks_a"), F.col("toks_b"))
+        )
+        .where(F.col("jaccard_milli") >= 800)
+        .select("doc_a", "doc_b", "n_common", "jaccard_milli")
+    )

@@ -1,0 +1,256 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+The scale ladder for approximate-nearest-neighbor on a Spark cluster:
+
+1. ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+   set against the full corpus; per-partition heap via window rank. The
+   correctness baseline and the right answer whenever |queries| is small.
+2. ``lsh_bucket_assign`` — random-hyperplane LSH: 8 deterministic
+   hyperplanes → 8-bit bucket signature per vector; candidate search joins
+   only matching (or hamming-adjacent) buckets. Signature assignment is a
+   per-row projection; the join is keyed on the bucket — no O(n·m) blowup.
+3. IVF (coarse-quantizer partitioning) follows the same shape with learned
+   centroids; ``ivf_assign`` uses the fixture's label column as a stand-in
+   coarse centroid id to exercise the probe-subset join path.
+
+All dot products run as JVM higher-order folds over double-cast arrays —
+verified bit-identical to DuckDB's ``list_dot_product`` (sequential fold),
+which is what makes cosine scores oracle-checkable at all.
+
+Scale notes: the corpus side never broadcasts; queries do. Hyperplanes are
+derived from md5 so every executor regenerates them identically — no
+driver-side randomness to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
+from tbench_agentic_data_pipeline_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Reusable operator API
+# ---------------------------------------------------------------------------
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (bit-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int,
+    corpus_key: str = "vec_id", corpus_vec: str = "emb",
+    query_key: str = "q_id", query_vec: str = "q_emb",
+) -> DataFrame:
+    """Exact top-k: broadcast queries × scan corpus → rank per query.
+    One pass over the corpus regardless of |queries| (Catalyst fuses the
+    cross join and score into the scan projection)."""
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        query_key,
+        corpus_key,
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos"),
+    )
+    w = Window.partitionBy(query_key).orderBy(F.desc("cos"), F.col(corpus_key))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d of plane p is
+    an md5-derived integer in [-1000, 1000] scaled to [-1, 1]. Every
+    executor (and the oracle) regenerates the identical plane."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"plane{plane}_"), d.cast("string"))), 1, 8
+                ),
+                16, 10,
+            ).cast("bigint") % 2001 - 1000
+        ).cast("double") / 1000.0,
+    )
+
+
+def lsh_bucket_assign(vec: Column, planes: int, dim: int) -> Column:
+    """planes-bit bucket signature: bit p set iff dot(v, plane_p) > 0."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(planes):
+        sig = sig + F.when(
+            dot(vec, hyperplane(p, dim)) > 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checkable queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_cosine",
+    survey="J5,W3",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id < 3),
+        scored AS (
+            SELECT q.q_id, c.vec_id,
+                   list_dot_product(c.emb, q.q_emb)
+                       / (sqrt(list_dot_product(c.emb, c.emb))
+                          * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+            FROM c, q
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, vec_id, ROUND(cos * (1 + 5e-13), 4) AS cos,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 3 query vectors over the whole corpus —
+    the ANN correctness baseline. Dot products are sequential folds,
+    bit-identical across engines, so ranking and rounded scores match."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    out = brute_force_topk(emb, queries, 5)
+    return out.select(
+        "q_id",
+        "vec_id",
+        stable_round(F.col("cos"), 4).alias("cos"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "sim_lsh_buckets",
+    survey="J5,A1",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        planes AS (
+            SELECT p, [CAST((('0x' || substr(md5('plane' || CAST(p AS VARCHAR)
+                        || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 2001
+                        - 1000) AS DOUBLE) / 1000.0
+                       for d in range(0, 64)] AS plane
+            FROM range(0, 8) t(p)
+        ),
+        sigs AS (
+            SELECT c.vec_id,
+                   CAST(SUM(CASE WHEN list_dot_product(c.emb, p.plane) > 0
+                            THEN (1::BIGINT << p.p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM c, planes p
+            GROUP BY c.vec_id
+        )
+        SELECT bucket, COUNT(*) AS n_vecs
+        FROM sigs GROUP BY bucket
+    """,
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8
+    md5-deterministic hyperplanes → 8-bit signature → bucket histogram.
+    Candidate search joins per bucket instead of scanning the corpus;
+    the histogram is what you inspect for bucket skew before trusting
+    the recall/latency tradeoff."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    with_bucket = emb.withColumn(
+        "bucket", lsh_bucket_assign(F.col("emb"), planes=8, dim=64)
+    )
+    return with_bucket.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@query(
+    "sim_ivf_probe",
+    survey="J5,W3",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+              FROM c WHERE vec_id < 3),
+        scored AS (
+            SELECT q.q_id, c.vec_id,
+                   list_dot_product(c.emb, q.q_emb)
+                       / (sqrt(list_dot_product(c.emb, c.emb))
+                          * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+            FROM c JOIN q ON c.label = q.q_label
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, vec_id, ROUND(cos * (1 + 5e-13), 4) AS cos,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style probe: search only the query's coarse partition (the
+    fixture's ``label`` stands in for a learned centroid id) — the join
+    keys on the partition id, so the scored set is |partition|, not |corpus|.
+    With real centroids the assignment step is a ``brute_force_topk``
+    against the (tiny, broadcast) centroid table."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    scored = emb.join(
+        F.broadcast(queries), emb.label == queries.q_label
+    ).select("q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            stable_round(F.col("cos"), 4).alias("cos"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

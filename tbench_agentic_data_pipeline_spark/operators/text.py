@@ -1,0 +1,251 @@
+"""Text analysis for LLM-corpus curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+These generalize the reference's F-family text checks
+(``shared_tools/validators.py`` substring/regex analyses) into the
+corpus-level operators a training-data pipeline filters 100 TB with. All
+are single-pass per-row projections (codegen, no Python), so throughput is
+scan-bound; scores use integer milli-units so every value is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.registry import query
+
+# Marker vocabularies for the n-gram/stopword language heuristic. A real
+# deployment loads per-language profiles as a broadcast dim table; the
+# mechanism (per-language token-hit scoring + argmax) is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "small"),
+    "fr": ("le", "la", "vite", "petit"),
+    "de": ("der", "die", "schnell", "klein"),
+    "es": ("el", "la", "rapido", "chico"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
+
+# BPE-ish tokenization: words, numbers, or single non-space symbols.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are marker words (not distinct — frequency
+    matters for the heuristic)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(text, r"\s+"))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count (words / numbers / symbols)."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
+
+
+def rolling_fingerprint(th: str) -> Column:
+    """Polynomial rolling hash over a token-hash array column (name-bound
+    for the same SQL-only reason as ``dedup.simhash32``): order-sensitive
+    document fingerprint, one fold per row."""
+    return F.expr(
+        f"aggregate({th}, 0L, (acc, h) -> (acc * 31 + h) % 1000000007)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checkable queries
+# ---------------------------------------------------------------------------
+
+
+def _lang_score_sql(lang: str) -> str:
+    arr = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{arr}], t)))"
+    )
+
+
+@query(
+    "text_langid",
+    survey="F8,A1",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_lang_score_sql('en')} AS s_en,
+                   {_lang_score_sql('fr')} AS s_fr,
+                   {_lang_score_sql('de')} AS s_de,
+                   {_lang_score_sql('es')} AS s_es
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE
+                   WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                   WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                   WHEN s_de >= s_es THEN 'de'
+                   ELSE 'es'
+               END                                          AS predicted_lang,
+               CAST(s_en AS BIGINT)                         AS s_en,
+               (CASE
+                   WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                   WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                   WHEN s_de >= s_es THEN 'de'
+                   ELSE 'es'
+               END = lang)                                  AS matches_label
+        FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-token scoring with deterministic argmax
+    (ties break in en>fr>de>es order). The fixture corpus is synthetic so
+    accuracy is meaningless; the operator mechanics — per-language hit
+    scoring in one pass, argmax without a shuffle — are what's checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_hits(toks, LANG_MARKERS[lang]).cast("bigint").alias(f"s_{lang}")
+            for lang in ("en", "fr", "de", "es")
+        ],
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") >= F.col("s_es")), "fr")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        "s_en",
+        (predicted == F.col("lang")).alias("matches_label"),
+    )
+
+
+@query(
+    "text_quality_score",
+    survey="F13,F19,F20",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               (length(array_to_string(w, '')) * 1000) // n_tok
+                   AS avg_token_len_milli,
+               (len(list_filter(w, t -> list_contains(
+                   ['the', 'a', 'of', 'and', 'to'], t))) * 1000) // n_tok
+                   AS stopword_milli,
+               (len(list_distinct(w)) * 1000) // n_tok
+                   AS uniq_milli,
+               ((CASE WHEN n_chars BETWEEN 100 AND 450 THEN 400 ELSE 0 END)
+                + (CASE WHEN (len(list_filter(w, t -> list_contains(
+                      ['the', 'a', 'of', 'and', 'to'], t))) * 1000) // n_tok
+                      BETWEEN 20 AND 400 THEN 300 ELSE 0 END)
+                + (CASE WHEN (len(list_distinct(w)) * 1000) // n_tok >= 300
+                      THEN 300 ELSE 0 END))
+                   AS quality_milli
+        FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword ratio + lexical diversity,
+    combined into an integer milli-score (the Gopher-rules shape). Pure
+    projection — filters 100 TB at scan speed; all ratios are integer
+    floor-divisions so both engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_tok = F.size(w).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t))).cast("bigint")
+    n_uniq = F.size(F.array_distinct(w)).cast("bigint")
+    char_total = F.length(F.array_join(w, "")).cast("bigint")
+    avg_tok_milli = F.floor(char_total * 1000 / n_tok).cast("bigint")
+    stop_milli = F.floor(n_stop * 1000 / n_tok).cast("bigint")
+    uniq_milli = F.floor(n_uniq * 1000 / n_tok).cast("bigint")
+    quality = (
+        F.when(F.col("n_chars").between(100, 450), 400).otherwise(0)
+        + F.when(stop_milli.between(20, 400), 300).otherwise(0)
+        + F.when(uniq_milli >= 300, 300).otherwise(0)
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        avg_tok_milli.alias("avg_token_len_milli"),
+        stop_milli.alias("stopword_milli"),
+        uniq_milli.alias("uniq_milli"),
+        quality.alias("quality_milli"),
+    )
+
+
+@query(
+    "text_token_count",
+    survey="F4,F7",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                    AS BIGINT)                                      AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and BPE-ish regex
+    (words|numbers|symbols) — the cost model for context budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    survey="F1,P4",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                       tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS th
+            FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT, th),
+                   (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS bow_fingerprint
+        FROM (SELECT doc_id, text FROM documents) d
+        JOIN t USING (doc_id)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-sensitive polynomial rolling hash
+    over token hashes, plus an order-insensitive bag-of-words md5 — the
+    pair distinguishes reordered near-dups from true dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    from tbench_agentic_data_pipeline_spark.operators.dedup import token_hashes32
+
+    bow = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    return docs.select(
+        "doc_id", token_hashes32(F.split("text", " ")).alias("th"), bow.alias("bow_fingerprint")
+    ).select(
+        "doc_id",
+        rolling_fingerprint("th").alias("fingerprint"),
+        "bow_fingerprint",
+    )
