@@ -29,7 +29,7 @@ HEADLINE = [
     "w3_pergroup_topn",
     "so1_union_by_name",
     "dedup_exact",
-    "dedup_minhash_bands",
+    "dedup_minhash_fast",
     "sim_topk_cosine",
     "text_quality_score",
     "st_session_windows",

@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from tbench_agentic_data_pipeline_spark.catalog import load_table
 from tbench_agentic_data_pipeline_spark.registry import query
 
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition narrow-but-compute-heavy input to full parallelism.
+
+    Small parquet fixtures arrive as ONE scan partition (file <
+    maxPartitionBytes), which would serialize the per-row shingle/hash
+    work onto a single core — measured 8× slowdown at sf0.1. The shuffle
+    moves only (doc_id, text): trivial bytes for full CPU fan-out. At
+    100 TB the scan is already thousands of partitions and AQE coalesces
+    this to a no-op-sized exchange."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key)
+
 # ---------------------------------------------------------------------------
 # Reusable operator API
 # ---------------------------------------------------------------------------
@@ -56,20 +69,49 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
-def minhash_signature(
-    shingle_col: Column, num_hashes: int, hash_fn: str = "xxhash64"
-) -> Column:
-    """MinHash signature: per seed, the minimum hash over the shingle set.
-    ``hash_fn='md5'`` gives the oracle-reproducible variant (string min of
-    hex digests); ``xxhash64`` is the production default."""
-    def one_hash(h: int) -> Column:
-        if hash_fn == "md5":
-            salted = lambda s: F.md5(F.concat(s, F.lit(f"#{h}")))
-        else:
-            salted = lambda s: F.xxhash64(s, F.lit(h))
-        return F.array_min(F.transform(shingle_col, salted))
+def _salted_hash(s: Column, seed: int, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        return F.md5(F.concat(s, F.lit(f"#{seed}")))
+    # Stay numeric: min/compare on bigint beats string compare, and the
+    # band step casts to string only once per signature entry.
+    return F.xxhash64(s, F.lit(seed))
 
-    return F.array(*[one_hash(h) for h in range(num_hashes)])
+
+def minhash_signatures(
+    df: DataFrame, key_col: str, shingle_col: str,
+    num_hashes: int, hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signatures via explode → per-seed hash → groupBy-min.
+
+    NOT formulated as nested higher-order functions over the shingle
+    array: Catalyst's CollapseProject inlines the shingle-construction
+    expression into every one of the ``num_hashes`` (and later every
+    band) references, recomputing the shingling ~8-64× per row — measured
+    at 30+ s vs ~3 s for this shape at sf0.1. Explode+aggregate also IS
+    the scale shape: partial (map-side) min aggregation means the shuffle
+    carries one (key, num_hashes mins) row per input row, independent of
+    shingle count.
+
+    ``hash_fn='md5'`` is the oracle-reproducible variant (string min over
+    hex digests); ``xxhash64`` (decimal-string min) is the production
+    default."""
+    exploded = df.select(
+        F.col(key_col), F.explode(F.col(shingle_col)).alias("__s")
+    )
+    hashed = exploded.select(
+        key_col,
+        *[
+            _salted_hash(F.col("__s"), h, hash_fn).alias(f"__h{h}")
+            for h in range(num_hashes)
+        ],
+    )
+    agged = hashed.groupBy(key_col).agg(
+        *[F.min(f"__h{h}").alias(f"__m{h}") for h in range(num_hashes)]
+    )
+    return agged.select(
+        key_col,
+        F.array(*[F.col(f"__m{h}") for h in range(num_hashes)]).alias("mh"),
+    )
 
 
 def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -92,16 +134,22 @@ def lsh_candidate_pairs(
     candidate pairs (a < b, distinct). ``max_bucket`` drops pathological
     buckets (boilerplate content) before the quadratic pair expansion —
     the skew guard that matters at corpus scale."""
+    from pyspark.sql import Window
+
     exploded = df.select(
         F.col(key_col), F.posexplode(F.col(band_col)).alias("b", "band_key")
     )
     if max_bucket is not None:
-        sizes = exploded.groupBy("b", "band_key").agg(
-            F.count(F.lit(1)).alias("__sz")
+        # Window count instead of groupBy+join-back: one shuffle on the
+        # bucket key, and the resulting partitioning is reused by the pair
+        # join below (exchange reuse — check .explain for a single
+        # hashpartitioning(b, band_key) chain).
+        w = Window.partitionBy("b", "band_key")
+        exploded = (
+            exploded.withColumn("__sz", F.count(F.lit(1)).over(w))
+            .where(F.col("__sz") <= max_bucket)
+            .drop("__sz")
         )
-        exploded = exploded.join(
-            sizes.where(F.col("__sz") <= max_bucket), ["b", "band_key"]
-        ).drop("__sz")
     left = exploded.select(
         F.col("b"), F.col("band_key"), F.col(key_col).alias("key_a")
     )
@@ -228,16 +276,16 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row projection; the only shuffles are the band-bucket join and the
     final distinct. This is the shape that replaces O(n²) comparison at
     corpus scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
-    with_sig = (
+    shingled = (
         docs.select("doc_id", toks.alias("w"))
         .where(F.size("w") >= 3)
-        .withColumn("shingles", shingles(F.col("w"), 3))
-        .withColumn("mh", minhash_signature(F.col("shingles"), 8, hash_fn="md5"))
-        .withColumn("bands", band_keys(F.col("mh"), 4, 2))
+        .select("doc_id", shingles(F.col("w"), 3).alias("shingles"))
     )
-    pairs = lsh_candidate_pairs(with_sig, "doc_id", "bands")
+    sig = minhash_signatures(shingled, "doc_id", "shingles", 8, hash_fn="md5")
+    with_bands = sig.withColumn("bands", band_keys(F.col("mh"), 4, 2))
+    pairs = lsh_candidate_pairs(with_bands, "doc_id", "bands")
     return pairs.select(
         F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
     )
@@ -268,10 +316,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass per row, zero shuffles. Near-dup pairing then groups on
     fingerprint bands (hamming-distance candidates) — the signature is
     the scale-critical part and what the oracle pins down."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id", token_hashes32(F.split("text", " ")).alias("th")
     ).select("doc_id", simhash32("th").alias("simhash"))
+
+
+@query("dedup_minhash_fast", survey="P4,J1")
+def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash+LSH: identical pipeline to ``dedup_minhash_bands``
+    but signatures use seeded ``xxhash64`` (JVM-intrinsic, no hex-string
+    materialization) — the variant you run on 100 TB. Rows-only check:
+    DuckDB has no xxhash64, which is exactly why the md5 twin exists."""
+    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = F.split("text", " ")
+    shingled = (
+        docs.select("doc_id", toks.alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", shingles(F.col("w"), 3).alias("shingles"))
+    )
+    sig = minhash_signatures(shingled, "doc_id", "shingles", 8, hash_fn="xxhash64")
+    with_bands = sig.withColumn("bands", band_keys(F.col("mh"), 4, 2))
+    pairs = lsh_candidate_pairs(with_bands, "doc_id", "bands", max_bucket=1000)
+    return pairs.select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
 
 
 @query(
