@@ -59,15 +59,21 @@ def conditional_rate(
 
 
 def map_sum_check(
-    df: DataFrame, key: str, map_col: str, target: float = 1.0, tol: float = 1e-3
+    df: DataFrame, key: str, map_col: str, lo: float = 0.999, hi: float = 1.001
 ) -> DataFrame:
-    """A5: per-key sum of map values within tolerance of ``target``
-    (``validators.py:311-315``: weights sum to 1.0 ± 0.001). Explode is
-    map-side; the groupBy shuffles only (key, partial-sum)."""
+    """A5: per-key sum of map values within the inclusive accept band
+    [lo, hi] (``validators.py:314``: weights sum in [0.999, 1.001]).
+
+    Deliberately NOT ``abs(sum - 1.0) <= 0.001``: in binary floating point
+    ``|0.999 - 1.0| > 0.001`` (the subtraction inflates the last ulp), so
+    the abs form rejects the boundary the reference accepts. Literal
+    bounds compare the same doubles the reference compares.
+
+    Explode is map-side; the groupBy shuffles only (key, partial-sum)."""
     exploded = df.select(key, F.explode_outer(F.col(map_col)).alias("k", "v"))
     return exploded.groupBy(key).agg(
         F.sum("v").alias("value_sum"),
-        (F.abs(F.sum("v") - F.lit(target)) <= F.lit(tol)).alias("valid"),
+        F.sum("v").between(F.lit(lo), F.lit(hi)).alias("valid"),
     )
 
 

@@ -33,12 +33,15 @@ def keyed_patch(
     """U1: update N columns of the row(s) matching ``key``; all other rows
     pass through unchanged (``patch_dp.py:110-177``). Map-side only."""
     cond = F.col(key_col) == F.lit(key)
-    out = df
-    for col_name, new_val in patches.items():
-        out = out.withColumn(
-            col_name, F.when(cond, new_val).otherwise(F.col(col_name))
-        )
-    return out
+    # One withColumns call: every patch expression evaluates against the
+    # ORIGINAL row (chained withColumn would let an earlier patch feed a
+    # later patch's inputs — not the reference's dict-update semantics).
+    return df.withColumns(
+        {
+            col_name: F.when(cond, new_val).otherwise(F.col(col_name))
+            for col_name, new_val in patches.items()
+        }
+    )
 
 
 def map_put(df: DataFrame, map_col: str, key: Column, value: Column) -> DataFrame:
@@ -65,12 +68,17 @@ def transition(
 ) -> DataFrame:
     """U3/U4/U5: guarded status transition — apply ``updates`` to rows
     satisfying ``predicate`` (claim/complete/release,
-    ``task_manager.py:204-303``)."""
-    out = df
-    for col_name, new_val in updates.items():
-        existing = F.col(col_name) if col_name in df.columns else F.lit(None)
-        out = out.withColumn(col_name, F.when(predicate, new_val).otherwise(existing))
-    return out
+    ``task_manager.py:204-303``). All updates and the predicate evaluate
+    against the ORIGINAL row (single withColumns), so a transition whose
+    predicate tests a column it also updates behaves atomically."""
+    return df.withColumns(
+        {
+            col_name: F.when(
+                predicate, new_val
+            ).otherwise(F.col(col_name) if col_name in df.columns else F.lit(None))
+            for col_name, new_val in updates.items()
+        }
+    )
 
 
 def deterministic_id(prefix: Column | str, *content: Column) -> Column:

@@ -54,13 +54,14 @@ def release_owned(
     """U5 + P7: release only the caller's in-progress tasks
     (``task_manager.py:269-303``)."""
     cond = (F.col(status_col) == "in_progress") & (F.col(owner_col) == agent)
-    return (
-        tasks.withColumn(
-            status_col, F.when(cond, "pending").otherwise(F.col(status_col))
-        )
-        .withColumn(
-            owner_col, F.when(cond, F.lit(None)).otherwise(F.col(owner_col))
-        )
+    # Single withColumns call: both updates see the ORIGINAL row. Chained
+    # withColumn would flip status first and the owner update's predicate
+    # would no longer match its own transition.
+    return tasks.withColumns(
+        {
+            status_col: F.when(cond, "pending").otherwise(F.col(status_col)),
+            owner_col: F.when(cond, F.lit(None)).otherwise(F.col(owner_col)),
+        }
     )
 
 

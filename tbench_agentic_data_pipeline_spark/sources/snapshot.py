@@ -1,0 +1,120 @@
+"""Snapshot-versioned tables: atomic commits, history, audit
+(SURVEY.md §2.1 S6-S11, §4.2).
+
+The reference's durability story is temp-file + ``os.replace`` per whole
+CSV (``patch_dp.py:157-172``) and timestamped backup copies before
+mutation (``approve_datapoint.py:56-63``). The engine generalizes both:
+every write lands in a fresh ``v=<n>`` directory and a tiny manifest file
+flips to name the current version — readers never see partial writes,
+every prior version remains addressable (time travel), and a "backup" is
+just the previous version. The manifest flip is the only non-Spark I/O and
+is a single small-file write (rename-atomic on posix; conditional-put on
+object stores).
+
+This is deliberately plain-Spark (no Delta/Iceberg dependency): the point
+is the commit *protocol*, which those formats industrialize.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SnapshotTable:
+    """A table whose versions are parquet dirs under ``root`` with a
+    ``manifest.json`` naming the current one."""
+
+    spark: SparkSession
+    root: str
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"current": None, "versions": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _flip_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)  # atomic on posix
+
+    # -- public API --------------------------------------------------------
+    def current_version(self) -> int | None:
+        return self._read_manifest()["current"]
+
+    def versions(self) -> list[int]:
+        return list(self._read_manifest()["versions"])
+
+    def commit(self, df: DataFrame, operation: str = "overwrite") -> int:
+        """S7/S8: write ``df`` as the next version and flip the manifest.
+        The previous version IS the backup (``backup_file`` semantics,
+        ``approve_datapoint.py:56-63``) — no copy step."""
+        manifest = self._read_manifest()
+        next_v = (manifest["current"] or 0) + 1 if manifest["current"] else 1
+        path = os.path.join(self.root, f"v={next_v}")
+        df.write.mode("overwrite").parquet(path)
+        manifest["versions"].append(next_v)
+        manifest["current"] = next_v
+        manifest.setdefault("history", []).append(
+            {"version": next_v, "operation": operation, "ts": time.time()}
+        )
+        self._flip_manifest(manifest)
+        return next_v
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current (or a pinned historical) version."""
+        manifest = self._read_manifest()
+        v = version if version is not None else manifest["current"]
+        if v is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no versions")
+        return self.spark.read.parquet(os.path.join(self.root, f"v={v}"))
+
+    def append(self, rows: DataFrame) -> int:
+        """S6: append = current ∪ rows committed as a new version (the
+        engine keeps append copy-on-write so readers get isolation; at
+        scale a partition-append sink amortizes this)."""
+        cur = self._read_manifest()["current"]
+        merged = rows if cur is None else self.read().unionByName(
+            rows, allowMissingColumns=True
+        )
+        return self.commit(merged, operation="append")
+
+
+def audit_append(
+    spark: SparkSession, audit_root: str, operation: str, payload: dict
+) -> None:
+    """S11: append-only audit record (``save_history``,
+    ``patch_additional_files.py:87-103``) — one JSON file per mutation
+    under ``.history/``-style dir; queryable later as a table."""
+    os.makedirs(audit_root, exist_ok=True)
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    rec = {"ts": ts, "operation": operation, **payload}
+    path = os.path.join(audit_root, f"{ts}_{operation}_{int(time.time()*1e6)%10**6}.json")
+    with open(path, "w") as f:
+        json.dump(rec, f)
+
+
+def move_rows(
+    src: SnapshotTable, dst: SnapshotTable, rows: DataFrame, key_col: str
+) -> tuple[int, int]:
+    """The two-table transactional move (staging→review,
+    ``add_dp_to_review.py:255-264``): commit to destination FIRST, then
+    delete from source — the reference's ordering, preserving its crash
+    exposure (crash between commits ⇒ duplicate, never loss). Returns the
+    two new version ids."""
+    v_dst = dst.append(rows)
+    remaining = src.read().join(rows.select(key_col), on=key_col, how="left_anti")
+    v_src = src.commit(remaining, "delete")
+    return v_dst, v_src

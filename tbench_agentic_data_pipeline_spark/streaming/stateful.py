@@ -1,0 +1,94 @@
+"""Stateful streaming: timeout expiry and drain loops (SURVEY.md §2.10
+ST2/ST3/ST5/ST6).
+
+The reference expires stale claims with a scan inside every queue call
+(``task_manager/task_manager.py:109-138``) and drains work with a poll
+loop (``scripts/validate_all_prod_dps.py:143-151``). Streaming-first:
+
+- ``expire_stale_tasks``  — ``applyInPandasWithState`` keeping per-task
+  state with a processing-time timeout: when no update arrives within the
+  TTL, the state times out and the operator emits a 'released' record
+  (the push-based form of U6's batch sweep).
+- ``drain_available``     — ``Trigger.AvailableNow`` writeStream: process
+  everything pending, checkpoint, stop — the poll loop collapsed into one
+  resumable invocation (exactly-once via checkpoint + idempotent sink,
+  the streaming twin of J2's anti-join re-init).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+RELEASE_SCHEMA = T.StructType(
+    [
+        T.StructField("task_id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_updates", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n_updates", T.LongType())]
+)
+
+
+def _expire_fn(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    """Per-task state handler: count updates; on processing-time timeout,
+    emit the release record and drop state (the 24h auto-release of
+    ``task_manager.py:109-138`` with the clock pushed into the engine)."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        (n,) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"task_id": [key[0]], "status": ["released"], "n_updates": [n]}
+        )
+        return
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    state.setTimeoutDuration(24 * 3600 * 1000)  # 24h TTL per update
+    yield pd.DataFrame(
+        {"task_id": [key[0]], "status": ["in_progress"], "n_updates": [n]}
+    )
+
+
+def expire_stale_tasks(updates: DataFrame, key_col: str = "task_id") -> DataFrame:
+    """Wire the stateful timeout operator over a streaming updates frame.
+    State is one counter per task — O(live tasks) memory, evicted on
+    timeout; the output stream carries claim liveness transitions."""
+    return updates.groupBy(key_col).applyInPandasWithState(
+        _expire_fn,
+        outputStructType=RELEASE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def drain_available(
+    stream: DataFrame, sink_path: str, checkpoint: str, fmt: str = "parquet"
+):
+    """ST3/ST6: process-everything-then-stop drain with checkpointed
+    exactly-once progress — rerunning after a crash resumes from the
+    checkpoint instead of re-reading (the reference achieves the same with
+    its resumable anti-join init, ``validate_all_prod_dps.py:94-133``)."""
+    return (
+        stream.writeStream.format(fmt)
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,165 @@
+"""Unit tests for operator semantics cribbed from the reference
+(SURVEY.md §5.2): tolerance bands, timeout strictness, normalize-union
+fills, claim determinism, fail-first truth table, map mutations."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.operators.aggregates import map_sum_check
+from tbench_agentic_data_pipeline_spark.operators.dedup import jaccard_milli
+from tbench_agentic_data_pipeline_spark.operators.filters import stale_filter
+from tbench_agentic_data_pipeline_spark.operators.mutations import (
+    deterministic_id,
+    keyed_patch,
+    map_put,
+    map_remove,
+)
+from tbench_agentic_data_pipeline_spark.operators.queue import (
+    claim_assignment,
+    release_owned,
+)
+from tbench_agentic_data_pipeline_spark.operators.setops import normalize_union
+from tbench_agentic_data_pipeline_spark.operators.validation import fail_first_policy
+
+
+def test_weight_sum_tolerance_band(spark):
+    # validators.py:314: accept band is [0.999, 1.001] — boundary inclusive.
+    df = spark.createDataFrame(
+        [
+            ("ok_exact", {"test_a": 0.5, "test_b": 0.5}),
+            ("ok_low", {"test_a": 0.999}),
+            ("ok_high", {"test_a": 1.001}),
+            ("bad_low", {"test_a": 0.9989}),
+            ("bad_high", {"test_a": 1.0011}),
+        ],
+        "task_id string, weights map<string,double>",
+    )
+    out = {
+        r["task_id"]: r["valid"]
+        for r in map_sum_check(df, "task_id", "weights").collect()
+    }
+    assert out == {
+        "ok_exact": True,
+        "ok_low": True,
+        "ok_high": True,
+        "bad_low": False,
+        "bad_high": False,
+    }
+
+
+def test_timeout_strictly_greater(spark):
+    # task_manager.py:128: release requires age strictly > threshold.
+    df = spark.createDataFrame(
+        [
+            ("at_24h", "2024-01-01 00:00:00"),
+            ("just_over", "2023-12-31 23:59:59"),
+            ("fresh", "2024-01-01 12:00:00"),
+        ],
+        "id string, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    now = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    stale = {r["id"] for r in stale_filter(df, "ts", now, 24.0).collect()}
+    assert stale == {"just_over"}
+
+
+def test_normalize_union_fills_missing(spark):
+    a = spark.createDataFrame([("x", 1)], "task_id string, n int")
+    b = spark.createDataFrame([("y",)], "task_id string")
+    out = normalize_union([a, b]).orderBy("task_id").collect()
+    assert [tuple(r) for r in out] == [("x", 1), ("y", None)]
+
+
+def test_claim_assignment_deterministic_and_balanced(spark):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i:02d}") for i in range(12)],
+        "task int, ts_s string",
+    ).select("task", F.col("ts_s").cast("timestamp").alias("ts"))
+    out1 = claim_assignment(df, 4, ["ts", "task"]).collect()
+    out2 = claim_assignment(df, 4, ["ts", "task"]).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_worker = {}
+    for r in out1:
+        by_worker.setdefault(r["worker_id"], []).append(r["task"])
+    assert {len(v) for v in by_worker.values()} == {3}
+    # FIFO: task i goes to worker i % 4.
+    assert all(t % 4 == w for w, ts in by_worker.items() for t in ts)
+
+
+def test_release_owned_only_touches_owner(spark):
+    df = spark.createDataFrame(
+        [
+            ("t1", "in_progress", "agent_a"),
+            ("t2", "in_progress", "agent_b"),
+            ("t3", "pending", None),
+        ],
+        "id string, status string, locked_by string",
+    )
+    out = {r["id"]: (r["status"], r["locked_by"]) for r in release_owned(df, "agent_a").collect()}
+    assert out["t1"] == ("pending", None)
+    assert out["t2"] == ("in_progress", "agent_b")
+    assert out["t3"] == ("pending", None)
+
+
+def test_keyed_patch_leaves_other_rows(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "k string, n int, s string"
+    )
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in keyed_patch(
+            df, "k", "a", {"n": F.lit(99), "s": F.lit("z")}
+        ).collect()
+    }
+    assert out == {"a": (99, "z"), "b": (2, "y")}
+
+
+def test_map_put_and_remove(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", m={"f1": "c1", "f2": "c2"})]
+    )
+    put = map_put(df, "m", F.lit("f2"), F.lit("NEW")).collect()[0]["m"]
+    assert put == {"f1": "c1", "f2": "NEW"}
+    removed = map_remove(df, "m", F.lit("f1")).collect()[0]["m"]
+    assert removed == {"f2": "c2"}
+
+
+def test_deterministic_id_stable(spark):
+    df = spark.createDataFrame([("hello",)], "content string")
+    a = df.select(deterministic_id("draft_dp", F.col("content")).alias("id")).collect()
+    b = df.select(deterministic_id("draft_dp", F.col("content")).alias("id")).collect()
+    assert a == b
+    assert a[0]["id"].startswith("draft_dp_") and len(a[0]["id"]) == len("draft_dp_") + 8
+
+
+def test_fail_first_truth_table(spark):
+    # validators.py:383-410: zero-failed => invalid; any-passed => invalid;
+    # count-mismatch => invalid; all-fail+none-pass+has-tests => valid.
+    rows = [
+        # declared, failed, passed, errors, expect
+        (3, 3, 0, 0, True),
+        (3, 0, 0, 0, False),   # nothing failed
+        (3, 3, 1, 0, False),   # something passed
+        (3, 2, 0, 0, False),   # count mismatch
+        (0, 0, 0, 0, False),   # no tests declared
+        (2, 2, 0, 1, False),   # errors present
+    ]
+    df = spark.createDataFrame(
+        rows, "declared long, failed long, passed long, errors long, expect boolean"
+    )
+    out = df.select(
+        "expect",
+        fail_first_policy(
+            F.col("declared"), F.col("failed"), F.col("passed"), F.col("errors")
+        )["valid"].alias("valid"),
+    ).collect()
+    assert all(r["expect"] == r["valid"] for r in out)
+
+
+def test_jaccard_milli_exact(spark):
+    df = spark.createDataFrame(
+        [Row(a=["x", "y", "z"], b=["x", "y", "q"])]
+    )
+    out = df.select(jaccard_milli(F.col("a"), F.col("b")).alias("j")).collect()
+    assert out[0]["j"] == 500  # |∩|=2, |∪|=4 → 0.5 → 500 milli

@@ -1,0 +1,93 @@
+"""Sources & snapshot-table tests: drift-tolerant CSV ingest (against the
+reference's real shipped CSVs when present), task-store explode, snapshot
+commit/read/time-travel, and the review-then-staging move ordering."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.sources.readers import (
+    REVIEW_COLUMNS,
+    STAGING_COLUMNS,
+    read_datapoint_csv,
+)
+from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+    SnapshotTable,
+    move_rows,
+)
+
+_REF = "/root/reference/agents/dp_builder_workspace"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{_REF}/review/datapoints_for_review.csv"),
+    reason="reference fixture CSVs not available",
+)
+def test_read_reference_review_csv(spark):
+    # The shipped review CSV: 234 rows, 10 columns, multiline/quoting/JSON
+    # cell stress (SURVEY.md §5.1). Row count is the parse-correctness
+    # witness — a naive (non-multiLine) read shatters rows.
+    df = read_datapoint_csv(
+        spark, f"{_REF}/review/datapoints_for_review.csv", REVIEW_COLUMNS
+    )
+    assert df.count() == 234
+    assert df.columns == list(REVIEW_COLUMNS)
+    # JSON-in-cell integrity: every non-empty test_weights cell decodes.
+    bad = df.where(
+        (F.col("test_weights") != "")
+        & F.from_json("test_weights", "map<string,double>").isNull()
+    ).count()
+    assert bad == 0
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{_REF}/staging/datapoints.csv"),
+    reason="reference fixture CSVs not available",
+)
+def test_read_reference_staging_csv_with_drift(spark):
+    # The staging CSV carries 2 extra drift columns (tests, weights);
+    # normalization projects to the declared schema (add_dp_to_review.py:71-79).
+    df = read_datapoint_csv(
+        spark, f"{_REF}/staging/datapoints.csv", STAGING_COLUMNS
+    )
+    assert df.count() == 46
+    assert df.columns == list(STAGING_COLUMNS)
+
+
+def test_snapshot_commit_read_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    v1 = t.commit(spark.createDataFrame([(1, "a")], "id int, s string"))
+    v2 = t.commit(spark.createDataFrame([(2, "b")], "id int, s string"))
+    assert (v1, v2) == (1, 2)
+    assert t.current_version() == 2
+    assert [tuple(r) for r in t.read().collect()] == [(2, "b")]
+    # time travel: the previous version IS the backup (S8 semantics).
+    assert [tuple(r) for r in t.read(version=1).collect()] == [(1, "a")]
+
+
+def test_snapshot_append_unions_by_name(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "id int, s string"))
+    t.append(spark.createDataFrame([(2,)], "id int"))
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, "a"), (2, None)]
+
+
+def test_move_rows_review_first_ordering(spark, tmp_path):
+    # add_dp_to_review.py:255-264: add to destination, then delete from
+    # source — crash between commits duplicates, never loses.
+    staging = SnapshotTable(spark, str(tmp_path / "staging"))
+    review = SnapshotTable(spark, str(tmp_path / "review"))
+    staging.commit(
+        spark.createDataFrame([("t1", "p1"), ("t2", "p2")], "task_id string, prompt string")
+    )
+    review.commit(spark.createDataFrame([], "task_id string, prompt string"))
+    moving = staging.read().where(F.col("task_id") == "t1")
+    move_rows(staging, review, moving, "task_id")
+    assert [r["task_id"] for r in review.read().collect()] == ["t1"]
+    assert [r["task_id"] for r in staging.read().collect()] == ["t2"]
+    # history records both commits
+    assert review.current_version() == 2 and staging.current_version() == 2

@@ -1,0 +1,99 @@
+"""Streaming-surface tests: the unified window transforms run in true
+streaming mode, the availableNow drain completes with checkpointing, and
+the stateful timeout operator wires (rate-source smoke)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.streaming.stateful import (
+    drain_available,
+    expire_stale_tasks,
+)
+from tbench_agentic_data_pipeline_spark.streaming.windows import tumbling_counts
+
+
+def _wait(q, timeout=60):
+    q.awaitTermination(timeout)
+
+
+def test_tumbling_window_streaming_mode(spark, tmp_path):
+    # Same transform object as the oracle-checked batch mirror, fed a
+    # file stream; watermark engaged.
+    src = tmp_path / "in"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i:02d}:00", "click", float(i)) for i in range(30)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    batch.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    agg = tumbling_counts(stream, "ts", "10 minutes", "event_type", watermark="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    # append mode emits only watermark-closed windows: 30 min of data,
+    # watermark 5 min → the first two 10-min windows are closed.
+    rows = spark.sql("select * from tumbling_smoke").collect()
+    assert len(rows) == 2
+    assert all(r["n"] == 10 for r in rows)
+
+
+def test_drain_available_checkpoint_resume(spark, tmp_path):
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    df = spark.range(10).withColumnRenamed("id", "task")
+    df.write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("task long").parquet(str(src))
+    q = drain_available(stream, str(out), str(ckpt))
+    _wait(q)
+    assert spark.read.parquet(str(out)).count() == 10
+    # second drain with NO new data: checkpoint prevents reprocessing.
+    q2 = drain_available(
+        spark.readStream.schema("task long").parquet(str(src)), str(out), str(ckpt)
+    )
+    _wait(q2)
+    assert spark.read.parquet(str(out)).count() == 10
+
+
+def test_expire_stale_tasks_wires(spark, tmp_path):
+    # Rate-source smoke: the stateful operator starts, processes batches,
+    # and emits in_progress liveness records (timeout path needs wall-clock
+    # 24h — the batch twin u6_timeout_release covers release semantics).
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            (F.col("value") % 5).cast("string").alias("task_id"),
+        )
+    )
+    out = expire_stale_tasks(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("expire_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from expire_smoke").collect()[0]["c"]
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0
+        rows = spark.sql(
+            "select distinct status from expire_smoke"
+        ).collect()
+        assert {r["status"] for r in rows} <= {"in_progress", "released"}
+    finally:
+        q.stop()
