@@ -197,6 +197,38 @@ def f_datetime_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f_markdown_render",
+    survey="F22,S9,F12",
+    oracle="""
+        SELECT doc_id,
+               '# Document ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+               '**Language:** ' || lang || chr(10) ||
+               '**Source:** ' || source || chr(10) ||
+               '## Preview' || chr(10) ||
+               CASE WHEN length(text) > 80
+                    THEN substr(text, 1, 80) || '...'
+                    ELSE text END
+                   AS markdown
+        FROM documents WHERE doc_id < 50
+    """,
+)
+def f_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22/S9: row → human-readable markdown artifact
+    (``add_dp_to_review.py:154-211``, ``read_datapoint.py:27-127``) as a
+    pure concat projection; the single-file artifact write is a driver-side
+    sink concern, not a query concern."""
+    docs = load_table(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# Document "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.lit("**Language:** "), F.col("lang"), F.lit("\n"),
+        F.lit("**Source:** "), F.col("source"), F.lit("\n"),
+        F.lit("## Preview\n"),
+        truncate_ellipsis("text", 80),
+    )
+    return docs.where(F.col("doc_id") < 50).select("doc_id", md.alias("markdown"))
+
+
+@query(
     "f_line_cleanup",
     survey="F10,F11,F4",
     oracle="""

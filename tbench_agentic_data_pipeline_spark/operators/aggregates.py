@@ -77,6 +77,38 @@ def map_sum_check(
     )
 
 
+def salted_sum(
+    df: DataFrame, key: str, value: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-resistant aggregation: groupBy (key, salt) partial sums, then
+    groupBy key finals. Identical result to a plain groupBy — the salt
+    only reshapes the shuffle so one hot key spreads over ``salt_buckets``
+    reducers instead of melting a single one. (Spark's partial aggregation
+    already does this map-side; explicit salting is the remedy when the
+    REDUCE side of a hot key is the bottleneck — e.g. high-cardinality
+    per-key state, collect_list-style aggs.)"""
+    salt = (F.xxhash64(F.monotonically_increasing_id()) % salt_buckets).alias("__salt")
+    partial = (
+        df.select(F.col(key), F.col(value), salt)
+        .groupBy(key, "__salt")
+        .agg(F.sum(value).alias("__psum"), F.count(F.lit(1)).alias("__pn"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__psum").alias("value_sum"), F.sum("__pn").alias("n")
+    )
+
+
+def approx_distinct(df: DataFrame, key: str, value: str, rsd: float = 0.02) -> DataFrame:
+    """HLL distinct-count sketch per key — the 100 TB substitute for
+    COUNT(DISTINCT): no shuffle of raw values, mergeable partials, bounded
+    error (``rsd``). Oracle-uncheckable by nature (sketch internals differ
+    per engine); accuracy is asserted in tests against the exact count."""
+    return df.groupBy(key).agg(
+        F.approx_count_distinct(value, rsd).alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def error_rollup(df: DataFrame, error_col: str) -> DataFrame:
     """A6: failed-work rollup grouped by error message, biggest groups first
     (``validate_all_prod_dps.py:246-253``)."""
@@ -246,6 +278,39 @@ def a6_error_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_bucket", F.get_json_object("props", "$.k").cast("bigint") % 10
     )
     return error_rollup(bucketed, "error_bucket")
+
+
+@query(
+    "a_salted_sum",
+    survey="A4,ST4",
+    oracle="""
+        SELECT event_type,
+               ROUND(SUM(value), 2) AS value_sum,
+               COUNT(*)             AS n
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guard demonstration: the salted two-stage aggregation produces
+    exactly the plain GROUP BY's answer (the oracle IS the plain form).
+    With 5 event types over millions of rows, event_type is precisely the
+    hot-key shape salting exists for."""
+    events = load_table(spark, sf_dir, "events")
+    out = salted_sum(events, "event_type", "value", salt_buckets=8)
+    return out.select(
+        "event_type", F.round("value_sum", 2).alias("value_sum"), "n"
+    )
+
+
+@query("a_approx_distinct", survey="A8")
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct sketch per lang (rows-only: sketch estimates are not
+    engine-portable; tests assert ≤5% error vs exact). The operator that
+    replaces COUNT(DISTINCT) when the distinct set itself is too big to
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return approx_distinct(docs, "lang", "text")
 
 
 @query(

@@ -239,6 +239,55 @@ def u6_timeout_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u4_complete_transition",
+    survey="U4,U5,U7,F16",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_type = 'view' THEN 'completed'
+                    WHEN event_type = 'error' THEN 'failed'
+                    ELSE 'pending' END                           AS status,
+               CASE WHEN event_type IN ('view', 'error')
+                    THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                    ELSE NULL END                                AS completed_at,
+               CASE WHEN event_type IN ('view', 'error')
+                    THEN NULL ELSE 'agent_' || CAST(user_id AS VARCHAR) END
+                                                                 AS locked_by
+        FROM events
+    """,
+)
+def u4_complete_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/U5: complete/fail transitions — terminal states stamp
+    completed_at and clear locks; everything else keeps its claim
+    (``task_manager.py:225-303``). One atomic withColumns pass."""
+    events = load_table(spark, sf_dir, "events")
+    terminal = F.col("event_type").isin("view", "error")
+    base = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.concat(F.lit("agent_"), F.col("user_id").cast("string")).alias("locked_by"),
+    )
+    done = transition(
+        base,
+        terminal,
+        {
+            "status": F.when(F.col("event_type") == "view", "completed").otherwise(
+                "failed"
+            ),
+            "completed_at": F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            "locked_by": F.lit(None).cast("string"),
+        },
+    )
+    return done.select(
+        "event_id",
+        F.coalesce(F.col("status"), F.lit("pending")).alias("status"),
+        "completed_at",
+        "locked_by",
+    )
+
+
+@query(
     "u8_production_derivation",
     survey="U8,U10,U11",
     oracle="""

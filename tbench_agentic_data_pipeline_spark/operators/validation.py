@@ -121,6 +121,59 @@ def x7_validation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a8_pytest_summary_parse",
+    survey="A8,F7",
+    oracle="""
+        WITH sim AS (
+            SELECT event_id,
+                   'collected ' || CAST(1 + CAST(json_extract(props, '$.k') AS BIGINT) % 4
+                       AS VARCHAR) || ' items' || chr(10) ||
+                   CASE WHEN event_type = 'error'
+                        THEN 'FAILED test_a' || chr(10) || 'FAILED test_b' || chr(10)
+                        ELSE 'PASSED test_a' || chr(10) END ||
+                   CAST(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END AS VARCHAR)
+                       || ' failed' AS out
+            FROM events
+        )
+        SELECT event_id,
+               CAST(regexp_extract(out, 'collected ([0-9]+) items?', 1) AS BIGINT)
+                   AS n_collected,
+               CAST(regexp_extract(out, '([0-9]+) failed', 1) AS BIGINT)
+                   AS n_failed,
+               CAST(len(regexp_extract_all(out, 'FAILED [a-z_]+')) AS BIGINT)
+                   AS n_failed_lines
+        FROM sim
+    """,
+)
+def a8_pytest_summary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/F7: pytest-output parsing (``validators.py:649-731``) — extract
+    'collected N items', the 'N failed' summary, and count FAILED lines
+    from synthesized runner output. The regex layer the reference applies
+    to real pytest stdout, as codegen'd ``regexp_extract``s."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    out = F.concat(
+        F.lit("collected "), (1 + k % 4).cast("string"), F.lit(" items\n"),
+        F.when(
+            F.col("event_type") == "error", "FAILED test_a\nFAILED test_b\n"
+        ).otherwise("PASSED test_a\n"),
+        F.when(F.col("event_type") == "error", 2).otherwise(0).cast("string"),
+        F.lit(" failed"),
+    )
+    sim = events.select("event_id", out.alias("out"))
+    return sim.select(
+        "event_id",
+        F.regexp_extract("out", r"collected (\d+) items?", 1).cast("bigint").alias(
+            "n_collected"
+        ),
+        F.regexp_extract("out", r"(\d+) failed", 1).cast("bigint").alias("n_failed"),
+        F.regexp_count("out", F.lit(r"FAILED [a-z_]+")).cast("bigint").alias(
+            "n_failed_lines"
+        ),
+    )
+
+
+@query(
     "x_fail_first_policy",
     survey="X7,A8",
     oracle="""

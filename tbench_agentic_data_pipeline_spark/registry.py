@@ -50,6 +50,7 @@ _REGISTRY: dict[str, QueryEntry] = {}
 # partially-built tree never breaks the already-registered queries.
 _QUERY_MODULES: tuple[str, ...] = (
     "tbench_agentic_data_pipeline_spark.operators.aggregates",
+    "tbench_agentic_data_pipeline_spark.operators.analytics",
     "tbench_agentic_data_pipeline_spark.operators.filters",
     "tbench_agentic_data_pipeline_spark.operators.joins",
     "tbench_agentic_data_pipeline_spark.operators.setops",
