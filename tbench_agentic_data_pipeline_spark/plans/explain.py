@@ -34,9 +34,12 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count (Exchange operators, excluding reused ones)."""
+    """Shuffle count: ``(N) Exchange`` operator entries in the formatted
+    plan. BroadcastExchange and ReusedExchange print under their own names
+    and are deliberately not counted — broadcasts move dim-sized data and
+    reuse moves nothing."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -1,0 +1,59 @@
+"""Bucketed co-located join: the written bucket layout must eliminate the
+join-time shuffle entirely — the core 100 TB join strategy."""
+
+from __future__ import annotations
+
+import pytest
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.plans.explain import count_exchanges
+from tbench_agentic_data_pipeline_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def no_broadcast(spark):
+    # Force SortMergeJoin: with broadcast on, tiny test tables would plan
+    # a BroadcastHashJoin in BOTH cases and the exchange comparison would
+    # be vacuous. At real scale fact⋈fact is never broadcastable anyway.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").withColumnRenamed(
+        "o_orderkey", "orderkey"
+    )
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    )
+    write_bucketed(orders, "b_orders", "orderkey", 8)
+    write_bucketed(lineitem, "b_lineitem", "orderkey", 8)
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, no_broadcast, bucketed_tables):
+    left, right = bucketed_tables
+    joined = bucketed_join(spark, left, right, "orderkey")
+    assert count_exchanges(joined) == 0, "bucketed join must not shuffle"
+    # and it is still correct:
+    expected = load_table(spark, SF_SMOKE, "lineitem").count()
+    assert joined.count() == expected
+
+
+def test_unbucketed_join_does_shuffle(spark, no_broadcast):
+    # Control: the same join on raw parquet shuffles both sides.
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    joined = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    )
+    assert count_exchanges(joined) >= 1
