@@ -197,6 +197,38 @@ def f_datetime_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f_substring_extract",
+    survey="F8,F9",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN position('join' IN text) > 0
+                    THEN substr(text, position('join' IN text))
+                    ELSE '' END                             AS from_join,
+               substr(text, 1, CASE WHEN position(' ' IN text) > 0
+                                    THEN position(' ' IN text) - 1
+                                    ELSE length(text) END)  AS first_word
+        FROM documents WHERE doc_id < 150
+    """,
+)
+def f_substring_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: substring-from-located-index — cut the payload at a marker the
+    way the reference cuts Dockerfiles at 'FROM' and task YAML at
+    'instruction:' (``init_seed_tasks.py:34-38``, ``:51-54``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = F.instr(F.col("text"), "join")
+    sp = F.instr(F.col("text"), " ")
+    return docs.where(F.col("doc_id") < 150).select(
+        "doc_id",
+        F.when(pos > 0, F.expr("substr(text, instr(text, 'join'))"))
+        .otherwise("")
+        .alias("from_join"),
+        F.substring(
+            F.col("text"), 1, F.when(sp > 0, sp - 1).otherwise(F.length("text"))
+        ).alias("first_word"),
+    )
+
+
+@query(
     "f_markdown_render",
     survey="F22,S9,F12",
     oracle="""

@@ -197,6 +197,58 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    survey="P4,J5",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               ROUND((list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb)))) * (1 + 5e-13), 4)
+                   AS cos
+        FROM c a
+        JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: candidates bucketed by the coarse
+    partition (label ≙ centroid id; at corpus scale the LSH buckets of
+    ``sim_lsh_buckets`` play this role), verified by exact cosine ≥ τ.
+    The quadratic step runs inside buckets only — the dedup ladder's
+    embedding rung. Threshold equality is engine-safe: both engines
+    compute bit-identical dot-product doubles."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
+    )
+    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("__cos", cos)
+        .where(F.col("__cos") >= 0.3)
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            stable_round(F.col("__cos"), 4).alias("cos"),
+        )
+    )
+
+
+@query(
     "sim_ivf_probe",
     survey="J5,W3",
     oracle="""

@@ -95,10 +95,18 @@ def read_file_tree(spark: SparkSession, root: str, strip_prefix: str) -> DataFra
     of ``sync_from_workspace`` (``patch_additional_files.py:105-122``).
     Aggregating to a files-map per key is then
     ``map_from_entries(collect_list(struct(path, content)))``."""
+    import re as _re
+
     raw = spark.read.text(f"{root}/**", wholetext=True).withColumn(
         "path", F.input_file_name()
     )
-    rel = F.regexp_replace("path", f"^file:{strip_prefix.rstrip('/')}/", "")
+    # input_file_name() yields URI form (file:///abs/path): drop the
+    # scheme+authority, then the prefix, to get workspace-relative paths.
+    rel = F.regexp_replace(
+        F.regexp_replace("path", r"^[a-z0-9+.-]+://", ""),
+        f"^{_re.escape(strip_prefix.rstrip('/'))}/",
+        "",
+    )
     return raw.select(rel.alias("path"), F.col("value").alias("content"))
 
 

@@ -1,0 +1,76 @@
+"""End-to-end lifecycle integration: create → validate → review → approve
+→ verify, with the reference's guard rails enforced at each step."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.pipeline import DatapointPipeline
+
+
+def _seed_rows(spark, prompts):
+    return spark.createDataFrame(
+        [
+            (
+                p,
+                "FROM python:3.11\n",
+                "def test_one():\n    assert False\n",
+                '{"test_one": 1.0}',
+                "",
+                "easy",
+                "2024-01-01T00:00:00+00:00",
+                "2024-01-01T00:00:00+00:00",
+            )
+            for p in prompts
+        ],
+        "prompt string, dockerfile string, test_functions string, "
+        "test_weights string, additional_files string, difficulty string, "
+        "created_at string, updated_at string",
+    )
+
+
+def test_full_lifecycle(spark, tmp_path):
+    pipe = DatapointPipeline.at(spark, str(tmp_path))
+    pipe.create(_seed_rows(spark, ["write a parser", "fix the race"]))
+
+    # duplicate guard: same prompt → same deterministic id → rejected
+    with pytest.raises(ValueError, match="duplicate"):
+        pipe.create(_seed_rows(spark, ["write a parser"]))
+
+    # weight validation: both rows in band
+    verdicts = pipe.validate_weights().collect()
+    assert all(r["valid"] for r in verdicts)
+    ids = [r["task_id"] for r in verdicts]
+    assert all(i.startswith("draft_dp_") for i in ids)
+
+    # move one to review — destination-first, staging shrinks
+    pipe.submit_for_review([ids[0]])
+    assert pipe.review.read().count() == 1
+    assert pipe.staging.read().count() == 1
+
+    # approve → production row derived with defaults + review stamped
+    pipe.approve(ids[0], category="debugging", tags="python|testing")
+    prod = pipe.production.read().collect()
+    assert len(prod) == 1
+    row = prod[0]
+    assert row["title"] == ids[0]
+    assert row["category"] == "debugging"
+    assert row["additional_files"] == "{}"
+    stamped = pipe.review.read().where(F.col("reviewed_at") != "").count()
+    assert stamped == 1
+
+    # double-approve refused (P5 stage predicate)
+    with pytest.raises(ValueError, match="already reviewed"):
+        pipe.approve(ids[0], category="debugging", tags="python")
+
+    # verified semi-join: only completed validation tasks survive
+    completed = spark.createDataFrame([(ids[0],)], "task_id string")
+    assert pipe.verified(completed).count() == 1
+    none_done = spark.createDataFrame([("draft_dp_zzzzzzzz",)], "task_id string")
+    assert pipe.verified(none_done).count() == 0
+
+    # history: every mutation is a version (time travel intact)
+    assert pipe.staging.versions() == [1, 2]   # create, move-delete
+    assert pipe.review.versions() == [1, 2]    # move-append, review stamp
+    assert pipe.production.versions() == [1]

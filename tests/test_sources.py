@@ -57,6 +57,31 @@ def test_read_reference_staging_csv_with_drift(spark):
     assert df.columns == list(STAGING_COLUMNS)
 
 
+def test_multi_file_task_ingest(spark, tmp_path):
+    # S5 (init_seed_tasks.py:91-119): per task dir read task.yaml,
+    # Dockerfile, tests → one record per task via groupBy + pivot.
+    for task in ("task_a", "task_b"):
+        d = tmp_path / task
+        d.mkdir()
+        (d / "task.yaml").write_text(f"instruction: do {task}\n")
+        (d / "Dockerfile").write_text(f"FROM python:3.11\n# {task}\n")
+    from tbench_agentic_data_pipeline_spark.sources.readers import read_file_tree
+
+    tree = read_file_tree(spark, str(tmp_path), str(tmp_path))
+    ingested = (
+        tree.withColumn("task", F.split("path", "/")[0])
+        .withColumn("fname", F.split("path", "/")[1])
+        .groupBy("task")
+        .pivot("fname", ["task.yaml", "Dockerfile"])
+        .agg(F.first("content"))
+        .orderBy("task")
+    )
+    rows = ingested.collect()
+    assert [r["task"] for r in rows] == ["task_a", "task_b"]
+    assert rows[0]["task.yaml"].startswith("instruction: do task_a")
+    assert rows[1]["Dockerfile"].startswith("FROM python:3.11")
+
+
 def test_snapshot_commit_read_history(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "tbl"))
     v1 = t.commit(spark.createDataFrame([(1, "a")], "id int, s string"))

@@ -65,6 +65,62 @@ def test_drain_available_checkpoint_resume(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 10
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    # Late-data policy: rows older than watermark - delay are dropped in
+    # append-mode aggregation. Two micro-batches: the second delivers an
+    # event for an hour the watermark has already passed.
+    src = tmp_path / "late_in"
+    src.mkdir()
+    schema = "event_id long, ts_s string, event_type string, value double"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        ).write.mode("append").parquet(str(src))
+
+    # batch 1: events through 03:30 → watermark advances past hour 00
+    write_batch(
+        [(i, f"2024-01-01 0{h}:30:00", "click", 1.0) for i, h in enumerate([0, 1, 2, 3])],
+        "b1",
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    agg = tumbling_counts(stream, "ts", "1 hour", "event_type", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("late_smoke")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from late_smoke").collect()[0]["c"] >= 3:
+                break
+            time.sleep(1)
+        # batch 2: one punctual event (04:30) advancing the watermark + one
+        # very late event (00:45, hours behind) that must NOT reopen hour 00.
+        write_batch([(100, "2024-01-01 04:30:00", "click", 1.0),
+                     (101, "2024-01-01 00:45:00", "click", 1.0)], "b2")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql(
+                "select count(*) c from late_smoke where w.start >= timestamp '2024-01-01 03:00:00'"
+            ).collect()[0]["c"]
+            if n >= 1:
+                break
+            time.sleep(1)
+        hour0 = spark.sql(
+            "select w.start, n from late_smoke where w.start = timestamp '2024-01-01 00:00:00'"
+        ).collect()
+        # hour 00 closed with exactly its on-time row; the late 00:45 row
+        # was dropped (no second emission, count stays 1).
+        assert all(r["n"] == 1 for r in hour0), hour0
+        assert len(hour0) <= 1, f"late row reopened a closed window: {hour0}"
+    finally:
+        q.stop()
+
+
 def test_expire_stale_tasks_wires(spark, tmp_path):
     # Rate-source smoke: the stateful operator starts, processes batches,
     # and emits in_progress liveness records (timeout path needs wall-clock
