@@ -216,6 +216,141 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize",
+    survey="F10,F11",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS normalized,
+               length(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_norm_chars
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization (the pre-dedup canonical form): lowercase,
+    strip non-alphanumerics, collapse whitespace — all codegen'd
+    regexp_replace, the step every exact-dedup key hangs off."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        norm.alias("normalized"),
+        F.length(norm).cast("bigint").alias("n_norm_chars"),
+    )
+
+
+@query(
+    "text_chunking",
+    survey="F4,X3",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, c AS chunk_idx,
+                   array_to_string(w[c*16+1 : c*16+20], ' ') AS chunk
+            FROM t, LATERAL (
+                SELECT unnest(range(0, GREATEST((len(w) + 15) // 16, 1))) AS c
+            )
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
+               CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tokens
+        FROM chunks WHERE chunk <> ''
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking with overlap: 16-token stride, 20-token window
+    (4-token overlap) — the context-window preprocessing step. slice +
+    posexplode keeps it JVM-side; one row in, ceil(n/16) rows out."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_chunks = F.greatest(F.ceil(F.size(w) / 16).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.array_join(F.slice(w, c * 16 + 1, 20), " "),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .where(F.col("chunk") != "")
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            "chunk",
+            F.size(F.split("chunk", " ")).cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
+@query(
+    "text_stratified_sample",
+    survey="P4,A1",
+    oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+              < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates via a content
+    hash (downsample dominant 'en', upsample the rest) — reproducible
+    across runs/engines unlike rand(), and exactly the shape used to
+    rebalance a 100 TB corpus by language/source."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.when(F.col("lang") == "en", 10).otherwise(40)
+    return docs.where(bucket < rate).select("doc_id", "lang")
+
+
+@query(
+    "text_sequence_packing",
+    survey="W2,A4",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, n_tok,
+                   SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               (cum - n_tok) // 512 AS pack_id
+        FROM packed
+    """,
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs (in stable doc_id order) to
+    512-token training bins by running token count — bin = floor(tokens
+    before me / 512). The batch-construction step of an LLM data loader;
+    at scale the window runs per shard (partitionBy on a shard key) to
+    avoid the global sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = docs.select("doc_id", n_tok.alias("n_tok"))
+    cum = F.sum("n_tok").over(w)
+    return t.select(
+        "doc_id",
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / 512).cast("bigint").alias("pack_id"),
+    )
+
+
+@query(
     "text_fingerprint",
     survey="F1,P4",
     oracle="""
