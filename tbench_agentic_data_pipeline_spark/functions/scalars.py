@@ -70,8 +70,10 @@ def drop_matching_lines(col: Column | str, pattern: str) -> Column:
 
 
 def weight_in_unit_interval(col: Column) -> Column:
-    """F20: numeric positivity/range check (``validators.py:304-309``)."""
-    d = col.cast("double")
+    """F20: numeric positivity/range check (``validators.py:304-309``).
+    ``try_cast``, not ``cast``: under Spark 4's ANSI mode a malformed
+    string cast THROWS — the reference treats it as merely invalid."""
+    d = col.try_cast("double")
     return d.isNotNull() & (d > 0) & (d <= 1)
 
 
