@@ -153,12 +153,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS stopword_milli,
                (len(list_distinct(w)) * 1000) // n_tok
                    AS uniq_milli,
-               ((CASE WHEN n_chars BETWEEN 100 AND 450 THEN 400 ELSE 0 END)
+               CAST((CASE WHEN n_chars BETWEEN 100 AND 450 THEN 400 ELSE 0 END)
                 + (CASE WHEN (len(list_filter(w, t -> list_contains(
                       ['the', 'a', 'of', 'and', 'to'], t))) * 1000) // n_tok
                       BETWEEN 20 AND 400 THEN 300 ELSE 0 END)
                 + (CASE WHEN (len(list_distinct(w)) * 1000) // n_tok >= 300
-                      THEN 300 ELSE 0 END))
+                      THEN 300 ELSE 0 END) AS BIGINT)
                    AS quality_milli
         FROM t
     """,
@@ -326,7 +326,7 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t
         )
         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-               (cum - n_tok) // 512 AS pack_id
+               CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
         FROM packed
     """,
 )

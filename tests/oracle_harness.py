@@ -63,16 +63,32 @@ class OracleResult:
     oracle_rows: int
 
 
-def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+_DUCK_TYPE_NORM = {
+    "BIGINT": "bigint", "HUGEINT": "hugeint", "INTEGER": "int",
+    "VARCHAR": "string", "DOUBLE": "double", "FLOAT": "float",
+    "BOOLEAN": "boolean", "TIMESTAMP": "timestamp", "DECIMAL": "decimal",
+}
+
+
+def _norm_duck_type(t: str) -> str:
+    base = t.upper().split("(")[0]
+    return _DUCK_TYPE_NORM.get(base, t.lower())
+
+
+def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple], dict[str, str]]:
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
+        types = {
+            r[0]: _norm_duck_type(r[1])
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()
+        }
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
-        return cols, cur.fetchall()
+        return cols, cur.fetchall(), types
     finally:
         con.close()
 
@@ -81,13 +97,26 @@ def compare(name: str, spark, fn, sql: str, sf_dir: str) -> OracleResult:
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows = run_duckdb(sql, sf_dir)
+    d_cols, d_rows, d_types = run_duckdb(sql, sf_dir)
 
     if sorted(s_cols) != sorted(d_cols):
         return OracleResult(
             name, False,
             f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}",
             len(s_rows), len(d_rows),
+        )
+    # Column TYPES must align too (the driver's schema compare may check
+    # them; DuckDB HUGEINT/INTEGER slips are the usual offenders).
+    s_types = {c: t.replace("timestamp_ntz", "timestamp") for c, t in sdf.dtypes}
+    type_mism = {
+        c: (s_types[c], d_types.get(c))
+        for c in s_cols
+        if d_types.get(c) != s_types[c]
+        and not (s_types[c].startswith("array") and str(d_types.get(c, "")).endswith("[]"))
+    }
+    if type_mism:
+        return OracleResult(
+            name, False, f"type mismatch: {type_mism}", len(s_rows), len(d_rows)
         )
     if len(s_rows) != len(d_rows):
         return OracleResult(
