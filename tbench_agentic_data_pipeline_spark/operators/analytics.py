@@ -122,6 +122,160 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q18_large_orders",
+    survey="J1,A4,W2",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY o.o_orderkey, o.o_custkey
+        ORDER BY total_qty DESC, o.o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery semi-joined
+    back to the facts. The subquery aggregates BEFORE the semi-join, so
+    the filter set is |qualifying orders|, and AQE turns the semi-join
+    broadcast when that set collapses (it does — selective HAVING)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.col("o_orderkey"))
+    )
+
+
+@query(
+    "a_rollup_revenue",
+    survey="A1,A4,J5",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region → nation → grand total) — one pass,
+    all three grouping levels share the same shuffle (an engine-surface
+    extension; the reference computes each level with separate loops)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "a_pivot_type_by_dow",
+    survey="A1,A2,F16",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS weekend,
+               CAST(SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS weekday
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a_pivot_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: event counts spread into weekend/weekday columns.
+    The pivot value set is declared, so the plan is a single partial+final
+    aggregate — never a second pass to discover categories."""
+    events = load_table(spark, sf_dir, "events")
+    is_weekend = F.dayofweek("ts").isin(1, 7)  # Spark: 1=Sunday, 7=Saturday
+    return (
+        events.withColumn("dow", F.when(is_weekend, "weekend").otherwise("weekday"))
+        .groupBy("event_type")
+        .pivot("dow", ["weekend", "weekday"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "a_percentiles",
+    survey="A4,A8",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5) * (1 + 5e-13), 4)  AS p50,
+               ROUND(quantile_cont(value, 0.9) * (1 + 5e-13), 4)  AS p90,
+               ROUND(MAX(value), 2)                               AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). At 100 TB swap in ``percentile_approx``
+    (t-digest sketch, mergeable partials) — exact percentile materializes
+    per-group sorted values and is the known scale cliff; stable_round
+    guards the interpolation arithmetic."""
+    from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        stable_round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@query(
+    "a_stats_gauntlet",
+    survey="A4",
+    oracle="""
+        SELECT event_type,
+               ROUND(stddev_samp(value) * (1 + 5e-13), 4)      AS sd,
+               ROUND(var_samp(value) * (1 + 5e-13), 4)         AS var,
+               ROUND(corr(value, CAST(user_id AS DOUBLE)) * (1 + 5e-13), 4)
+                                                               AS corr_uid
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a_stats_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation) — single-pass
+    co-moment accumulation in both engines; rounded via stable_round since
+    accumulation order is engine-internal."""
+    from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        stable_round(F.stddev_samp("value"), 4).alias("sd"),
+        stable_round(F.var_samp("value"), 4).alias("var"),
+        stable_round(
+            F.corr("value", F.col("user_id").cast("double")), 4
+        ).alias("corr_uid"),
+    )
+
+
+@query(
     "q10_returned_items",
     survey="J4,A4,W2",
     oracle="""

@@ -67,6 +67,27 @@ def read_datapoint_csv(
     return out.select(*columns)
 
 
+def write_datapoint_csv(df: DataFrame, path: str) -> None:
+    """S6/S7 CSV sink, reference-compatible quoting: embedded newlines and
+    quotes survive a roundtrip through ``read_datapoint_csv`` (symmetric
+    quote/escape, quoteAll so JSON cells always arrive quoted). Single
+    output file via coalesce(1) — the reference's consumers expect one
+    CSV; at scale you keep parquet and export on demand."""
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("quoteAll", True)
+        # The CSV WRITER trims cell whitespace by default — which silently
+        # eats trailing newlines in dockerfile/test cells. Keep bytes exact.
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
+
+
 def read_task_store(spark: SparkSession, path: str) -> DataFrame:
     """S2: the task-queue state as a DataFrame — tasks dict exploded to
     rows. The reference stores ``{workflow_type, metadata, tasks:{id: t}}``

@@ -78,6 +78,34 @@ def expire_stale_tasks(updates: DataFrame, key_col: str = "task_id") -> DataFram
     )
 
 
+def upsert_drain(stream: DataFrame, table, key_col: str, checkpoint: str):
+    """ST6 via foreachBatch: drain the stream, MERGE each micro-batch into
+    a snapshot table (delete-matching + append = upsert). The batch is
+    deduplicated on the key first, so replays collapse idempotently —
+    checkpoint + idempotent merge = exactly-once table state."""
+    from pyspark.sql import functions as F
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        fresh = batch.dropDuplicates([key_col])
+        if table.current_version() is None:
+            table.commit(fresh, operation=f"upsert_batch_{batch_id}")
+            return
+        kept = table.read().join(
+            fresh.select(key_col), on=key_col, how="left_anti"
+        )
+        table.commit(
+            kept.unionByName(fresh, allowMissingColumns=True),
+            operation=f"upsert_batch_{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def drain_available(
     stream: DataFrame, sink_path: str, checkpoint: str, fmt: str = "parquet"
 ):

@@ -57,6 +57,40 @@ def test_read_reference_staging_csv_with_drift(spark):
     assert df.columns == list(STAGING_COLUMNS)
 
 
+def test_csv_roundtrip_multiline_cells(spark, tmp_path):
+    # S6/S7: a row with embedded newlines, quotes and JSON cells survives
+    # write → read unchanged (the reference's CSV stress shape).
+    from tbench_agentic_data_pipeline_spark.sources.readers import (
+        write_datapoint_csv,
+    )
+
+    nasty = spark.createDataFrame(
+        [
+            (
+                "t1",
+                'line one\nline "quoted" two,\nwith, commas',
+                "FROM python:3.11\nRUN echo hi\n",
+                "def test_a():\n    assert 'x,y' == 'x,y'\n",
+                '{"test_a": 1.0}',
+                '{"a/b.txt": "content\\nmore"}',
+                "easy",
+                "2024-01-01T00:00:00+00:00",
+                "2024-01-01T00:00:00+00:00",
+            )
+        ],
+        "task_id string, prompt string, dockerfile string, "
+        "test_functions string, test_weights string, additional_files string, "
+        "difficulty string, created_at string, updated_at string",
+    )
+    path = str(tmp_path / "roundtrip")
+    write_datapoint_csv(nasty, path)
+    back = read_datapoint_csv(spark, path, STAGING_COLUMNS)
+    assert back.count() == 1
+    orig = nasty.select(*STAGING_COLUMNS).collect()[0]
+    got = back.collect()[0]
+    assert tuple(got) == tuple(orig)
+
+
 def test_multi_file_task_ingest(spark, tmp_path):
     # S5 (init_seed_tasks.py:91-119): per task dir read task.yaml,
     # Dockerfile, tests → one record per task via groupBy + pivot.

@@ -65,6 +65,40 @@ def test_drain_available_checkpoint_resume(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 10
 
 
+def test_upsert_drain_idempotent(spark, tmp_path):
+    # ST6: stream → snapshot upsert. Key t1 appears in both files with a
+    # newer value; the final table holds one row per key, and a re-drain
+    # with no new data changes nothing (checkpoint + idempotent merge).
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+    from tbench_agentic_data_pipeline_spark.streaming.stateful import upsert_drain
+
+    src = tmp_path / "upsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        [("t1", 1), ("t2", 1)], "task_id string, rev int"
+    ).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [("t1", 2), ("t3", 1)], "task_id string, rev int"
+    ).write.mode("append").parquet(str(src))
+    table = SnapshotTable(spark, str(tmp_path / "uptbl"))
+    ckpt = str(tmp_path / "upckpt")
+
+    def drain():
+        q = upsert_drain(
+            spark.readStream.schema("task_id string, rev int").parquet(str(src)),
+            table, "task_id", ckpt,
+        )
+        q.awaitTermination(60)
+
+    drain()
+    rows = {r["task_id"]: r["rev"] for r in table.read().collect()}
+    assert set(rows) == {"t1", "t2", "t3"}
+    assert rows["t1"] in (1, 2)  # micro-batch split decides which arrived last
+    v_after_first = table.current_version()
+    drain()  # no new data → checkpoint prevents any new commit
+    assert table.current_version() == v_after_first
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     # Late-data policy: rows older than watermark - delay are dropped in
     # append-mode aggregation. Two micro-batches: the second delivers an
