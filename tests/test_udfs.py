@@ -53,6 +53,33 @@ def test_splitter_segments_reparse(names):
         assert tree.body[0].name == p["name"]
 
 
+def test_jaccard_matches_python_ground_truth():
+    # jaccard_milli vs set arithmetic on randomized token arrays.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tbench_agentic_data_pipeline_spark.operators.dedup import jaccard_milli
+    from tbench_agentic_data_pipeline_spark.session import get_session
+
+    spark = get_session("tests", shuffle_partitions=8)
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for _ in range(50):
+        a = sorted(set(rng.choices(vocab, k=rng.randint(1, 20))))
+        b = sorted(set(rng.choices(vocab, k=rng.randint(1, 20))))
+        expect = len(set(a) & set(b)) * 1000 // len(set(a) | set(b))
+        rows.append((a, b, expect))
+    df = spark.createDataFrame(
+        rows, "a array<string>, b array<string>, expect long"
+    )
+    out = df.select(
+        "expect", jaccard_milli(F.col("a"), F.col("b")).alias("got")
+    ).collect()
+    assert all(r["expect"] == r["got"] for r in out)
+
+
 def test_import_allowlist():
     out = _analyze_one("import os\nimport numpy\nfrom requests.api import get")
     assert out["valid"]
