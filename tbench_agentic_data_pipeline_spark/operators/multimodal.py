@@ -94,6 +94,72 @@ def decode_features(media: DataFrame, partitions: int | None = None) -> DataFram
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage (STUB backend): real deployments call PIL/cv2 here;
+    the stub truncates/pads the payload to width*height bytes so output
+    size invariants are testable. Batch shape, schema contract and
+    metadata pass-through are the production-shaped parts."""
+    target = width * height
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            resized = [
+                bytes(p[:target]).ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": resized,
+                    "out_width": width,
+                    "out_height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, stride: int, frame_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stage (STUB backend): emit every ``stride``-th
+    ``frame_bytes`` window of the payload as one frame row — the 1→N
+    explode shape of real video sampling (pyav keyframe iteration), with
+    deterministic fake frames. Row count = ceil(len/ (stride*frame_bytes))."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                for i, off in enumerate(range(0, len(p), stride * frame_bytes)):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame"].append(p[off : off + frame_bytes])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
 @query(
     "mm_decode_features",
     survey="X4,X5,S4",

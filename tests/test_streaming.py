@@ -65,6 +65,65 @@ def test_drain_available_checkpoint_resume(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 10
 
 
+def test_replay_events_through_session_windows(spark, tmp_path):
+    # The full streaming path over DRIVER data: replay events as a
+    # micro-batched stream → session windows with watermark → memory sink.
+    # Batch mirror (oracle-checked st_session_windows) gives ground truth
+    # for the sessions the stream must also close.
+    from tbench_agentic_data_pipeline_spark.streaming.sources import replay_events
+    from tbench_agentic_data_pipeline_spark.streaming.windows import (
+        session_aggregate,
+    )
+
+    stream = replay_events(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "stage"),
+        splits=4, files_per_trigger=1,
+    )
+    agg = session_aggregate(stream, "ts", "10 minutes", "user_id", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory").queryName("replay_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "select count(*) c, sum(n_events) e from replay_sessions"
+    ).collect()[0]
+    # append mode emits only watermark-closed sessions; everything closed
+    # must agree with the batch mirror's totals (closed ⊆ batch sessions).
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+
+    batch = session_aggregate(
+        load_table(spark, "/root/testdata/sf0.001", "events"), "ts", "10 minutes", "user_id"
+    )
+    assert 0 < streamed["c"] <= batch.count()
+    assert streamed["e"] <= 1000
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample_stub,
+        resize_stub,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = attach_binary_payload(docs)
+    resized = resize_stub(media, 16, 8).collect()
+    assert all(len(r["payload"]) == 16 * 8 for r in resized)
+    assert all(r["out_width"] == 16 and r["out_height"] == 8 for r in resized)
+
+    frames = frame_sample_stub(media, stride=2, frame_bytes=32)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    lens = {r["doc_id"]: r["media_meta"]["n_bytes"] for r in media.collect()}
+    for doc_id, n in per_doc.items():
+        expect = -(-lens[doc_id] // 64)  # ceil(len / (stride*frame_bytes))
+        assert n == expect, (doc_id, n, expect)
+
+
 def test_upsert_drain_idempotent(spark, tmp_path):
     # ST6: stream → snapshot upsert. Key t1 appears in both files with a
     # newer value; the final table holds one row per key, and a re-drain
