@@ -1,0 +1,87 @@
+"""K-means in pure DataFrame operations — the coarse quantizer for IVF.
+
+No MLlib dependency and no driver-side math on the corpus: one Lloyd's
+iteration is (a) assign — broadcast the k centroids, pick argmin L2 per
+row (a per-row projection), and (b) update — per-dimension means via
+posexplode + groupBy(cluster, dim) + collect-to-array. The shuffle per
+iteration carries k × dim partial sums, invariant to corpus size; the
+corpus itself is scanned once per iteration and never collected.
+
+Determinism: initial centroids are the k rows with the smallest
+``xxhash64(key)`` — seedless, reproducible on any cluster, no RNG to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _l2_sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: DataFrame) -> DataFrame:
+    """Assign each row to its nearest centroid (argmin squared-L2 over the
+    broadcast centroid table). Adds ``cluster`` and ``dist_sq``."""
+    scored = df.crossJoin(
+        F.broadcast(centroids.select(
+            F.col("cluster").alias("__c"), F.col("centroid").alias("__cv")
+        ))
+    ).withColumn("__d", _l2_sq(F.col(vec_col), F.col("__cv")))
+    w = Window.partitionBy(*df.columns).orderBy("__d", "__c")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*df.columns, F.col("__c").alias("cluster"), F.col("__d").alias("dist_sq"))
+    )
+
+
+def _update_centroids(assigned: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-cluster elementwise mean: posexplode dims → groupBy(cluster,
+    dim) avg → re-assemble ordered arrays."""
+    exploded = assigned.select(
+        "cluster", F.posexplode(F.col(vec_col)).alias("d", "x")
+    )
+    means = exploded.groupBy("cluster", "d").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .select(
+            "cluster",
+            F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame, key_col: str, vec_col: str, k: int, dim: int, iters: int = 3
+) -> DataFrame:
+    """Fit k centroids with ``iters`` Lloyd's rounds. Initial centroids =
+    the k rows with smallest xxhash64(key) (deterministic). Returns
+    (cluster, centroid) — the IVF coarse quantizer table (tiny: broadcast
+    it everywhere)."""
+    seeds = (
+        df.select(key_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(key_col)))
+        .orderBy("__h")
+        .limit(k)
+    )
+    centroids = seeds.select(
+        (F.row_number().over(Window.orderBy("__h")) - 1).alias("cluster"),
+        F.col(vec_col).alias("centroid"),
+    )
+    for _ in range(iters):
+        assigned = assign_clusters(df.select(key_col, vec_col), vec_col, centroids)
+        centroids = _update_centroids(assigned, vec_col, dim)
+    return centroids
+
+
+def inertia(assigned: DataFrame) -> float:
+    """Total within-cluster squared distance — the convergence metric
+    (one scalar to the driver, nothing else)."""
+    return assigned.agg(F.sum("dist_sq")).collect()[0][0]

@@ -103,6 +103,60 @@ def lsh_bucket_assign(vec: Column, planes: int, dim: int) -> Column:
     return sig
 
 
+def multiprobe_buckets(bucket: Column, planes: int, hamming: int) -> Column:
+    """Multi-probe LSH: the query's bucket plus every bucket within
+    ``hamming`` bit-flips — recall grows monotonically with ``hamming``
+    (hamming = planes ⇒ all buckets ⇒ brute force). Probe count is
+    sum_{i<=h} C(planes, i): 1, 9, 37… for 8 planes — the recall/latency
+    dial of the ANN scale path."""
+    from itertools import combinations
+
+    masks = [0]
+    for h in range(1, hamming + 1):
+        masks += [
+            sum(1 << b for b in bits) for bits in combinations(range(planes), h)
+        ]
+    return F.array(*[
+        bucket.bitwiseXOR(F.lit(m).cast("bigint")) for m in masks
+    ])
+
+
+def lsh_search_topk(
+    corpus_with_bucket: DataFrame, queries_with_bucket: DataFrame, k: int,
+    planes: int, hamming: int,
+) -> DataFrame:
+    """ANN search: explode the query's probe buckets, join candidates per
+    bucket, exact-score only the candidate set, rank top-k. The scored set
+    is |probed buckets| × avg bucket size — the corpus is never scanned."""
+    probes = queries_with_bucket.select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            multiprobe_buckets(F.col("bucket"), planes, hamming)
+        ).alias("bucket"),
+    )
+    scored = probes.join(corpus_with_bucket, "bucket").select(
+        "q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.dropDuplicates(["q_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """recall@k of an ANN result against brute-force ground truth (both
+    as (q_id, vec_id) rank≤k frames). Driver-side scalar — this is a
+    quality metric, not a data path."""
+    hits = approx.select("q_id", "vec_id").join(
+        exact.select("q_id", "vec_id"), ["q_id", "vec_id"]
+    )
+    n_true = exact.count()
+    return (hits.count() / n_true) if n_true else 1.0
+
+
 # ---------------------------------------------------------------------------
 # Registered oracle-checkable queries
 # ---------------------------------------------------------------------------

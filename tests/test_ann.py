@@ -1,0 +1,92 @@
+"""ANN quality tests: multi-probe LSH recall is monotone in probe radius
+(and exhaustive probing recovers brute force exactly); DataFrame k-means
+converges and yields a working IVF quantizer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.operators.clustering import (
+    assign_clusters,
+    inertia,
+    kmeans_fit,
+)
+from tbench_agentic_data_pipeline_spark.operators.similarity import (
+    as_double,
+    brute_force_topk,
+    lsh_bucket_assign,
+    lsh_search_topk,
+    recall_at_k,
+)
+from tests.conftest import SF_SMOKE
+
+K, PLANES, DIM = 10, 8, 64
+
+
+def _corpus(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+
+
+def test_multiprobe_recall_monotone_and_exhaustive(spark):
+    emb = _corpus(spark)
+    with_bucket = emb.withColumn(
+        "bucket", lsh_bucket_assign(F.col("emb"), PLANES, DIM)
+    ).cache()
+    queries = with_bucket.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"), "bucket"
+    )
+    exact = brute_force_topk(
+        emb, queries.select("q_id", "q_emb"), K
+    ).cache()
+
+    recalls = {}
+    for h in (0, 2, PLANES):
+        approx = lsh_search_topk(with_bucket, queries, K, PLANES, h)
+        recalls[h] = recall_at_k(approx, exact, K)
+    assert recalls[0] <= recalls[2] <= recalls[PLANES], recalls
+    # probing every bucket IS brute force:
+    assert recalls[PLANES] == 1.0, recalls
+
+
+def test_kmeans_converges_and_partitions(spark):
+    emb = _corpus(spark)
+    seeds = kmeans_fit(emb, "vec_id", "emb", k=8, dim=DIM, iters=0)
+    assigned0 = assign_clusters(emb, "emb", seeds)
+    centroids = kmeans_fit(emb, "vec_id", "emb", k=8, dim=DIM, iters=3)
+    assigned3 = assign_clusters(emb, "emb", centroids)
+    # Lloyd's never increases inertia; 3 rounds must improve on raw seeds.
+    assert inertia(assigned3) < inertia(assigned0)
+    # every vector lands in exactly one of the 8 clusters
+    assert assigned3.count() == emb.count()
+    n_clusters = assigned3.select("cluster").distinct().count()
+    assert 1 < n_clusters <= 8
+
+
+def test_ivf_with_learned_centroids(spark):
+    emb = _corpus(spark)
+    centroids = kmeans_fit(emb, "vec_id", "emb", k=8, dim=DIM, iters=2)
+    assigned = assign_clusters(emb, "emb", centroids).select(
+        "vec_id", "emb", "cluster"
+    )
+    queries = assigned.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("cluster").alias("q_cluster"),
+    )
+    # 1-probe IVF: search only the query's own partition.
+    from tbench_agentic_data_pipeline_spark.operators.similarity import cosine
+
+    scored = assigned.join(
+        F.broadcast(queries), assigned.cluster == queries.q_cluster
+    ).select("q_id", "vec_id", cosine(F.col("emb"), F.col("q_emb")).alias("cos"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    top = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    rows = top.collect()
+    # each query finds itself at rank 1 (it lives in its own partition)
+    self_hits = {r["q_id"] for r in rows if r["rank"] == 1 and r["vec_id"] == r["q_id"]}
+    assert self_hits == {0, 1, 2}
