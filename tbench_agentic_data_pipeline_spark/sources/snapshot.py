@@ -57,14 +57,27 @@ class SnapshotTable:
     def versions(self) -> list[int]:
         return list(self._read_manifest()["versions"])
 
-    def commit(self, df: DataFrame, operation: str = "overwrite") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        operation: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> int:
         """S7/S8: write ``df`` as the next version and flip the manifest.
         The previous version IS the backup (``backup_file`` semantics,
-        ``approve_datapoint.py:56-63``) — no copy step."""
+        ``approve_datapoint.py:56-63``) — no copy step.
+
+        ``partition_by`` lays the version out hive-partitioned (e.g. by
+        stage or date): reads with a partition predicate prune whole
+        directories (``PartitionFilters`` in the scan), and a mutation
+        touching one partition can rewrite just that slice."""
         manifest = self._read_manifest()
         next_v = (manifest["current"] or 0) + 1 if manifest["current"] else 1
         path = os.path.join(self.root, f"v={next_v}")
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         manifest["versions"].append(next_v)
         manifest["current"] = next_v
         manifest.setdefault("history", []).append(

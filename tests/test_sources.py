@@ -135,6 +135,23 @@ def test_snapshot_append_unions_by_name(spark, tmp_path):
     assert rows == [(1, "a"), (2, None)]
 
 
+def test_partitioned_snapshot_prunes(spark, tmp_path):
+    # Stage-partitioned table version: a stage predicate becomes a
+    # partition filter (directory pruning), not a data filter.
+    from tbench_agentic_data_pipeline_spark.plans.explain import formatted_plan
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [("t1", "staging"), ("t2", "review"), ("t3", "production")],
+        "task_id string, stage string",
+    )
+    t.commit(df, partition_by=["stage"])
+    filtered = t.read().where(F.col("stage") == "review")
+    assert [r["task_id"] for r in filtered.collect()] == ["t2"]
+    plan = formatted_plan(filtered)
+    assert "PartitionFilters" in plan and "stage" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_move_rows_review_first_ordering(spark, tmp_path):
     # add_dp_to_review.py:255-264: add to destination, then delete from
     # source — crash between commits duplicates, never loses.
