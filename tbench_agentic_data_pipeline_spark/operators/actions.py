@@ -57,13 +57,17 @@ def fake_backend(key: str, payload: str) -> str:
     return f"ok:{len(payload)}"
 
 
-def shell_backend(key: str, payload: str) -> str:
+def shell_backend(key: str, payload: str, timeout_s: float = 600.0) -> str:
     """The reference's actual mechanism (subprocess), pointed at /bin/sh
-    instead of docker. payload is the command line."""
+    instead of docker; payload is the command line. The subprocess gets
+    its own timeout (and unlike a Python thread, actually dies on it) —
+    wire the same budget as ``run_actions(timeout_s=...)`` via
+    ``functools.partial(shell_backend, timeout_s=...)``."""
     import subprocess
 
     out = subprocess.run(
-        ["/bin/sh", "-c", payload], capture_output=True, text=True, timeout=600
+        ["/bin/sh", "-c", payload], capture_output=True, text=True,
+        timeout=timeout_s,
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr.strip() or f"exit {out.returncode}")
@@ -90,27 +94,34 @@ def run_actions(
 
         def one(key: str, payload: str) -> dict:
             t0 = time.perf_counter()
-            with cf.ThreadPoolExecutor(max_workers=1) as pool:
-                fut = pool.submit(action, key, payload)
-                try:
-                    res = fut.result(timeout=timeout_s)
-                    return {
-                        "key": key, "ok": True, "result": res, "error": None,
-                        "elapsed_ms": int((time.perf_counter() - t0) * 1000),
-                    }
-                except cf.TimeoutError:
-                    fut.cancel()
-                    return {
-                        "key": key, "ok": False, "result": None,
-                        "error": f"timeout after {timeout_s}s",
-                        "elapsed_ms": int(timeout_s * 1000),
-                    }
-                except Exception as e:  # structured failure, never a crash
-                    return {
-                        "key": key, "ok": False, "result": None,
-                        "error": str(e)[:500],
-                        "elapsed_ms": int((time.perf_counter() - t0) * 1000),
-                    }
+            # NOT a `with` block: context-manager exit calls
+            # shutdown(wait=True), which would block on the runaway action
+            # until it finished — defeating the timeout. shutdown with
+            # wait=False abandons the worker thread (Python can't kill
+            # threads; a truly wedged action leaks one thread, which is
+            # still strictly better than wedging the Spark task).
+            pool = cf.ThreadPoolExecutor(max_workers=1)
+            fut = pool.submit(action, key, payload)
+            try:
+                res = fut.result(timeout=timeout_s)
+                return {
+                    "key": key, "ok": True, "result": res, "error": None,
+                    "elapsed_ms": int((time.perf_counter() - t0) * 1000),
+                }
+            except cf.TimeoutError:
+                return {
+                    "key": key, "ok": False, "result": None,
+                    "error": f"timeout after {timeout_s}s",
+                    "elapsed_ms": int(timeout_s * 1000),
+                }
+            except Exception as e:  # structured failure, never a crash
+                return {
+                    "key": key, "ok": False, "result": None,
+                    "error": str(e)[:500],
+                    "elapsed_ms": int((time.perf_counter() - t0) * 1000),
+                }
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
 
         for pdf in it:
             rows = [

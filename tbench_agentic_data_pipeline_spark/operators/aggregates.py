@@ -87,7 +87,11 @@ def salted_sum(
     already does this map-side; explicit salting is the remedy when the
     REDUCE side of a hot key is the bottleneck — e.g. high-cardinality
     per-key state, collect_list-style aggs.)"""
-    salt = (F.xxhash64(F.monotonically_increasing_id()) % salt_buckets).alias("__salt")
+    # pmod, not %: xxhash64 is signed, and negative salts would silently
+    # double the salt-bucket count.
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+    ).alias("__salt")
     partial = (
         df.select(F.col(key), F.col(value), salt)
         .groupBy(key, "__salt")
@@ -285,21 +289,23 @@ def a6_error_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A4,ST4",
     oracle="""
         SELECT event_type,
-               ROUND(SUM(value), 2) AS value_sum,
-               COUNT(*)             AS n
+               ROUND(SUM(value) * (1 + 5e-13), 2) AS value_sum,
+               COUNT(*)                           AS n
         FROM events
         GROUP BY event_type
     """,
 )
 def a_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-guard demonstration: the salted two-stage aggregation produces
-    exactly the plain GROUP BY's answer (the oracle IS the plain form).
-    With 5 event types over millions of rows, event_type is precisely the
-    hot-key shape salting exists for."""
+    the plain GROUP BY's answer (the oracle IS the plain form). With 5
+    event types over millions of rows, event_type is precisely the
+    hot-key shape salting exists for. stable_round on both sides: the
+    two-stage sum's addition ORDER differs from DuckDB's single pass, so
+    plain ROUND could flip on a half-boundary sum."""
     events = load_table(spark, sf_dir, "events")
     out = salted_sum(events, "event_type", "value", salt_buckets=8)
     return out.select(
-        "event_type", F.round("value_sum", 2).alias("value_sum"), "n"
+        "event_type", stable_round(F.col("value_sum"), 2).alias("value_sum"), "n"
     )
 
 

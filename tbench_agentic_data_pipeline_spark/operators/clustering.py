@@ -25,19 +25,30 @@ def _l2_sq(a, b):
     )
 
 
-def assign_clusters(df: DataFrame, vec_col: str, centroids: DataFrame) -> DataFrame:
+def assign_clusters(
+    df: DataFrame, key_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
     """Assign each row to its nearest centroid (argmin squared-L2 over the
-    broadcast centroid table). Adds ``cluster`` and ``dist_sq``."""
-    scored = df.crossJoin(
+    broadcast centroid table). Adds ``cluster`` and ``dist_sq``.
+
+    Argmin is a keyed min-struct aggregate, NOT a window over all columns:
+    the window form silently collapses duplicate rows and shuffles+sorts
+    all n×k scored rows; the aggregate partial-combines map-side so the
+    shuffle carries one (key, best) row per input row, then joins the
+    (narrow) result back for the remaining columns."""
+    scored = df.select(key_col, vec_col).crossJoin(
         F.broadcast(centroids.select(
             F.col("cluster").alias("__c"), F.col("centroid").alias("__cv")
         ))
-    ).withColumn("__d", _l2_sq(F.col(vec_col), F.col("__cv")))
-    w = Window.partitionBy(*df.columns).orderBy("__d", "__c")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(*df.columns, F.col("__c").alias("cluster"), F.col("__d").alias("dist_sq"))
+    ).select(
+        key_col, F.struct(_l2_sq(F.col(vec_col), F.col("__cv")).alias("d"),
+                          F.col("__c").alias("c")).alias("__dc")
+    )
+    best = scored.groupBy(key_col).agg(F.min("__dc").alias("__best"))
+    return df.join(best, key_col).select(
+        *df.columns,
+        F.col("__best.c").alias("cluster"),
+        F.col("__best.d").alias("dist_sq"),
     )
 
 
@@ -76,8 +87,21 @@ def kmeans_fit(
         F.col(vec_col).alias("centroid"),
     )
     for _ in range(iters):
-        assigned = assign_clusters(df.select(key_col, vec_col), vec_col, centroids)
-        centroids = _update_centroids(assigned, vec_col, dim)
+        assigned = assign_clusters(
+            df.select(key_col, vec_col), key_col, vec_col, centroids
+        )
+        updated = _update_centroids(assigned, vec_col, dim)
+        # A cluster that lost every member vanishes from the groupBy —
+        # keep its previous centroid so the quantizer always has k rows
+        # with stable ids 0..k-1.
+        centroids = (
+            centroids.select("cluster", F.col("centroid").alias("__prev"))
+            .join(updated, "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce(F.col("centroid"), F.col("__prev")).alias("centroid"),
+            )
+        )
     return centroids
 
 

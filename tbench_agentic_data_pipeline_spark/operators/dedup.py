@@ -61,12 +61,19 @@ def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct k-gram shingles of a token array (0-based Spark indexing)."""
+    """Distinct k-gram shingles of a token array (0-based Spark indexing).
+
+    Documents shorter than k tokens yield an EMPTY array, not a crash:
+    unguarded, ``sequence(0, size-k)`` turns descending for size < k and
+    ``element_at`` throws under ANSI mode — and real corpora always
+    contain short/empty docs."""
     idx = F.sequence(F.lit(0), F.size(tokens) - k)
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(tokens, i + j + 1) for j in range(k)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(
+        F.size(tokens) >= k, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _salted_hash(s: Column, seed: int, hash_fn: str) -> Column:

@@ -47,10 +47,16 @@ class DatapointPipeline:
     def create(self, rows: DataFrame) -> int:
         """Append new datapoints with the duplicate guard
         (``create_dp.py:42-49``) and deterministic ids (U11). Raises on
-        duplicate task_id like the reference."""
+        duplicate task_id like the reference — both against staging AND
+        within the incoming batch (two rows with the same prompt derive
+        the same content-hash id; appending both would violate the
+        uniqueness invariant every keyed operator assumes)."""
         with_ids = rows.withColumn(
             "task_id", deterministic_id("draft_dp", F.col("prompt"))
         )
+        n_rows = with_ids.count()
+        if with_ids.select("task_id").distinct().count() < n_rows:
+            raise ValueError("duplicate task_id within the incoming batch")
         if self.staging.current_version() is not None:
             dup = semi_join(
                 with_ids, self.staging.read().select("task_id"), "task_id"

@@ -96,9 +96,14 @@ def collect() -> dict[str, QueryEntry]:
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
-        except ModuleNotFoundError:
-            # Module not built yet (incremental bring-up) — skip quietly.
-            continue
+        except ModuleNotFoundError as e:
+            # Tolerate only the query module ITSELF being absent
+            # (incremental bring-up). A missing transitive dependency
+            # (pandas, pyarrow, a typo'd import inside the module) must
+            # fail loudly — silently shrinking queries()/oracle_sql()
+            # would quietly weaken the driver's correctness gate.
+            if e.name != mod:
+                raise
     return dict(_REGISTRY)
 
 

@@ -118,8 +118,13 @@ def read_file_tree(spark: SparkSession, root: str, strip_prefix: str) -> DataFra
     ``map_from_entries(collect_list(struct(path, content)))``."""
     import re as _re
 
-    raw = spark.read.text(f"{root}/**", wholetext=True).withColumn(
-        "path", F.input_file_name()
+    # recursiveFileLookup, not a glob: `root/**` only reaches depth ≤ 2 and
+    # silently drops deeper files (a/b/deep.txt) — the reference's walk is
+    # fully recursive (os.walk).
+    raw = (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(root, wholetext=True)
+        .withColumn("path", F.input_file_name())
     )
     # input_file_name() yields URI form (file:///abs/path): drop the
     # scheme+authority, then the prefix, to get workspace-relative paths.

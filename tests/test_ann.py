@@ -54,9 +54,9 @@ def test_multiprobe_recall_monotone_and_exhaustive(spark):
 def test_kmeans_converges_and_partitions(spark):
     emb = _corpus(spark)
     seeds = kmeans_fit(emb, "vec_id", "emb", k=8, dim=DIM, iters=0)
-    assigned0 = assign_clusters(emb, "emb", seeds)
+    assigned0 = assign_clusters(emb, "vec_id", "emb", seeds)
     centroids = kmeans_fit(emb, "vec_id", "emb", k=8, dim=DIM, iters=3)
-    assigned3 = assign_clusters(emb, "emb", centroids)
+    assigned3 = assign_clusters(emb, "vec_id", "emb", centroids)
     # Lloyd's never increases inertia; 3 rounds must improve on raw seeds.
     assert inertia(assigned3) < inertia(assigned0)
     # every vector lands in exactly one of the 8 clusters
@@ -68,7 +68,7 @@ def test_kmeans_converges_and_partitions(spark):
 def test_ivf_with_learned_centroids(spark):
     emb = _corpus(spark)
     centroids = kmeans_fit(emb, "vec_id", "emb", k=8, dim=DIM, iters=2)
-    assigned = assign_clusters(emb, "emb", centroids).select(
+    assigned = assign_clusters(emb, "vec_id", "emb", centroids).select(
         "vec_id", "emb", "cluster"
     )
     queries = assigned.where(F.col("vec_id") < 3).select(
