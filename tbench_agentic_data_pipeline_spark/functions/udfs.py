@@ -122,7 +122,8 @@ def split_test_functions(src: pd.Series) -> pd.Series:
     survey="X1,X2,X3",
     oracle="""
         SELECT doc_id,
-               'test_' || replace(substr(text, 1, 20), ' ', '_') AS test_name,
+               'test_' || regexp_replace(substr(text, 1, 20),
+                                         '[^A-Za-z0-9_]', '_', 'g') AS test_name,
                TRUE AS valid
         FROM documents
     """,
@@ -135,9 +136,13 @@ def x1_ast_test_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovered — while ast robustness on arbitrary input is hypothesis-
     tested (tests/test_udfs.py)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Sanitize EVERY non-identifier character (not just spaces): any
+    # punctuation in a doc prefix would make the synthesized def a
+    # SyntaxError, silently dropping the row while the oracle still
+    # emits it. 'test_' prefix keeps a leading digit legal.
     fn_name = F.concat(
         F.lit("test_"),
-        F.regexp_replace(F.substring("text", 1, 20), " ", "_"),
+        F.regexp_replace(F.substring("text", 1, 20), "[^A-Za-z0-9_]", "_"),
     )
     code = F.concat(
         F.lit("def "), fn_name, F.lit("():\n    assert 1 + 1 == 2\n")

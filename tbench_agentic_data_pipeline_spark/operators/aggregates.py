@@ -309,14 +309,40 @@ def a_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a_approx_distinct", survey="A8")
+@query(
+    "a_approx_distinct",
+    survey="A8",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct,
+               CAST(COUNT(*) AS BIGINT)             AS n,
+               TRUE                                 AS within_5pct
+        FROM documents
+        GROUP BY lang
+    """,
+)
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct sketch per lang (rows-only: sketch estimates are not
-    engine-portable; tests assert ≤5% error vs exact). The operator that
-    replaces COUNT(DISTINCT) when the distinct set itself is too big to
-    shuffle."""
+    """HLL distinct sketch per lang — the operator that replaces
+    COUNT(DISTINCT) when the distinct set itself is too big to shuffle.
+
+    Sketch estimates are not engine-portable, so the oracle checks a
+    TOLERANCE CONTRACT instead of the estimate: Spark emits the exact count
+    plus ``within_5pct`` (|approx − exact| / exact ≤ 0.05, computed as
+    inclusive multiplicative bounds to dodge IEEE abs-form edge cases); the
+    oracle emits the exact count and literal TRUE. Hash matches iff the
+    sketch honors the tolerance. The exact COUNT(DISTINCT) here exists only
+    to pin the gate — the production operator ``approx_distinct`` above
+    never computes it."""
     docs = load_table(spark, sf_dir, "documents")
-    return approx_distinct(docs, "lang", "text")
+    approx = F.approx_count_distinct("text", 0.02)
+    exact = F.count_distinct("text").cast("bigint")
+    return docs.groupBy("lang").agg(
+        exact.alias("exact_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            (approx >= exact * F.lit(0.95)) & (approx <= exact * F.lit(1.05))
+        ).alias("within_5pct"),
+    )
 
 
 @query(

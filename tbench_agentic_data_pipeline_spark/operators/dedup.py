@@ -38,10 +38,14 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     maxPartitionBytes), which would serialize the per-row shingle/hash
     work onto a single core — measured 8× slowdown at sf0.1. The shuffle
     moves only (doc_id, text): trivial bytes for full CPU fan-out. At
-    100 TB the scan is already thousands of partitions and AQE coalesces
-    this to a no-op-sized exchange."""
+    100 TB the scan is already thousands of partitions, so the exchange is
+    SKIPPED entirely (conditional, below) — narrow-input fan-out never
+    costs a shuffle on a real cluster."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, key)
+    parallelism = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism, key)
 
 # ---------------------------------------------------------------------------
 # Reusable operator API
@@ -126,6 +130,45 @@ def minhash_signatures(
     return agged.select(
         key_col,
         F.array(*[F.col(f"__m{h}") for h in range(num_hashes)]).alias("mh"),
+    )
+
+
+def minhash_band_df(
+    df: DataFrame, key_col: str, shingle_col: str,
+    num_hashes: int, bands: int, rows_per_band: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Fused MinHash→LSH-band pipeline: explode → per-seed hash →
+    groupBy-min → band keys, with the band keys computed directly over the
+    aggregate's min columns in ONE projection. Skips the intermediate
+    signature-array materialization that ``minhash_signatures`` +
+    ``band_keys`` would do as a separate pass — each ``__m{h}`` min column
+    is referenced exactly once, so CollapseProject cannot duplicate work.
+    Output: (key_col, bands array<string>)."""
+    exploded = df.select(
+        F.col(key_col), F.explode(F.col(shingle_col)).alias("__s")
+    )
+    hashed = exploded.select(
+        key_col,
+        *[
+            _salted_hash(F.col("__s"), h, hash_fn).alias(f"__h{h}")
+            for h in range(num_hashes)
+        ],
+    )
+    agged = hashed.groupBy(key_col).agg(
+        *[F.min(f"__h{h}").alias(f"__m{h}") for h in range(num_hashes)]
+    )
+
+    def one_band(b: int) -> Column:
+        parts = [
+            F.col(f"__m{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        return F.md5(F.concat(*parts))
+
+    return agged.select(
+        key_col,
+        F.array(*[one_band(b) for b in range(bands)]).alias("bands"),
     )
 
 
@@ -298,8 +341,7 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("w") >= 3)
         .select("doc_id", shingles(F.col("w"), 3, guard_short=False).alias("shingles"))
     )
-    sig = minhash_signatures(shingled, "doc_id", "shingles", 8, hash_fn="md5")
-    with_bands = sig.withColumn("bands", band_keys(F.col("mh"), 4, 2))
+    with_bands = minhash_band_df(shingled, "doc_id", "shingles", 8, 4, 2, hash_fn="md5")
     pairs = lsh_candidate_pairs(with_bands, "doc_id", "bands")
     return pairs.select(
         F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
@@ -350,8 +392,7 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("w") >= 3)
         .select("doc_id", shingles(F.col("w"), 3, guard_short=False).alias("shingles"))
     )
-    sig = minhash_signatures(shingled, "doc_id", "shingles", 8, hash_fn="xxhash64")
-    with_bands = sig.withColumn("bands", band_keys(F.col("mh"), 4, 2))
+    with_bands = minhash_band_df(shingled, "doc_id", "shingles", 8, 4, 2)
     pairs = lsh_candidate_pairs(with_bands, "doc_id", "bands", max_bucket=1000)
     return pairs.select(
         F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
@@ -362,46 +403,78 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     survey="P4,J4",
     oracle="""
-        WITH t AS (
-            SELECT doc_id, lang, source,
-                   list_distinct(string_split(text, ' ')) AS toks
-            FROM documents
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        t AS (
+            SELECT doc_id, list_distinct(w) AS toks FROM toks
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS shingles
+            FROM toks WHERE len(w) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   [list_min(list_transform(shingles,
+                        s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                    for h in range(0, 8)] AS mh
+            FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+            FROM sig, range(0, 4) r(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+                          AND a.doc_id < b2.doc_id
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
-               (len(list_intersect(a.toks, b.toks)) * 1000)
-                   // (len(a.toks) + len(b.toks)
-                       - len(list_intersect(a.toks, b.toks))) AS jaccard_milli
-        FROM t a
-        JOIN t b ON a.lang = b.lang AND a.source = b.source
-                 AND a.doc_id < b.doc_id
-        WHERE (len(list_intersect(a.toks, b.toks)) * 1000)
-                  // (len(a.toks) + len(b.toks)
-                      - len(list_intersect(a.toks, b.toks))) >= 800
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT)
+                   AS n_common,
+               (len(list_intersect(ta.toks, tb.toks)) * 1000)
+                   // (len(ta.toks) + len(tb.toks)
+                       - len(list_intersect(ta.toks, tb.toks)))
+                   AS jaccard_milli
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.doc_a
+        JOIN t tb ON tb.doc_id = c.doc_b
+        WHERE (len(list_intersect(ta.toks, tb.toks)) * 1000)
+                  // (len(ta.toks) + len(tb.toks)
+                      - len(list_intersect(ta.toks, tb.toks))) >= 800
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard verification: exact token-set similarity over
-    candidate pairs (bucketed here by (lang, source); in production by the
-    LSH bands from ``dedup_minhash_bands``), emitting pairs ≥ 0.8.
-    Jaccard is computed in integer thousandths — no float rounding to
-    diverge between engines."""
+    """n-gram Jaccard VERIFICATION stage: exact token-set similarity over
+    the MinHash+LSH candidate pairs (same md5 pipeline as
+    ``dedup_minhash_bands``), emitting pairs ≥ 0.8. This is the full
+    two-stage near-dup shape you run at corpus scale: LSH bounds the
+    candidate set (no all-pairs anywhere), Jaccard confirms. Both the
+    candidate generation and the verify are mirrored in the oracle, so the
+    hash check pins the composition end-to-end. Jaccard is computed in
+    integer thousandths — no float rounding to diverge between engines."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
-        "doc_id", "lang", "source",
-        F.array_distinct(F.split("text", " ")).alias("toks"),
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    a = t.select(
-        F.col("lang"), F.col("source"),
-        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"),
+    spread = _spread(docs, "doc_id")
+    toks = F.split("text", " ")
+    shingled = (
+        spread.select("doc_id", toks.alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", shingles(F.col("w"), 3, guard_short=False).alias("shingles"))
     )
-    b = t.select(
-        F.col("lang"), F.col("source"),
-        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"),
-    )
+    with_bands = minhash_band_df(shingled, "doc_id", "shingles", 8, 4, 2, hash_fn="md5")
+    cand = lsh_candidate_pairs(with_bands, "doc_id", "bands")
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     return (
-        a.join(b, ["lang", "source"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        cand.select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
         .withColumn(
             "n_common",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),

@@ -126,11 +126,11 @@ def so3_key_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="SO4,F4,F5",
     oracle="""
         SELECT doc_id,
-               list_sort(list_distinct(list_filter(
+               array_to_string(list_sort(list_distinct(list_filter(
                    string_split(text, ' '),
                    w -> NOT list_contains(
                        ['the', 'a', 'data', 'table', 'row', 'key'], w)
-               ))) AS rare_words,
+               ))), ' ') AS rare_words,
                len(list_distinct(list_filter(
                    string_split(text, ' '),
                    w -> NOT list_contains(
@@ -143,13 +143,14 @@ def so3_key_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 def so4_array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO4/F4: dictionary difference — tokens minus a stopword vocabulary
     (invalid tags = tags ∖ VALID_TAGS, ``categories_tags.py:66-68``).
-    Sorted-distinct output so the array hash is engine-stable; the
+    Sorted-distinct output, space-joined to a scalar string so external
+    comparators that hash pandas cells never see an unhashable list; the
     vocabulary is a literal array (broadcast-equivalent constant)."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = F.array(*[F.lit(w) for w in ["the", "a", "data", "table", "row", "key"]])
     rare = F.array_sort(F.array_except(F.split(F.col("text"), " "), vocab))
     return docs.where(F.col("doc_id") < 100).select(
         "doc_id",
-        rare.alias("rare_words"),
+        F.array_join(rare, " ").alias("rare_words"),
         F.size(rare).cast("bigint").alias("n_rare"),
     )

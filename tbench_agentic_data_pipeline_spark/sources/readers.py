@@ -126,10 +126,15 @@ def read_file_tree(spark: SparkSession, root: str, strip_prefix: str) -> DataFra
         .text(root, wholetext=True)
         .withColumn("path", F.input_file_name())
     )
-    # input_file_name() yields URI form (file:///abs/path): drop the
-    # scheme+authority, then the prefix, to get workspace-relative paths.
+    # input_file_name() yields PERCENT-ENCODED URI form (file:///abs/path,
+    # spaces as %20): decode before stripping, or any workspace path with
+    # an encodable character surfaces encoded keys and misses the prefix
+    # match (diverging from the reference's os.walk). url_decode treats
+    # '+' as space (form encoding), so protect literal '+' — a valid URI
+    # pchar that input_file_name leaves as-is — by re-encoding it first.
+    decoded = F.url_decode(F.regexp_replace("path", r"\+", "%2B"))
     rel = F.regexp_replace(
-        F.regexp_replace("path", r"^[a-z0-9+.-]+://", ""),
+        F.regexp_replace(decoded, r"^[a-z0-9+.-]+://", ""),
         f"^{_re.escape(strip_prefix.rstrip('/'))}/",
         "",
     )

@@ -136,7 +136,7 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH gapped AS (
             SELECT user_id, ts, value,
-                   CASE WHEN ts - LAG(ts) OVER w > INTERVAL '10 minutes'
+                   CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
                              OR LAG(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
@@ -163,8 +163,9 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows, 10-minute inactivity gap, per user — Spark's
     merging ``session_window`` vs the oracle's lag+cumsum sessionization.
-    Spark merges while next_ts < prev_ts + gap (strict), matching the
-    oracle's ``gap > 10min`` new-session rule; session_end = last + gap."""
+    Spark merges only while next_ts < prev_ts + gap (an event exactly
+    ``gap`` later STARTS a new session), so the oracle's new-session rule
+    is ``gap >= 10min``; session_end = last + gap."""
     events = load_table(spark, sf_dir, "events")
     out = session_aggregate(events, "ts", "10 minutes", "user_id")
     return out.select(

@@ -44,4 +44,16 @@ def test_oracle_sql_uses_only_driver_tables():
 
 def test_rows_only_queries_are_the_documented_exceptions():
     rows_only = {n for n, e in _ENTRIES.items() if e.oracle is None}
-    assert rows_only == {"dedup_minhash_fast", "a_approx_distinct"}, rows_only
+    assert rows_only == {"dedup_minhash_fast"}, rows_only
+
+
+def test_driver_window_prefix_is_exact():
+    """The external driver checks only the first 50 queries() entries, so
+    the registry must emit _FRONT_ORDER as an exact prefix — and every
+    name in it must actually be registered (a typo would silently burn a
+    window slot)."""
+    names = list(_ENTRIES)
+    front = registry._FRONT_ORDER
+    assert [n for n in front if n not in _ENTRIES] == []
+    assert len(front) == len(set(front)) == 50
+    assert names[: len(front)] == list(front)
