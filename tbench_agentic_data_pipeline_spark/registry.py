@@ -64,6 +64,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "tbench_agentic_data_pipeline_spark.operators.multimodal",
     "tbench_agentic_data_pipeline_spark.functions.scalars",
     "tbench_agentic_data_pipeline_spark.functions.udfs",
+    "tbench_agentic_data_pipeline_spark.functions.codegen",
     "tbench_agentic_data_pipeline_spark.streaming.windows",
 )
 
@@ -105,7 +106,6 @@ _FRONT_ORDER: tuple[str, ...] = (
     "flagship_pricing_summary",
     "a1_status_histogram_zero_filled",
     "a4_completion_rate",
-    "a5_map_value_sum_check",
     "a6_error_rollup",
     "a_salted_sum",
     "a_approx_distinct",       # r1: no_oracle → r2: tolerance-flag oracle
@@ -150,6 +150,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "f_markdown_render",
     "f_line_cleanup",
     "x1_ast_test_discovery",
+    "x6_test_codegen",
     "st_tumbling_window",
     "st_sliding_window",
     "st_session_windows",

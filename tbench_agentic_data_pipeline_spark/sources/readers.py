@@ -13,7 +13,7 @@ with the reference's normalization semantics (missing columns filled,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -149,4 +149,161 @@ def files_map(tree: DataFrame, key: object = None) -> DataFrame:
         F.map_from_entries(
             F.collect_list(F.struct(F.col("path"), F.col("content")))
         ).alias("files")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5: multi-file task ingest (``init_seed_tasks.py:28-119``) — per-task-dir
+# task.yaml / Dockerfile / tests/*.py cleaned and pivoted into one record.
+# ---------------------------------------------------------------------------
+
+_CANARY_MARKS = ("BENCHMARK DATA SHOULD NEVER APPEAR", "terminal-bench-canary")
+_TEMPLATE_MARK = "This is a template test file"
+_HARNESS_MARK = "by the test harness"
+
+
+def _strip_all_ws(c: Column) -> Column:
+    """Python ``str.strip()`` (ALL whitespace) — ``F.trim`` is spaces-only."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _finalize_content(c: Column) -> Column:
+    """Common tail of ``clean_content`` (``init_seed_tasks.py:80-87``):
+    collapse 3+ newline runs to exactly two, then strip."""
+    return _strip_all_ws(F.regexp_replace(c, r"\n{3,}", "\n\n"))
+
+
+def _is_canary(line: Column) -> Column:
+    out = F.lit(False)
+    for mark in _CANARY_MARKS:
+        out = out | line.contains(mark)
+    return out
+
+
+def clean_dockerfile(c: Column) -> Column:
+    """Dockerfile cleanup (``init_seed_tasks.py:33-48``): cut everything
+    before the first ``FROM``; if there is no FROM, fall back to dropping
+    canary lines."""
+    idx = F.locate("FROM", c)
+    no_canary = F.array_join(
+        F.filter(F.split(c, "\n"), lambda l: ~_is_canary(l)), "\n"
+    )
+    return _finalize_content(
+        F.when(idx > 0, c.substr(idx, F.length(c))).otherwise(no_canary)
+    )
+
+
+def clean_task_yaml(c: Column) -> Column:
+    """task.yaml cleanup (``init_seed_tasks.py:50-54``): cut everything
+    before ``instruction:`` when present."""
+    idx = F.locate("instruction:", c)
+    return _finalize_content(
+        F.when(idx > 0, c.substr(idx, F.length(c))).otherwise(c)
+    )
+
+
+def clean_test_file(c: Column) -> Column:
+    """Test-file cleanup (``init_seed_tasks.py:56-79``): drop canary lines
+    always; after a template-marker line, also drop ``by the test
+    harness`` lines and the FIRST blank line (which ends the template
+    block).
+
+    The reference is a sequential skip_template state machine; the
+    columnar form computes, per line i, the last template-marker index
+    j < i and whether any blank line lies strictly between — the machine
+    is in skip state at i iff j exists with no intervening blank. All
+    per-file array work (no shuffle, no UDF); line counts are task-file
+    sized, so the O(lines × markers) inner scans are trivial."""
+    lines = F.split(c, "\n")
+    blank = lambda l: l.rlike(r"^\s*$")
+    tmpl_idx = F.filter(
+        F.transform(
+            lines,
+            lambda l, i: F.when(l.contains(_TEMPLATE_MARK), i).otherwise(-1),
+        ),
+        lambda x: x >= 0,
+    )
+    blank_idx = F.filter(
+        F.transform(
+            lines, lambda l, i: F.when(blank(l), i).otherwise(F.lit(-1))
+        ),
+        lambda x: x >= 0,
+    )
+
+    def keep(l: Column, i: Column) -> Column:
+        last_tmpl = F.aggregate(
+            tmpl_idx,
+            F.lit(-1),
+            lambda acc, x: F.when(x < i, F.greatest(acc, x)).otherwise(acc),
+        )
+        in_skip = (last_tmpl >= 0) & ~F.exists(
+            blank_idx, lambda b: (b > last_tmpl) & (b < i)
+        )
+        return ~(
+            _is_canary(l)
+            | l.contains(_TEMPLATE_MARK)
+            | (in_skip & l.contains(_HARNESS_MARK))
+            | (in_skip & blank(l))
+        )
+
+    return _finalize_content(F.array_join(F.filter(lines, keep), "\n"))
+
+
+def ingest_task_dirs(spark: SparkSession, root: str) -> DataFrame:
+    """S5: recursive scan of an eval-tasks directory → one record per task
+    dir, the ``extract_task_data`` pivot (``init_seed_tasks.py:91-119``).
+
+    Composition: S4 tree scan → path split → per-kind cleanup → groupBy
+    task dir with conditional-first pivots and a sorted files-map for
+    tests/*.py. One shuffle on task_name — the natural partitioning for
+    every downstream per-task stage. Output: (task_name, task_yaml,
+    dockerfile, test_files map<string,string>); missing files surface as
+    NULL (reference: ``None``) and an empty map."""
+    tree = read_file_tree(spark, root, root)
+    parts = F.split("path", "/")
+    depth = F.size(parts)
+    fname = F.element_at(parts, -1)
+    kind = (
+        F.when((depth == 2) & (fname == "task.yaml"), "task_yaml")
+        .when((depth == 2) & (fname == "Dockerfile"), "dockerfile")
+        .when(
+            (depth == 3)
+            & (F.element_at(parts, 2) == "tests")
+            & fname.endswith(".py"),
+            "test",
+        )
+    )
+    content = F.col("content")
+    cleaned = (
+        F.when(F.col("kind") == "task_yaml", clean_task_yaml(content))
+        .when(F.col("kind") == "dockerfile", clean_dockerfile(content))
+        .otherwise(clean_test_file(content))
+    )
+    typed = (
+        tree.select(
+            F.element_at(parts, 1).alias("task_name"),
+            fname.alias("file_name"),
+            kind.alias("kind"),
+            "content",
+        )
+        .where(F.col("kind").isNotNull())
+        .select("task_name", "file_name", "kind", cleaned.alias("content"))
+    )
+    return typed.groupBy("task_name").agg(
+        F.max(
+            F.when(F.col("kind") == "task_yaml", F.col("content"))
+        ).alias("task_yaml"),
+        F.max(
+            F.when(F.col("kind") == "dockerfile", F.col("content"))
+        ).alias("dockerfile"),
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("kind") == "test",
+                        F.struct("file_name", "content"),
+                    )
+                )
+            )
+        ).alias("test_files"),
     )
