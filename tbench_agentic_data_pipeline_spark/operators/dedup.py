@@ -100,36 +100,34 @@ def minhash_signatures(
     df: DataFrame, key_col: str, shingle_col: str,
     num_hashes: int, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signatures via explode → per-seed hash → groupBy-min.
+    """MinHash signatures computed per-row: ``mh[h] =
+    array_min(transform(shingles, s → hash(s, seed_h)))`` — no explode, no
+    groupBy, zero shuffles. A per-row reduction needs no row-blowup or
+    aggregate exchange; higher-order array functions express it directly.
+    The shingle column is referenced ``num_hashes`` times from ONE
+    projection, which CollapseProject refuses to inline (expensive,
+    multiply-referenced), so shingling still computes once per row.
 
-    NOT formulated as nested higher-order functions over the shingle
-    array: Catalyst's CollapseProject inlines the shingle-construction
-    expression into every one of the ``num_hashes`` (and later every
-    band) references, recomputing the shingling ~8-64× per row — measured
-    at 30+ s vs ~3 s for this shape at sf0.1. Explode+aggregate also IS
-    the scale shape: partial (map-side) min aggregation means the shuffle
-    carries one (key, num_hashes mins) row per input row, independent of
-    shingle count.
+    CAUTION for callers: a plain ``explode`` over anything derived from
+    these signatures lets InferFiltersFromGenerate push a ``size(...) > 0``
+    filter below this projection, substituting the whole hash tree into a
+    Filter and recomputing everything per seed (measured 5× slowdown).
+    Use the ``_outer`` explode variants plus an explicit null guard, as
+    ``lsh_candidate_pairs`` does.
 
     ``hash_fn='md5'`` is the oracle-reproducible variant (string min over
-    hex digests); ``xxhash64`` (decimal-string min) is the production
-    default."""
-    exploded = df.select(
-        F.col(key_col), F.explode(F.col(shingle_col)).alias("__s")
-    )
-    hashed = exploded.select(
+    hex digests); ``xxhash64`` (bigint min) is the production default."""
+
+    def seed_min(h: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col(shingle_col), lambda s: _salted_hash(s, h, hash_fn)
+            )
+        )
+
+    return df.select(
         key_col,
-        *[
-            _salted_hash(F.col("__s"), h, hash_fn).alias(f"__h{h}")
-            for h in range(num_hashes)
-        ],
-    )
-    agged = hashed.groupBy(key_col).agg(
-        *[F.min(f"__h{h}").alias(f"__m{h}") for h in range(num_hashes)]
-    )
-    return agged.select(
-        key_col,
-        F.array(*[F.col(f"__m{h}") for h in range(num_hashes)]).alias("mh"),
+        F.array(*[seed_min(h) for h in range(num_hashes)]).alias("mh"),
     )
 
 
@@ -138,25 +136,27 @@ def minhash_band_df(
     num_hashes: int, bands: int, rows_per_band: int,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Fused MinHash→LSH-band pipeline: explode → per-seed hash →
-    groupBy-min → band keys, with the band keys computed directly over the
-    aggregate's min columns in ONE projection. Skips the intermediate
-    signature-array materialization that ``minhash_signatures`` +
-    ``band_keys`` would do as a separate pass — each ``__m{h}`` min column
-    is referenced exactly once, so CollapseProject cannot duplicate work.
-    Output: (key_col, bands array<string>)."""
-    exploded = df.select(
-        F.col(key_col), F.explode(F.col(shingle_col)).alias("__s")
-    )
-    hashed = exploded.select(
-        key_col,
-        *[
-            _salted_hash(F.col("__s"), h, hash_fn).alias(f"__h{h}")
-            for h in range(num_hashes)
-        ],
-    )
-    agged = hashed.groupBy(key_col).agg(
-        *[F.min(f"__h{h}").alias(f"__m{h}") for h in range(num_hashes)]
+    """Fused MinHash→LSH-band pipeline, fully per-row: each seed's min-hash
+    is ``array_min(transform(shingles, s → hash(s, seed)))`` — no explode,
+    no groupBy, ZERO shuffles between the shingle projection and the band
+    output. The classic explode→hash→groupBy-min formulation pays a
+    row-blowup of |shingles| per doc plus a hash-aggregate exchange just to
+    compute a per-row reduction; higher-order array functions express it
+    directly. The shingle array is referenced ``num_hashes`` times from ONE
+    projection below it — an expensive multiply-referenced expression, so
+    CollapseProject keeps the boundary and shingles are computed once per
+    row. Band keys are md5s over the min columns in the same projection
+    pass. Output: (key_col, bands array<string>)."""
+
+    def seed_min(h: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col(shingle_col), lambda s: _salted_hash(s, h, hash_fn)
+            )
+        )
+
+    agged = df.select(
+        key_col, *[seed_min(h).alias(f"__m{h}") for h in range(num_hashes)]
     )
 
     def one_band(b: int) -> Column:
@@ -188,36 +188,42 @@ def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
 def lsh_candidate_pairs(
     df: DataFrame, key_col: str, band_col: str, max_bucket: int | None = None
 ) -> DataFrame:
-    """Explode band keys and self-join per (band index, band key) to emit
-    candidate pairs (a < b, distinct). ``max_bucket`` drops pathological
-    buckets (boilerplate content) before the quadratic pair expansion —
-    the skew guard that matters at corpus scale."""
-    from pyspark.sql import Window
-
+    """Explode band keys, hash-aggregate each (band index, band key) bucket
+    into a sorted key list, and stream out in-bucket pairs (a < b,
+    distinct). One exchange on the bucket key replaces the previous
+    window-count + self-join shape, which sorted and re-read the same
+    exchange twice; pair generation is posexplode + a per-element slice of
+    the sorted list, so no O(bucket²) pair array ever materializes as a
+    single value. ``max_bucket`` drops pathological buckets (boilerplate
+    content) before the quadratic pair expansion — the skew guard that
+    matters at corpus scale; it also bounds the collected list, so bucket
+    state is capped memory."""
+    # posexplode_OUTER, not posexplode: a plain Generate lets the optimizer
+    # infer `size(bands) > 0` and push it below the band projection,
+    # substituting the full minhash expression tree into a Filter — every
+    # hash computed twice and the shingle array once PER SEED (measured 5×
+    # slowdown). Outer explode admits no inferred size filter; the explicit
+    # null guard above the Generate restores exact semantics for free.
     exploded = df.select(
-        F.col(key_col), F.posexplode(F.col(band_col)).alias("b", "band_key")
+        F.col(key_col),
+        F.posexplode_outer(F.col(band_col)).alias("b", "band_key"),
+    ).where(F.col("band_key").isNotNull())
+    buckets = exploded.groupBy("b", "band_key").agg(
+        F.array_sort(F.collect_list(key_col)).alias("ks")
     )
+    buckets = buckets.where(F.size("ks") >= 2)
     if max_bucket is not None:
-        # Window count instead of groupBy+join-back: one shuffle on the
-        # bucket key, and the resulting partitioning is reused by the pair
-        # join below (exchange reuse — check .explain for a single
-        # hashpartitioning(b, band_key) chain).
-        w = Window.partitionBy("b", "band_key")
-        exploded = (
-            exploded.withColumn("__sz", F.count(F.lit(1)).over(w))
-            .where(F.col("__sz") <= max_bucket)
-            .drop("__sz")
-        )
-    left = exploded.select(
-        F.col("b"), F.col("band_key"), F.col(key_col).alias("key_a")
-    )
-    right = exploded.select(
-        F.col("b"), F.col("band_key"), F.col(key_col).alias("key_b")
+        buckets = buckets.where(F.size("ks") <= max_bucket)
+    lefts = buckets.select(
+        F.col("ks"), F.posexplode("ks").alias("i", "key_a")
     )
     return (
-        left.join(right, ["b", "band_key"])
-        .where(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+        lefts.select(
+            "key_a",
+            F.explode(
+                F.slice("ks", F.col("i") + 2, F.size("ks"))
+            ).alias("key_b"),
+        )
         .distinct()
     )
 
