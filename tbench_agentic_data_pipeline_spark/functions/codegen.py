@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.functions.scalars import strip_all_ws
 from tbench_agentic_data_pipeline_spark.registry import query
 
 __all__ = [
@@ -40,9 +41,9 @@ __all__ = [
 
 
 def _strip_ws(c: Column) -> Column:
-    """Python ``str.strip()`` equivalent (all whitespace, both ends) —
-    ``F.trim`` only strips spaces."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    """Python ``str.strip()`` equivalent (all whitespace, Unicode-aware) —
+    shared implementation in ``functions.scalars.strip_all_ws``."""
+    return strip_all_ws(c)
 
 
 def _is_import(line: Column) -> Column:

@@ -56,6 +56,14 @@ def truncate_ellipsis(col: Column | str, n: int) -> Column:
     return F.when(F.length(c) > n, F.concat(F.substring(c, 1, n), F.lit("..."))).otherwise(c)
 
 
+def strip_all_ws(col: Column | str) -> Column:
+    """Python ``str.strip()`` equivalent: remove leading/trailing
+    whitespace. ``(?U)`` makes Java's ``\\s`` Unicode-aware (NBSP, etc.) —
+    without it, whitespace the reference's ``str.strip()`` removes would
+    survive. ``F.trim`` is spaces-only; plain ``\\s`` is ASCII-only."""
+    return F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
+
+
 def collapse_blank_runs(col: Column | str) -> Column:
     """F11: collapse 3+ newlines to 2 and trim (``init_seed_tasks.py:81-88``)."""
     return F.trim(F.regexp_replace(col, r"\n{3,}", "\n\n"))

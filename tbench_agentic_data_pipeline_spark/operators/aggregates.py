@@ -334,7 +334,10 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     to pin the gate — the production operator ``approx_distinct`` above
     never computes it."""
     docs = load_table(spark, sf_dir, "documents")
-    approx = F.approx_count_distinct("text", 0.02)
+    # rsd=0.01, not 0.02: the 5% contract is then ~5 sigma instead of
+    # ~2.5 — data-dependent sketch error at an unseen scale factor must
+    # not be able to flip the driver's hash.
+    approx = F.approx_count_distinct("text", 0.01)
     exact = F.count_distinct("text").cast("bigint")
     return docs.groupBy("lang").agg(
         exact.alias("exact_distinct"),

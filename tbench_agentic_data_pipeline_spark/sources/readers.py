@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tbench_agentic_data_pipeline_spark.functions.scalars import strip_all_ws
+
 # Datapoint-table schemas (SURVEY.md §1.3): staging, review, production.
 STAGING_COLUMNS: tuple[str, ...] = (
     "task_id", "prompt", "dockerfile", "test_functions", "test_weights",
@@ -163,8 +165,9 @@ _HARNESS_MARK = "by the test harness"
 
 
 def _strip_all_ws(c: Column) -> Column:
-    """Python ``str.strip()`` (ALL whitespace) — ``F.trim`` is spaces-only."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    """Python ``str.strip()`` (ALL whitespace, Unicode-aware) — shared
+    implementation in ``functions.scalars.strip_all_ws``."""
+    return strip_all_ws(c)
 
 
 def _finalize_content(c: Column) -> Column:
@@ -215,7 +218,7 @@ def clean_test_file(c: Column) -> Column:
     per-file array work (no shuffle, no UDF); line counts are task-file
     sized, so the O(lines × markers) inner scans are trivial."""
     lines = F.split(c, "\n")
-    blank = lambda l: l.rlike(r"^\s*$")
+    blank = lambda l: l.rlike(r"(?U)^\s*$")
     tmpl_idx = F.filter(
         F.transform(
             lines,
@@ -258,7 +261,12 @@ def ingest_task_dirs(spark: SparkSession, root: str) -> DataFrame:
     tests/*.py. One shuffle on task_name — the natural partitioning for
     every downstream per-task stage. Output: (task_name, task_yaml,
     dockerfile, test_files map<string,string>); missing files surface as
-    NULL (reference: ``None``) and an empty map."""
+    NULL (reference: ``None``) and an empty map. A task dir containing
+    only unrecognized files (solution.sh, notes.txt) still yields its
+    all-NULL record — the reference emits one record per DIRECTORY, not
+    per recognized file. (A fully EMPTY directory is invisible to a file
+    scan — the one divergence from ``iterdir``; files directly under the
+    root are ignored, as the reference only walks subdirectories.)"""
     tree = read_file_tree(spark, root, root)
     parts = F.split("path", "/")
     depth = F.size(parts)
@@ -274,19 +282,21 @@ def ingest_task_dirs(spark: SparkSession, root: str) -> DataFrame:
         )
     )
     content = F.col("content")
+    # No `otherwise`: unknown kinds keep NULL content (never cleaned) but
+    # their rows SURVIVE to the groupBy so the task dir still gets a record.
     cleaned = (
         F.when(F.col("kind") == "task_yaml", clean_task_yaml(content))
         .when(F.col("kind") == "dockerfile", clean_dockerfile(content))
-        .otherwise(clean_test_file(content))
+        .when(F.col("kind") == "test", clean_test_file(content))
     )
     typed = (
-        tree.select(
+        tree.where(depth >= 2)
+        .select(
             F.element_at(parts, 1).alias("task_name"),
             fname.alias("file_name"),
             kind.alias("kind"),
             "content",
         )
-        .where(F.col("kind").isNotNull())
         .select("task_name", "file_name", "kind", cleaned.alias("content"))
     )
     return typed.groupBy("task_name").agg(

@@ -87,6 +87,10 @@ def task_tree(tmp_path_factory):
     b = root / "task-b"
     b.mkdir()
     (b / "Dockerfile").write_text(DOCKERFILE_NO_FROM_RAW)
+    c = root / "task-c"
+    c.mkdir()
+    (c / "solution.sh").write_text("echo only unrecognized files here")
+    (root / "stray-root-file.txt").write_text("not inside any task dir")
     return str(root)
 
 
@@ -97,7 +101,17 @@ def records(spark, task_tree):
 
 
 def test_pivot_one_record_per_task_dir(records):
-    assert set(records) == {"task-a", "task-b"}
+    """One record per directory — including task-c, whose only file is
+    unrecognized (reference emits a record per dir, not per known file) —
+    and no phantom task from the stray root-level file."""
+    assert set(records) == {"task-a", "task-b", "task-c"}
+
+
+def test_unrecognized_only_dir_yields_all_null_record(records):
+    r = records["task-c"]
+    assert r["task_yaml"] is None
+    assert r["dockerfile"] is None
+    assert r["test_files"] == {}
 
 
 def test_task_yaml_cut_at_instruction(records):
@@ -136,7 +150,9 @@ def test_non_python_and_stray_files_ignored(records):
 
 
 _line = st.text(
-    alphabet=string.ascii_lowercase + " #_",
+    # \xa0 (NBSP) and \x0b (VT): Python str.strip()/isspace() treat them
+    # as whitespace; the columnar form must too ((?U) Unicode regex flag).
+    alphabet=string.ascii_lowercase + " #_\xa0\x0b",
     max_size=12,
 )
 _marker = st.sampled_from(
