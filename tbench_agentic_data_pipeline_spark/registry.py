@@ -61,6 +61,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "tbench_agentic_data_pipeline_spark.operators.dedup",
     "tbench_agentic_data_pipeline_spark.operators.similarity",
     "tbench_agentic_data_pipeline_spark.operators.text",
+    "tbench_agentic_data_pipeline_spark.operators.corpus",
     "tbench_agentic_data_pipeline_spark.operators.multimodal",
     "tbench_agentic_data_pipeline_spark.functions.scalars",
     "tbench_agentic_data_pipeline_spark.functions.udfs",
@@ -106,15 +107,12 @@ _FRONT_ORDER: tuple[str, ...] = (
     # -- sentinels from round-1-green families ------------------------------
     "flagship_pricing_summary",
     "a1_status_histogram_zero_filled",
-    "a4_completion_rate",
     "a6_error_rollup",
     "a_salted_sum",
     "a_approx_distinct",       # r1: no_oracle → r2: tolerance-flag oracle
-    "q3_shipping_priority",
     "p1_point_lookup",
     "p6_timeout_predicate",
     "j3_full_outer_reconciliation",
-    "j5_broadcast_dim_join",
     "so1_union_by_name",
     "so4_array_difference",    # r1: harness crash → r2: stringified output
     "w2_global_topn",
@@ -133,6 +131,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "sim_topk_cosine",
+    "sim_quantized_topk",
     "sim_lsh_buckets",
     "sim_ivf_probe",
     "text_langid",
@@ -143,6 +142,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "text_stratified_sample",
     "text_sequence_packing",
     "text_fingerprint",
+    "pipeline_corpus_build",
     "mm_decode_features",
     "f_string_gauntlet",
     "f_json_gauntlet",
@@ -155,6 +155,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "st_tumbling_window",
     "st_sliding_window",
     "st_session_windows",
+    "st_dedup_watermark",
 )
 
 

@@ -175,3 +175,55 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("value_sum", 2).alias("value_sum"),
     )
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key among events
+    whose timestamps fall within the watermark delay of each other, and
+    EVICTS key state once the watermark passes — the property that lets a
+    forever-running dedup hold state proportional to the delay window, not
+    the stream's lifetime. Works on both streaming and batch frames (on
+    batch it degrades to plain dropDuplicates semantics)."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+@query(
+    "st_dedup_watermark",
+    survey="ST2,SO2",
+    oracle="""
+        SELECT user_id, event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS bucket_start,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM events
+        GROUP BY user_id, event_type, date_trunc('hour', ts)
+    """,
+)
+def st_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of streaming dedup: first event + duplicate count per
+    (user_id, event_type) within each hour bucket — the deterministic twin
+    of ``dropDuplicatesWithinWatermark`` over an hourly-bounded stream
+    (dedup state scoped to a time bucket ≡ watermark-bounded key state).
+    The true streaming path — watermark advance, state eviction,
+    batch-equivalence on in-order input — is pinned in
+    ``tests/test_streaming.py::test_dedup_within_watermark_streaming``."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    return (
+        events.groupBy("user_id", "event_type", bucket.alias("__b"))
+        .agg(
+            F.min("ts").alias("__first"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            _fmt(F.col("__b")).alias("bucket_start"),
+            _fmt(F.col("__first")).alias("first_ts"),
+            "n_dups",
+        )
+    )

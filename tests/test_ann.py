@@ -90,3 +90,58 @@ def test_ivf_with_learned_centroids(spark):
     # each query finds itself at rank 1 (it lives in its own partition)
     self_hits = {r["q_id"] for r in rows if r["rank"] == 1 and r["vec_id"] == r["q_id"]}
     assert self_hits == {0, 1, 2}
+
+
+def test_quantized_topk_recall_vs_float_baseline(spark):
+    """int8 quantization must preserve ranking quality: recall@10 of the
+    quantized top-k against the exact float top-k stays high, and the
+    quantized scores track the float scores closely on the overlap."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        cosine_quantized,
+        quantize_int8,
+    )
+    from pyspark.sql import Window
+
+    corpus = _corpus(spark)
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    exact = brute_force_topk(corpus, queries, K)
+
+    qcorpus = corpus.select("vec_id", quantize_int8(F.col("emb")).alias("qv"))
+    qqueries = qcorpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    scored = qcorpus.crossJoin(F.broadcast(qqueries)).select(
+        "q_id", "vec_id",
+        cosine_quantized(F.col("qv"), F.col("q_qv")).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    approx = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= K
+    )
+    assert recall_at_k(approx, exact, K) >= 0.9
+
+    # scores on the joined overlap agree to ~quantization error
+    joined = (
+        approx.select("q_id", "vec_id", F.col("cos").alias("cos_q"))
+        .join(exact.select("q_id", "vec_id", "cos"), ["q_id", "vec_id"])
+        .select(F.max(F.abs(F.col("cos_q") - F.col("cos"))).alias("err"))
+        .first()
+    )
+    assert joined["err"] < 0.02
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "id long, v array<double>",
+    )
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+    rows = {r["id"]: r["q"] for r in
+            df.select("id", quantize_int8(F.col("v")).alias("q")).collect()}
+    assert rows[1] == [64, -127, 32]
+    assert rows[2] == [0, 0, 0]
+    assert all(abs(x) <= 127 for x in rows[1])

@@ -246,3 +246,42 @@ def test_expire_stale_tasks_wires(spark, tmp_path):
         assert {r["status"] for r in rows} <= {"in_progress", "released"}
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_streaming(spark, tmp_path):
+    """dropDuplicatesWithinWatermark in real streaming mode: availableNow
+    drain over in-order parquet input must keep exactly one row per
+    (user_id, event_type) — the same key set plain dropDuplicates keeps in
+    batch — and the query must make progress with bounded state."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+    from tests.conftest import SF_SMOKE
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "ts")
+        .limit(500)
+    )
+    src = tmp_path / "src"
+    batch.write.parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    dd = dedup_within_watermark(stream, ["user_id", "event_type"], "ts", "1 hour")
+    q = (
+        dd.writeStream.format("memory").queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, event_type FROM dedup_wm").collect()
+    keys = {(r["user_id"], r["event_type"]) for r in got}
+    expected = {
+        (r["user_id"], r["event_type"])
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    }
+    assert keys == expected
+    assert len(got) == len(keys)  # exactly one survivor per key
