@@ -1,0 +1,307 @@
+"""Corpus-curation operators: repetition filtering, PII redaction, and
+benchmark decontamination.
+
+These extend the text-analysis family (``operators/text.py``) with the
+three filters every LLM training-data pipeline runs before a corpus ships:
+Gopher-style repeated-n-gram quality gates, regex PII masking, and
+eval-set contamination checks. The reference's validator layer
+(``shared_tools/validators.py``) applies per-record regex/substring
+checks; these are the corpus-scale generalizations of that idea.
+
+Scale shapes (the part that matters at 100 TB):
+- repetition: explode n-grams -> two keyed aggregations, both with
+  map-side partial combine; no per-row O(n^2) array scans, no windows.
+- PII: pure codegen'd regexp projection - filters at scan speed.
+- contamination: the eval set is tiny by construction, so its distinct
+  n-grams BROADCAST; the corpus side never shuffles except the final
+  per-doc hit count (map-side combinable). The corpus is the big side
+  and it is touched exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.registry import query
+
+
+def word_ngrams(w: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of a token-array column; empty array
+    when the document has fewer than ``n`` tokens (Spark's ``sequence``
+    would otherwise count DOWN and fabricate grams)."""
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _duck_ngrams(n: int) -> str:
+    """DuckDB twin of :func:`word_ngrams` (1-based list indexing;
+    ``range(1, len-n+2)`` is empty when the doc is too short)."""
+    parts = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return f"list_transform(range(1, len(w) - {n - 2}), i -> {parts})"
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style repeated n-gram gates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_filter",
+    survey="F13,A1,A4",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id, 2 AS n, unnest({_duck_ngrams(2)}) AS gram FROM t
+            UNION ALL
+            SELECT doc_id, 3 AS n, unnest({_duck_ngrams(3)}) AS gram FROM t
+        ),
+        c AS (
+            SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY ALL
+        ),
+        p AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN n = 2 THEN cnt END)               AS top2,
+                   CAST(SUM(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS tot2,
+                   COALESCE(CAST(SUM(CASE WHEN n = 2 AND cnt > 1
+                                 THEN cnt END) AS BIGINT), 0)      AS dup2,
+                   COALESCE(CAST(SUM(CASE WHEN n = 3 AND cnt > 1
+                                 THEN cnt END) AS BIGINT), 0)      AS dup3,
+                   CAST(SUM(CASE WHEN n = 3 THEN cnt END) AS BIGINT) AS tot3
+            FROM c GROUP BY doc_id
+        )
+        SELECT doc_id,
+               tot2                                            AS n_grams2,
+               (top2 * 1000) // tot2                           AS top2_milli,
+               (dup2 * 1000) // tot2                           AS dup2_milli,
+               CASE WHEN tot3 IS NULL THEN 0
+                    ELSE (dup3 * 1000) // tot3 END             AS dup3_milli,
+               ((top2 * 1000) // tot2 <= 80 AND
+                CASE WHEN tot3 IS NULL THEN 0
+                     ELSE (dup3 * 1000) // tot3 END <= 100)    AS keep
+        FROM p
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality gate (the Gopher repetition rules): per doc,
+    the top-2-gram occupancy, the fraction of 2-/3-gram occurrences whose
+    gram repeats, and a keep flag. Docs under 2 tokens drop out (no grams).
+
+    Plan: one explode over tagged 2+3-grams, groupBy(doc,n,gram) count,
+    groupBy(doc) conditional rollup - two shuffles, both partial-agg
+    combinable, nothing quadratic in document length (the per-row
+    ``filter(grams, g -> count(...))`` formulation is O(n^2) per doc and
+    was rejected for exactly that reason).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    tagged = F.concat(
+        F.transform(
+            word_ngrams(w, 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+        ),
+        F.transform(
+            word_ngrams(w, 3),
+            lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+        ),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(tagged).alias("t"))
+        .select("doc_id", "t.n", "t.gram")
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max(F.when(is2, F.col("cnt"))).alias("top2"),
+        F.sum(F.when(is2, F.col("cnt"))).alias("tot2"),
+        F.coalesce(F.sum(F.when(is2 & (F.col("cnt") > 1), F.col("cnt"))), F.lit(0)).alias("dup2"),
+        F.coalesce(F.sum(F.when(is3 & (F.col("cnt") > 1), F.col("cnt"))), F.lit(0)).alias("dup3"),
+        F.sum(F.when(is3, F.col("cnt"))).alias("tot3"),
+    )
+    top2_milli = F.expr("(top2 * 1000) div tot2")
+    dup2_milli = F.expr("(dup2 * 1000) div tot2")
+    dup3_milli = F.expr(
+        "CASE WHEN tot3 IS NULL THEN 0L ELSE (dup3 * 1000) div tot3 END"
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("tot2").cast("bigint").alias("n_grams2"),
+        top2_milli.cast("bigint").alias("top2_milli"),
+        dup2_milli.cast("bigint").alias("dup2_milli"),
+        dup3_milli.cast("bigint").alias("dup3_milli"),
+        ((top2_milli <= 80) & (dup3_milli <= 100)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# RE2- and Java-compatible patterns (both engines): no lookaround, ASCII \b.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The fixture corpus is synthetic word soup with no organic PII, so the
+# query plants deterministic PII derived from doc_id before redacting -
+# both engines compute the same enrichment, making the full
+# inject->detect->mask cycle oracle-checkable instead of vacuously zero.
+_ENRICH_SQL = """
+    CASE doc_id % 5
+        WHEN 0 THEN text || ' reach user' || doc_id || '@example.com today'
+        WHEN 1 THEN text || ' call 415-555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+        WHEN 2 THEN text || ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+        ELSE text
+    END
+"""
+
+
+def _enrich_spark() -> Column:
+    d = F.col("doc_id")
+    return (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.col("text"), F.lit(" reach user"), d.cast("string"),
+                     F.lit("@example.com today")),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.col("text"), F.lit(" call 415-555-"),
+                     F.lpad((d % 10000).cast("string"), 4, "0"), F.lit(" now")),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.col("text"), F.lit(" from host 10.0."),
+                     (d % 256).cast("string"), F.lit("."),
+                     ((d * 3) % 256).cast("string")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+@query(
+    "text_pii_redaction",
+    survey="F7,F10,U2",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_ENRICH_SQL} AS etext FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(etext, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(etext, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(etext, '{IP_RE}')) AS BIGINT)    AS n_ips,
+                   regexp_replace(regexp_replace(regexp_replace(etext,
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g'),
+                       '{IP_RE}', '<IP>', 'g') AS redacted
+            FROM t
+        )
+        SELECT doc_id, n_emails, n_phones, n_ips,
+               md5(redacted)                        AS redacted_md5,
+               CAST(length(redacted) AS BIGINT)     AS n_redacted_chars
+        FROM r
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and mask emails, NANP phone numbers, and IPv4
+    addresses (email first - the other patterns can't create or destroy
+    one; phone before IP - neither overlaps). Emits the redacted text's
+    md5 + length so the oracle pins the full masked string without
+    hashing megabytes of text columns.
+
+    Pure regexp projection (codegen, no shuffle): at 100 TB this runs at
+    parquet scan speed and is exactly how a production pass strips PII
+    before tokenization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    etext = _enrich_spark()
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(etext, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(etext, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(etext, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(etext, F.lit(IP_RE)).cast("bigint").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("bigint").alias("n_redacted_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_contamination",
+    survey="J1,A4,F8",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   len(list_distinct({_duck_ngrams(3)})) AS n_grams,
+                   unnest(list_distinct({_duck_ngrams(3)})) AS gram
+            FROM t
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        SELECT g.doc_id,
+               CAST(g.n_grams AS BIGINT)        AS n_grams,
+               CAST(COUNT(*) AS BIGINT)         AS n_overlap,
+               (COUNT(*) * 1000) // g.n_grams   AS contam_milli,
+               (COUNT(*) * 1000) // g.n_grams >= 50 AS flagged
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id, g.n_grams
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing any
+    3-gram with the held-out eval set (here a deterministic doc_id % 97
+    slice standing in for an external benchmark table). Emits each
+    contaminated doc's distinct-gram overlap count and fraction.
+
+    Plan shape for 100 TB: the eval set's distinct grams are tiny ->
+    BROADCAST to the corpus scan; the corpus explodes its distinct grams
+    once, hash-semi-joins against the broadcast, and aggregates per doc
+    (map-side combinable). The corpus side never shuffles on gram - the
+    only exchange is the final per-doc count, bounded by hit rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g3 = F.array_distinct(word_ngrams(F.split("text", " "), 3))
+    grams = docs.select(
+        "doc_id",
+        F.size(g3).cast("bigint").alias("n_grams"),
+        F.explode(g3).alias("gram"),
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    hits = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    contam = F.expr("(n_overlap * 1000) div n_grams")
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        contam.cast("bigint").alias("contam_milli"),
+        (contam >= 50).alias("flagged"),
+    )
