@@ -48,3 +48,32 @@ def test_narrow_projection_single_codegen_stage(spark):
         F.length("text").alias("n"), F.upper("lang").alias("l")
     )
     assert codegen_stage_count(docs) == 1
+
+
+def test_q6_scan_only_pushdown_and_pruning(spark):
+    # The canonical pushdown proof: predicates reach the scan, and the
+    # scan reads only the 4 referenced columns.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q6_forecast_revenue,
+    )
+
+    df = q6_forecast_revenue(spark, SF_ORACLE)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    assert any("l_discount" in p for p in pushed), pushed
+    schemas = read_schemas(df)
+    assert schemas and all(
+        "l_orderkey" not in s and "l_extendedprice" in s for s in schemas
+    ), schemas
+    # no join, one grouping-free aggregate: at most the final single
+    # partition exchange
+    assert count_exchanges(df) <= 1, count_exchanges(df)
+
+
+def test_q14_broadcasts_part_dim(spark):
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q14_promo_revenue,
+    )
+
+    df = q14_promo_revenue(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
