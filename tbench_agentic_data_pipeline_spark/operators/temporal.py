@@ -1,0 +1,207 @@
+"""Temporal join operators Spark lacks natively: as-of join and range join.
+
+Both are expressed as compositions of existing DataFrame ops (the
+prompt-preferred path) rather than UDFs:
+
+- **as-of join**: union the two tagged sides, one window pass per key
+  carrying the last left-side row forward (``last(..., ignorenulls)``),
+  keep right-side rows. ONE shuffle on the join key, no range explosion,
+  identical semantics to pandas ``merge_asof`` / DuckDB ``ASOF JOIN``.
+  This is the standard scale formulation: a naive
+  ``ON a.key = b.key AND a.ts <= b.ts`` theta-join explodes to the full
+  per-key cross product before taking max(ts) - quadratic per key -
+  while the union+window shape is linear and sorts within partitions.
+
+- **range join**: bin the time axis into fixed buckets; the interval side
+  explodes to the buckets it covers, the point side computes its single
+  bucket, and an EQUI-join on (key, bucket) + an exact containment filter
+  replaces the theta-join. Fan-out is bounded by interval_len/bucket_len,
+  so the join stays hash-partitioned at any scale even when the interval
+  side is far too large to broadcast (when it IS tiny, AQE/broadcast
+  does the right thing anyway - asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.registry import query
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    carry: list[str],
+) -> DataFrame:
+    """For every RIGHT row, attach the latest LEFT row with the same
+    ``key`` and left.ts <= right.ts (ties: the left row wins, matching
+    DuckDB ASOF semantics). Returns the right rows plus ``carry`` columns
+    from the matched left row (null when no left row precedes).
+
+    One shuffle: both sides exchange once on ``key`` for the window sort.
+    """
+    lt = left.select(
+        F.lit(0).alias("_side"),
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        *[F.col(c).alias(f"_carry_{c}") for c in carry],
+    )
+    rt = right.select(
+        F.lit(1).alias("_side"),
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        *[F.lit(None).cast(lt.schema[f"_carry_{c}"].dataType).alias(f"_carry_{c}") for c in carry],
+        *right.columns,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt, allowMissingColumns=True).select(
+        "*",
+        *[
+            F.last(f"_carry_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in carry
+        ],
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *right.columns, *[f"asof_{c}" for c in carry]
+    )
+
+
+@query(
+    "j_asof_last_view",
+    survey="J4,W1,F17",
+    oracle="""
+        WITH views AS (
+            SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'view'
+        ),
+        clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT c.event_id                                   AS click_id,
+               c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S')          AS click_ts,
+               v.event_id                                   AS asof_event_id,
+               ROUND(v.value, 2)                            AS asof_value,
+               date_diff('second', v.ts, c.ts)              AS secs_since_view
+        FROM clicks c
+        ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def j_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the same user's most
+    recent view event at-or-before it (attribution, the canonical as-of
+    workload). Spark has no ASOF JOIN; :func:`asof_join` composes it from
+    a tagged union + one keyed window pass - linear, one exchange."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        views,
+        clicks.withColumnRenamed("event_id", "click_id"),
+        key="user_id",
+        ts="ts",
+        carry=["event_id", "value", "ts"],
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("asof_event_id"),
+        F.round("asof_value", 2).alias("asof_value"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")
+        ).cast("bigint").alias("secs_since_view"),
+    )
+
+
+# Range-join binning: 30-minute buckets over epoch seconds. Incident
+# windows are 30 minutes long, so each interval covers <= 2 buckets -
+# bounded fan-out by construction.
+_BUCKET_S = 1800
+_WINDOW_S = 1800
+
+
+@query(
+    "j_range_incident_window",
+    survey="J4,A4,F17",
+    oracle=f"""
+        WITH incidents AS (
+            SELECT event_id AS incident_id, event_type, ts AS start_ts,
+                   ts + INTERVAL {_WINDOW_S} SECOND AS end_ts
+            FROM events WHERE event_id % 500 = 0
+        )
+        SELECT i.incident_id,
+               i.event_type,
+               CAST(COUNT(*) AS BIGINT)        AS n_events,
+               ROUND(SUM(e.value), 2)          AS total_value
+        FROM incidents i
+        JOIN events e
+          ON e.event_type = i.event_type
+         AND e.ts >= i.start_ts AND e.ts < i.end_ts
+        GROUP BY i.incident_id, i.event_type
+    """,
+)
+def j_range_incident_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: count/sum the events falling inside each incident's
+    [start, start+30min) window of the same type. Implemented as a
+    BUCKETED equi-join - the interval side explodes to its covered
+    30-minute buckets, the point side computes one bucket, and the exact
+    containment predicate filters after the hash join. No theta-join, no
+    broadcast requirement: both sides hash-partition on (type, bucket),
+    fan-out bounded at 2 buckets per interval."""
+    events = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")  # second-truncated: bucket key ONLY
+    incidents = (
+        events.where(F.col("event_id") % 500 == 0)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("event_type").alias("i_type"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {_WINDOW_S} SECONDS")).alias("end_ts"),
+            epoch.alias("start_s"),
+        )
+        .select(
+            "*",
+            # Candidate buckets from TRUNCATED seconds; the exact
+            # containment check below uses the full-precision timestamps,
+            # so truncation can only widen (never lose) candidates.
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_s") / _BUCKET_S),
+                    F.floor((F.col("start_s") + _WINDOW_S) / _BUCKET_S),
+                )
+            ).alias("bucket"),
+        )
+    )
+    points = events.select(
+        "event_type",
+        F.col("value"),
+        F.col("ts").alias("ev_ts"),
+        F.floor(epoch / _BUCKET_S).alias("bucket"),
+    )
+    return (
+        points.join(
+            incidents,
+            (points.event_type == incidents.i_type)
+            & (points.bucket == incidents.bucket),
+        )
+        .where((F.col("ev_ts") >= F.col("start_ts")) & (F.col("ev_ts") < F.col("end_ts")))
+        .groupBy("incident_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -384,3 +384,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_fingerprint("th").alias("fingerprint"),
         "bow_fingerprint",
     )
+
+
+@query(
+    "text_tfidf_topk",
+    survey="A1,J4,W3",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   ROUND((tf.tf * ln(
+                       (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                       / df.df)) * (1 + 5e-13), 6) AS tfidf
+            FROM tf JOIN df USING (term)
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df, tfidf,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document - the corpus-statistics workhorse
+    (keyword extraction, topic labeling, relevance features).
+
+    Shape: explode tokens -> TF groupBy(doc,term) -> DF groupBy(term) ->
+    TF-DF equi-join on term -> per-doc window rank. All aggregates have
+    map-side partial combine; the DF side is vocabulary-sized (small
+    relative to TF) and the corpus count is a broadcast scalar. Ranking
+    uses the STABLE-ROUNDED score so cross-engine ulp noise in ln()
+    cannot reorder the top-k (ties then break on term).
+    """
+    from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            stable_round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("bigint").alias("rk"))
+    )

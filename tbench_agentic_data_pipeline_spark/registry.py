@@ -63,6 +63,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "tbench_agentic_data_pipeline_spark.operators.text",
     "tbench_agentic_data_pipeline_spark.operators.corpus",
     "tbench_agentic_data_pipeline_spark.operators.curation",
+    "tbench_agentic_data_pipeline_spark.operators.temporal",
     "tbench_agentic_data_pipeline_spark.operators.multimodal",
     "tbench_agentic_data_pipeline_spark.functions.scalars",
     "tbench_agentic_data_pipeline_spark.functions.udfs",

@@ -1,0 +1,79 @@
+"""As-of / range join semantics and plan-shape tests. Value parity with
+DuckDB (its native ASOF JOIN / inequality join) is in test_oracle_parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    j_asof_last_view,
+    j_range_incident_window,
+)
+from tbench_agentic_data_pipeline_spark.plans.explain import (
+    count_exchanges,
+    formatted_plan,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_tie_and_missing(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),
+            (1, _ts("2024-01-01T11:00:00"), 101),
+            (2, _ts("2024-01-01T12:00:00"), 200),
+        ],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:30:00"), "a"),  # between -> 100
+            (1, _ts("2024-01-01T11:00:00"), "b"),  # tie -> 101 (at-or-before)
+            (2, _ts("2024-01-01T11:59:59"), "c"),  # before any left -> null
+            (3, _ts("2024-01-01T09:00:00"), "d"),  # key never on left -> null
+        ],
+        ["k", "ts", "tag"],
+    )
+    out = {
+        r.tag: r.asof_lv
+        for r in asof_join(left, right, key="k", ts="ts", carry=["lv"]).collect()
+    }
+    assert out == {"a": 100, "b": 101, "c": None, "d": None}
+
+
+def test_asof_join_single_exchange(spark):
+    # The union+window formulation must shuffle each side once on the key
+    # and never range-explode: exactly 1 Exchange in the plan.
+    df = j_asof_last_view(spark, SF_ORACLE)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_range_join_is_hash_not_theta(spark):
+    df = j_range_incident_window(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows
+    # every incident window contains at least its own seeding event
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_range_join_bucket_fanout_bounded(spark):
+    # 30-min windows over 30-min buckets cover at most 2 buckets, so the
+    # exploded incident side is <= 2x (and >= 1x) the incident count.
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+
+    events = load_table(spark, SF_ORACLE, "events")
+    n_incidents = events.where(F.col("event_id") % 500 == 0).count()
+    total = j_range_incident_window(spark, SF_ORACLE).agg(
+        F.sum("n_events").alias("s")
+    ).collect()[0].s
+    assert n_incidents >= 1 and total >= n_incidents
