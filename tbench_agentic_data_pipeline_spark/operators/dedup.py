@@ -24,7 +24,7 @@ the pair join — ``lsh_candidate_pairs`` exposes ``max_bucket`` for that.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
@@ -507,4 +507,118 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard_milli") >= 800)
         .select("doc_a", "doc_b", "n_common", "jaccard_milli")
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+) -> DataFrame:
+    """Min-label propagation connected components over an undirected edge
+    list: every node ends up labeled with the smallest node id in its
+    component. Returns (node, label).
+
+    Each round joins current labels to the symmetric edge list, takes the
+    per-node min over neighbor labels, and stops when no label changed -
+    O(component diameter) rounds, each a pair of keyed shuffles with
+    map-side combine. ``localCheckpoint`` truncates lineage so the plan
+    does not grow with iterations. Near-dup clusters have tiny diameters
+    (they are quasi-cliques from LSH buckets), so the loop is 2-4 rounds
+    in practice; ``max_iters`` guards pathological chains. The per-round
+    driver action is a scalar convergence count, never row data.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionAll(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.s == labels.node)
+            .groupBy("d")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, labels.node == nbr_min.d, "left").select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "new_label"
+            ),
+        ).localCheckpoint()
+        if stepped.where(F.col("new_label") != F.col("label")).count() == 0:
+            return stepped.select("node", F.col("label"))
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+    raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(shingles,
+                    s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                for h in range(0, 8)] AS mh
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+        FROM sig, range(0, 4) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+                      AND a.doc_id < b2.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    lab AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           doc_id = cluster_id                               AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                                                             AS cluster_size
+    FROM lab
+"""
+
+
+@query("dedup_cluster_components", survey="P4,J1,W3", oracle=_CC_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: the step after candidate pairs that
+    every real dedup pipeline needs - connected components over the
+    near-dup graph, keeping min-doc_id as the canonical representative.
+    Composes the md5-oracle-checkable band pairs (``dedup_minhash_bands``)
+    with :func:`connected_components`; the oracle mirrors it with a
+    recursive min-label CTE, so the full pairs->components->canonical
+    chain is engine-verified end to end."""
+    pairs = dedup_minhash_bands(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )

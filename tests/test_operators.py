@@ -163,3 +163,33 @@ def test_jaccard_milli_exact(spark):
     )
     out = df.select(jaccard_milli(F.col("a"), F.col("b")).alias("j")).collect()
     assert out[0]["j"] == 500  # |∩|=2, |∪|=4 → 0.5 → 500 milli
+
+
+def test_connected_components_chain_and_islands(spark):
+    # Chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
+    # triangle 10-11-12, isolated pair 20-21.
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["src", "dst"],
+    )
+    got = {
+        r.node: r.label for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_max_iters_guard(spark):
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=1)
