@@ -305,3 +305,66 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         contam.cast("bigint").alias("contam_milli"),
         (contam >= 50).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture weighting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_mixture_weights",
+    survey="A1,A4,F21",
+    oracle="""
+        WITH g AS (
+            SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT)                            AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)   AS n_tokens
+            FROM documents GROUP BY lang, source
+        ),
+        t AS (
+            SELECT *,
+                   SUM(n_docs) OVER ()        AS n_total,
+                   SUM(sqrt(n_docs)) OVER ()  AS s_total
+            FROM g
+        )
+        SELECT lang, source, n_docs, n_tokens,
+               CAST((n_docs * 1000) // n_total AS BIGINT) AS share_milli,
+               ROUND((1000.0 * sqrt(n_docs) / s_total) * (1 + 5e-13), 2)
+                   AS weight_milli
+        FROM t
+    """,
+)
+def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per (lang, source) stratum: document and
+    token counts, corpus share, and temperature-scaled sampling weights
+    w_i ~ sqrt(n_i) (alpha=0.5 - upweights rare strata, the multilingual
+    rebalancing rule). sqrt is IEEE-exact in both engines and the
+    normalizer N cancels, so only the stable-rounded normalized weight
+    touches cross-engine float noise.
+
+    Plan: one groupBy over the corpus (map-side combinable), then totals
+    as a broadcast scalar - the grouped table is stratum-cardinality
+    (tiny by construction), so nothing corpus-sized passes a single
+    partition."""
+    from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    totals = g.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt("n_docs")).alias("s_total"),
+    )
+    return g.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_docs * 1000) div n_total").cast("bigint").alias("share_milli"),
+        stable_round(1000.0 * F.sqrt("n_docs") / F.col("s_total"), 2).alias(
+            "weight_milli"
+        ),
+    )

@@ -205,3 +205,88 @@ def j_range_incident_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+_FUNNEL_HOURS = 24
+
+
+@query(
+    "events_funnel",
+    survey="A4,J1,F17",
+    oracle=f"""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+            JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+              AND e.ts <= v.v_ts + INTERVAL {_FUNNEL_HOURS} HOUR
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+            JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+              AND e.ts <= c.c_ts + INTERVAL {_FUNNEL_HOURS} HOUR
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id,
+               strftime(v.v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+               strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                         WHEN c.c_ts IS NOT NULL THEN 2
+                         ELSE 1 END AS BIGINT)        AS stage
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, first view -> first click within 24 h of
+    it -> first purchase within 24 h of that; emits each user's stage
+    timestamps and the funnel depth reached (1..3).
+
+    Three chained per-user MIN aggregates; every join and groupBy keys on
+    user_id, so AQE reuses one hash partitioning across the whole chain
+    and each stage's input shrinks monotonically (the classic funnel
+    shape at event-log scale)."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {_FUNNEL_HOURS} HOURS")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") >= F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") >= F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), 3)
+        .when(F.col("c_ts").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            stage.cast("bigint").alias("stage"),
+        )
+    )

@@ -77,3 +77,19 @@ def test_range_join_bucket_fanout_bounded(spark):
         F.sum("n_events").alias("s")
     ).collect()[0].s
     assert n_incidents >= 1 and total >= n_incidents
+
+
+def test_funnel_stages_monotone(spark):
+    from tbench_agentic_data_pipeline_spark.operators.temporal import events_funnel
+
+    rows = events_funnel(spark, SF_ORACLE).collect()
+    n1 = sum(1 for r in rows if r.stage >= 1)
+    n2 = sum(1 for r in rows if r.stage >= 2)
+    n3 = sum(1 for r in rows if r.stage >= 3)
+    assert n1 >= n2 >= n3 >= 1
+    # stage labels must agree with timestamp presence and ordering
+    for r in rows:
+        assert (r.stage >= 2) == (r.click_ts is not None)
+        assert (r.stage >= 3) == (r.purchase_ts is not None)
+        if r.stage == 3:
+            assert r.view_ts <= r.click_ts <= r.purchase_ts
