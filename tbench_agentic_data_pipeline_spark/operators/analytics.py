@@ -463,3 +463,129 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "a_retention_cohorts",
+    survey="A1,A4,J4,F16",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        cs AS (
+            SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM s GROUP BY cw
+        ),
+        a AS (
+            SELECT DISTINCT s.user_id, s.cw,
+                   date_diff('day', s.cw, date_trunc('week', e.ts)) // 7
+                       AS week_offset
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE date_trunc('week', e.ts) >= s.cw
+        ),
+        r AS (
+            SELECT cw, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cw, week_offset
+        )
+        SELECT strftime(r.cw, '%Y-%m-%d')          AS cohort_week,
+               CAST(r.week_offset AS BIGINT)       AS week_offset,
+               r.n_users,
+               cs.cohort_size,
+               CAST((r.n_users * 1000) // cs.cohort_size AS BIGINT)
+                                                    AS retention_milli
+        FROM r JOIN cs ON r.cw = cs.cw
+    """,
+)
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by signup week, counted as
+    retained in every later week they produce any event. The event-log
+    analytics staple (and the A1/A4 histogram+rate shapes composed).
+
+    Plan: signup-week per user (one keyed agg), events joined back on
+    user_id (AQE reuses the partitioning), distinct (user, offset), then
+    a stratum-sized rollup; cohort sizes broadcast back onto the result.
+    """
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    cohort_sizes = s.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    aw = F.date_trunc("week", F.col("ts"))
+    a = (
+        events.join(s, "user_id")
+        .where(aw >= F.col("cw"))
+        .select(
+            "user_id",
+            "cw",
+            (F.datediff(aw, F.col("cw")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    r = a.groupBy("cw", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return r.join(F.broadcast(cohort_sizes), "cw").select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        F.expr("(n_users * 1000) div cohort_size").cast("bigint").alias(
+            "retention_milli"
+        ),
+    )
+
+
+@query(
+    "a_value_histogram",
+    survey="A1,A2,A3",
+    oracle="""
+        WITH bins AS (
+            SELECT t.event_type, b.bin
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 (SELECT unnest(range(0, 10)) AS bin) b
+        ),
+        c AS (
+            SELECT event_type,
+                   LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT bins.event_type,
+               CAST(bins.bin AS BIGINT)       AS bin,
+               CAST(bins.bin * 50 AS BIGINT)  AS lo,
+               CAST(bins.bin * 50 + 50 AS BIGINT) AS hi,
+               COALESCE(c.n, 0)               AS n
+        FROM bins LEFT JOIN c
+          ON bins.event_type = c.event_type AND bins.bin = c.bin
+    """,
+)
+def a_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled fixed-width histogram of event values per type (10
+    bins of 50, top bin clamped). The A1 zero-fill discipline applied to
+    numeric binning: the bin dimension is generated, not discovered, so
+    empty bins appear and the plan is one corpus aggregate plus a
+    broadcast join against a 50-row dim."""
+    events = load_table(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / 50).cast("bigint"), F.lit(9))
+    c = events.groupBy(
+        "event_type", bin_col.alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bins = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(0, 10).select(F.col("id").alias("bin")))
+    )
+    return (
+        bins.join(c, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            F.col("bin").cast("bigint").alias("bin"),
+            (F.col("bin") * 50).cast("bigint").alias("lo"),
+            (F.col("bin") * 50 + 50).cast("bigint").alias("hi"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )

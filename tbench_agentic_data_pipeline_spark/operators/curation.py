@@ -158,7 +158,7 @@ _ENRICH_SQL = """
         WHEN 0 THEN text || ' reach user' || doc_id || '@example.com today'
         WHEN 1 THEN text || ' call 415-555-' ||
                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
-        WHEN 2 THEN text || ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        WHEN 2 THEN text || ' at host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                     || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
         ELSE text
     END
@@ -180,7 +180,7 @@ def _enrich_spark() -> Column:
         )
         .when(
             d % 5 == 2,
-            F.concat(F.col("text"), F.lit(" from host 10.0."),
+            F.concat(F.col("text"), F.lit(" at host 10.0."),
                      (d % 256).cast("string"), F.lit("."),
                      ((d * 3) % 256).cast("string")),
         )
