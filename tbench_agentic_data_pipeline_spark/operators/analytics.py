@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
 from tbench_agentic_data_pipeline_spark.registry import query
 
 
@@ -361,7 +362,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q6_forecast_revenue",
     survey="P2,A3",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT ROUND((SUM(l_extendedprice * l_discount)) * (1 + 5e-13), 2) AS revenue,
                CAST(COUNT(*) AS BIGINT)                    AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -384,9 +385,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            stable_round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -425,7 +426,10 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(is_urgent, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(is_urgent, 0).otherwise(1)).alias("low_line_count"),
+            # NOT the complement of is_urgent via .otherwise(): a NULL
+            # priority must count 0 in BOTH columns (SQL `NOT IN` yields
+            # NULL -> ELSE 0), so the negated predicate gets its own CASE.
+            F.sum(F.when(~is_urgent, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
@@ -434,10 +438,11 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     survey="J5,A4,F21",
     oracle="""
-        SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+        SELECT ROUND((100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
                      THEN l.l_extendedprice * (1 - l.l_discount)
                      ELSE 0 END)
-               / SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_pct,
+               / SUM(l.l_extendedprice * (1 - l.l_discount))) * (1 + 5e-13),
+                     2) AS promo_pct,
                CAST(COUNT(*) AS BIGINT)                          AS n_lines
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -459,7 +464,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 2).alias("promo_pct"),
+            stable_round(100.0 * F.sum(promo_rev) / F.sum(rev), 2).alias(
+                "promo_pct"
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -483,20 +483,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    spread = _spread(docs, "doc_id")
-    toks = F.split("text", " ")
-    shingled = (
-        spread.select("doc_id", toks.alias("w"))
-        .where(F.size("w") >= 3)
-        .select("doc_id", shingles(F.col("w"), 3, guard_short=False).alias("shingles"))
-    )
-    with_bands = minhash_band_df(shingled, "doc_id", "shingles", 8, 4, 2, hash_fn="md5")
-    cand = lsh_candidate_pairs(with_bands, "doc_id", "bands")
+    # Candidate generation IS dedup_minhash_bands — called, not inlined,
+    # so the md5 pipeline (8 hashes, 4×2 bands) cannot drift from the
+    # oracle-pinned bands query.
+    cand = dedup_minhash_bands(spark, sf_dir)
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     return (
-        cand.select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
-        .join(ta, "doc_a")
+        cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn(
             "n_common",
@@ -518,16 +512,22 @@ def connected_components(
     component. Returns (node, label).
 
     Each round joins current labels to the symmetric edge list, takes the
-    per-node min over neighbor labels, and stops when no label changed -
-    O(component diameter) rounds, each a pair of keyed shuffles with
-    map-side combine. ``localCheckpoint`` truncates lineage so the plan
-    does not grow with iterations. Near-dup clusters have tiny diameters
-    (they are quasi-cliques from LSH buckets), so the loop is 2-4 rounds
-    in practice; ``max_iters`` guards pathological chains. The per-round
-    driver action is a scalar convergence count, never row data.
+    per-node min over neighbor labels, then POINTER-JUMPS (my label :=
+    label of my label), and stops when no label changed. Neighbor-min
+    alone moves a label one hop per round (O(diameter) rounds — a
+    transitively-chained boilerplate family at corpus scale can be
+    hundreds of hops); the pointer-jump halves the remaining distance
+    each round, so convergence is O(log diameter) and ``max_iters=20``
+    covers diameters up to ~2^20. ``localCheckpoint`` both materializes
+    ``sym`` once (the edge pipeline — at corpus scale a full LSH
+    candidate generation — must not re-execute every round) and
+    truncates label lineage so plans don't grow. The per-round driver
+    action is a scalar convergence count, never row data.
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionAll(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("s").alias("node"))
@@ -545,12 +545,30 @@ def connected_components(
             "node",
             "label",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                "new_label"
+                "mid_label"
             ),
-        ).localCheckpoint()
-        if stepped.where(F.col("new_label") != F.col("label")).count() == 0:
-            return stepped.select("node", F.col("label"))
-        labels = stepped.select("node", F.col("new_label").alias("label"))
+        )
+        # Pointer jump: labels are always node ids in the same component,
+        # so re-resolving mid_label through the CURRENT label table only
+        # ever lowers it — correctness is unaffected, rounds become
+        # logarithmic in diameter.
+        lab2 = labels.select(
+            F.col("node").alias("pj_node"), F.col("label").alias("pj_label")
+        )
+        jumped = (
+            stepped.join(lab2, stepped.mid_label == lab2.pj_node, "left")
+            .select(
+                "node",
+                "label",
+                F.least(
+                    F.col("mid_label"), F.coalesce("pj_label", "mid_label")
+                ).alias("new_label"),
+            )
+            .localCheckpoint()
+        )
+        if jumped.where(F.col("new_label") != F.col("label")).count() == 0:
+            return jumped.select("node", F.col("label"))
+        labels = jumped.select("node", F.col("new_label").alias("label"))
     raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
 
 

@@ -54,7 +54,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Zero-norm inputs are defined as cosine 0.0 (ANSI-safe divide)."""
+    na = dot(a, a)
+    nb = dot(b, b)
+    return F.when(
+        (na > 0) & (nb > 0), dot(a, b) / (F.sqrt(na) * F.sqrt(nb))
+    ).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -390,11 +395,19 @@ def cosine_quantized(a: Column, b: Column) -> Column:
     """Cosine over int8-quantized vectors. The per-vector scales CANCEL
     (cosine is scale-invariant), so no dequantization bookkeeping: three
     exact integer dots, one sqrt/divide at the end — the only floating
-    step, bit-stable across engines."""
-    return dot_int(a, b).cast("double") / (
-        F.sqrt(dot_int(a, a).cast("double"))
-        * F.sqrt(dot_int(b, b).cast("double"))
-    )
+    step, bit-stable across engines.
+
+    Zero-norm vectors (quantize_int8 maps all-zero input to all-zero
+    output) are DEFINED as cosine 0.0 — an unguarded divide would raise
+    DIVIDE_BY_ZERO under Spark 4's ANSI default and diverge from the
+    oracle with ANSI off (NULL vs NaN)."""
+    na = dot_int(a, a)
+    nb = dot_int(b, b)
+    return F.when(
+        (na > 0) & (nb > 0),
+        dot_int(a, b).cast("double")
+        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+    ).otherwise(F.lit(0.0))
 
 
 @query(
@@ -426,22 +439,30 @@ def cosine_quantized(a: Column, b: Column) -> Column:
             SELECT q.q_id, c.vec_id,
                    CAST(list_sum(list_transform(
                             range(1, len(c.qv) + 1),
-                            i -> c.qv[i] * q.q_qv[i])) AS DOUBLE)
-                       / (sqrt(CAST(list_sum(list_transform(
-                              range(1, len(c.qv) + 1),
-                              i -> c.qv[i] * c.qv[i])) AS DOUBLE))
-                          * sqrt(CAST(list_sum(list_transform(
-                              range(1, len(q.q_qv) + 1),
-                              i -> q.q_qv[i] * q.q_qv[i])) AS DOUBLE)))
-                       AS cos_q
+                            i -> c.qv[i] * q.q_qv[i])) AS DOUBLE) AS dp,
+                   CAST(list_sum(list_transform(
+                            range(1, len(c.qv) + 1),
+                            i -> c.qv[i] * c.qv[i])) AS DOUBLE)   AS na,
+                   CAST(list_sum(list_transform(
+                            range(1, len(q.q_qv) + 1),
+                            i -> q.q_qv[i] * q.q_qv[i])) AS DOUBLE) AS nb
             FROM qz c, q
+        ),
+        cosd AS (
+            -- zero-norm vectors are DEFINED as cosine 0.0 (mirrors the
+            -- guarded Spark-side cosine_quantized)
+            SELECT q_id, vec_id,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN dp / (sqrt(na) * sqrt(nb))
+                        ELSE 0.0 END AS cos_q
+            FROM scored
         ),
         ranked AS (
             SELECT q_id, vec_id, cos_q,
                    ROW_NUMBER() OVER (
                        PARTITION BY q_id ORDER BY cos_q DESC, vec_id
                    ) AS rank
-            FROM scored
+            FROM cosd
         )
         SELECT q_id, vec_id, ROUND(cos_q * (1 + 5e-13), 4) AS cos_q,
                CAST(rank AS BIGINT) AS rank

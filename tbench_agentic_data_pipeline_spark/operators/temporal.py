@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
 from tbench_agentic_data_pipeline_spark.registry import query
 
 
@@ -43,18 +44,26 @@ def asof_join(
     from the matched left row (null when no left row precedes).
 
     One shuffle: both sides exchange once on ``key`` for the window sort.
+
+    The carry columns travel as ONE struct, not per-column: per-column
+    ``last(ignorenulls)`` would skip a matched left row's NULL field and
+    reach back to an OLDER left row for just that column, stitching a
+    chimera of two rows (and could not distinguish "no preceding left
+    row" from "preceding row with NULL value"). The struct is non-null
+    exactly when a left row exists, so the matched row arrives whole —
+    the row semantics of DuckDB ``ASOF JOIN`` / pandas ``merge_asof``.
     """
     lt = left.select(
         F.lit(0).alias("_side"),
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
-        *[F.col(c).alias(f"_carry_{c}") for c in carry],
+        F.struct(*[F.col(c).alias(c) for c in carry]).alias("_carry"),
     )
     rt = right.select(
         F.lit(1).alias("_side"),
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
-        *[F.lit(None).cast(lt.schema[f"_carry_{c}"].dataType).alias(f"_carry_{c}") for c in carry],
+        F.lit(None).cast(lt.schema["_carry"].dataType).alias("_carry"),
         *right.columns,
     )
     w = (
@@ -63,14 +72,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt, allowMissingColumns=True).select(
-        "*",
-        *[
-            F.last(f"_carry_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in carry
-        ],
+        "*", F.last("_carry", ignorenulls=True).over(w).alias("_asof")
     )
     return carried.where(F.col("_side") == 1).select(
-        *right.columns, *[f"asof_{c}" for c in carry]
+        *right.columns,
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in carry],
     )
 
 
@@ -89,7 +95,7 @@ def asof_join(
                c.user_id,
                strftime(c.ts, '%Y-%m-%d %H:%M:%S')          AS click_ts,
                v.event_id                                   AS asof_event_id,
-               ROUND(v.value, 2)                            AS asof_value,
+               ROUND((v.value) * (1 + 5e-13), 2)            AS asof_value,
                date_diff('second', v.ts, c.ts)              AS secs_since_view
         FROM clicks c
         ASOF LEFT JOIN views v
@@ -120,7 +126,7 @@ def j_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.col("asof_event_id"),
-        F.round("asof_value", 2).alias("asof_value"),
+        stable_round(F.col("asof_value"), 2).alias("asof_value"),
         (
             F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")
         ).cast("bigint").alias("secs_since_view"),
@@ -145,8 +151,8 @@ _WINDOW_S = 1800
         )
         SELECT i.incident_id,
                i.event_type,
-               CAST(COUNT(*) AS BIGINT)        AS n_events,
-               ROUND(SUM(e.value), 2)          AS total_value
+               CAST(COUNT(*) AS BIGINT)               AS n_events,
+               ROUND((SUM(e.value)) * (1 + 5e-13), 2) AS total_value
         FROM incidents i
         JOIN events e
           ON e.event_type = i.event_type
@@ -202,7 +208,7 @@ def j_range_incident_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("incident_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
         )
     )
 

@@ -57,3 +57,45 @@ def test_driver_window_prefix_is_exact():
     assert [n for n in front if n not in _ENTRIES] == []
     assert len(front) == len(set(front)) == 50
     assert names[: len(front)] == list(front)
+
+
+# Queries with a green driver CORRECTNESS row in round 1 — the only ones
+# allowed to rotate behind the 50-slot window (they stay pinned by the
+# local parity harness). Source: CORRECTNESS_r01.json.
+_R1_DRIVER_GREEN = {
+    "flagship_pricing_summary", "a1_status_histogram_zero_filled",
+    "a4_completion_rate", "a5_map_value_sum_check", "a6_error_rollup",
+    "a_salted_sum", "a8_distinct_users_per_type", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q18_large_orders", "a_rollup_revenue",
+    "a_pivot_type_by_dow", "a_percentiles", "a_stats_gauntlet",
+    "q10_returned_items", "p1_point_lookup", "p2_filter_project",
+    "p3_first_match_claim", "p4_existence_guard", "p5_stage_predicate",
+    "p6_timeout_predicate", "p7_ownership_predicate", "p8_prefix_projection",
+    "j1_semi_join_customers_with_orders",
+    "j2_anti_join_customers_without_orders", "j3_full_outer_reconciliation",
+    "j4_parent_child_counts", "j5_broadcast_dim_join", "so1_union_by_name",
+    "so2_delete_by_key", "so3_key_set_difference", "w2_global_topn",
+    "w3_pergroup_topn", "w4_fifo_claim_order", "w5_running_total",
+    "w6_lag_gap_seconds", "u1_keyed_patch", "u2_map_mutation",
+    "u3_claim_transition", "u6_timeout_release", "u4_complete_transition",
+    "u8_production_derivation", "st1_claim_assignment",
+    "x7_validation_pipeline", "a8_pytest_summary_parse",
+    "x_fail_first_policy", "dedup_exact", "dedup_minhash_bands",
+}
+
+
+def test_no_query_escapes_external_verification():
+    """Every registered query must sit inside the driver's 50-slot window
+    OR carry a green round-1 driver row — otherwise a new query would ship
+    with zero external correctness signal (the round-1 judge's top
+    finding). Adding a query means adding it to _FRONT_ORDER and rotating
+    a proven sentinel out."""
+    unseen = [
+        n
+        for n in _ENTRIES
+        if n not in registry._FRONT_ORDER and n not in _R1_DRIVER_GREEN
+    ]
+    assert unseen == [], (
+        f"queries with no external correctness signal: {unseen} — "
+        "front-load them in registry._FRONT_ORDER"
+    )

@@ -48,6 +48,25 @@ def test_asof_join_tie_and_missing(spark):
     assert out == {"a": 100, "b": 101, "c": None, "d": None}
 
 
+def test_asof_join_null_carry_stays_one_row(spark):
+    # The matched left row must arrive WHOLE even when one of its carry
+    # fields is NULL: per-column last(ignorenulls) would reach back to an
+    # older left row for the NULL column and stitch a chimera (lv=100
+    # with tag='late'). DuckDB ASOF returns the 11:00 row as-is.
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100, "early"),
+            (1, _ts("2024-01-01T11:00:00"), None, "late"),
+        ],
+        ["k", "ts", "lv", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), "r1")], ["k", "ts", "rid"]
+    )
+    row = asof_join(left, right, key="k", ts="ts", carry=["lv", "tag"]).collect()[0]
+    assert (row.asof_lv, row.asof_tag) == (None, "late")
+
+
 def test_asof_join_single_exchange(spark):
     # The union+window formulation must shuffle each side once on the key
     # and never range-explode: exactly 1 Exchange in the plan.
