@@ -54,12 +54,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Zero-norm inputs are defined as cosine 0.0 (ANSI-safe divide)."""
-    na = dot(a, a)
-    nb = dot(b, b)
-    return F.when(
-        (na > 0) & (nb > 0), dot(a, b) / (F.sqrt(na) * F.sqrt(nb))
-    ).otherwise(F.lit(0.0))
+    """Zero-norm inputs are defined as cosine 0.0 (ANSI-safe divide).
+
+    ``try_divide`` + ``coalesce`` rather than a CASE guard: a guard
+    repeats the norm aggregates in both the condition and the branch
+    (array folds are not CSE'd across CASE boundaries — 5 folds per pair
+    instead of 3 in the scoring projection, the top-k hot loop)."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
+    )
 
 
 def brute_force_topk(
@@ -400,14 +403,17 @@ def cosine_quantized(a: Column, b: Column) -> Column:
     Zero-norm vectors (quantize_int8 maps all-zero input to all-zero
     output) are DEFINED as cosine 0.0 — an unguarded divide would raise
     DIVIDE_BY_ZERO under Spark 4's ANSI default and diverge from the
-    oracle with ANSI off (NULL vs NaN)."""
-    na = dot_int(a, a)
-    nb = dot_int(b, b)
-    return F.when(
-        (na > 0) & (nb > 0),
-        dot_int(a, b).cast("double")
-        / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
-    ).otherwise(F.lit(0.0))
+    oracle with ANSI off (NULL vs NaN). ``try_divide`` + ``coalesce``
+    keeps each integer fold computed once (a CASE guard would repeat the
+    norm folds in condition and branch)."""
+    return F.coalesce(
+        F.try_divide(
+            dot_int(a, b).cast("double"),
+            F.sqrt(dot_int(a, a).cast("double"))
+            * F.sqrt(dot_int(b, b).cast("double")),
+        ),
+        F.lit(0.0),
+    )
 
 
 @query(

@@ -145,3 +145,39 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     assert rows[1] == [64, -127, 32]
     assert rows[2] == [0, 0, 0]
     assert all(abs(x) <= 127 for x in rows[1])
+
+
+def test_cosine_zero_vector_is_defined_zero(spark):
+    # A zero-norm vector must yield cosine 0.0 (not NULL, not a
+    # DIVIDE_BY_ZERO raise under Spark 4's ANSI default) in both the
+    # float and the int8-quantized scorers.
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        cosine,
+        cosine_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [0.0, 0.0]), (2, [1.0, 2.0], [2.0, 4.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    out = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", cosine(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert out[1] == 0.0
+    assert abs(out[2] - 1.0) < 1e-12
+
+    qdf = spark.createDataFrame(
+        [(1, [1, 2], [0, 0]), (2, [1, 2], [2, 4])],
+        "id long, a array<bigint>, b array<bigint>",
+    )
+    qout = {
+        r["id"]: r["c"]
+        for r in qdf.select(
+            "id", cosine_quantized(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert qout[1] == 0.0
+    assert abs(qout[2] - 1.0) < 1e-12
