@@ -248,6 +248,57 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_approx_percentile",
+    survey="A4,A8",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5) * (1 + 5e-13), 4) AS p50_exact,
+               ROUND(quantile_cont(value, 0.9) * (1 + 5e-13), 4) AS p90_exact,
+               TRUE AS p50_in_band,
+               TRUE AS p90_in_band
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def a_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (t-digest-style sketch, mergeable partials) —
+    the operator that replaces exact percentiles at 100 TB, where exact
+    ``percentile`` materializes per-group sorted values (the scale cliff
+    ``a_percentiles`` documents).
+
+    Sketch outputs are not engine-portable, so the oracle checks a RANK
+    TOLERANCE CONTRACT (the same trick as ``a_approx_distinct``): Spark
+    emits the exact p50/p90 (pinning the data) plus flags that the sketch
+    estimate lands inside the exact [p45,p55] / [p85,p95] value band — a
+    ±5%-of-rank window, while accuracy=10000 bounds the sketch's rank
+    error at 0.01% of n, so no data-dependent estimate at an unseen scale
+    factor can flip the driver's hash. The oracle emits the exact values
+    and literal TRUE."""
+    events = load_table(spark, sf_dir, "events")
+    ap = F.expr("percentile_approx(value, array(0.5D, 0.9D), 10000)")
+    ex = F.expr(
+        "percentile(value, array(0.45D, 0.5D, 0.55D, 0.85D, 0.9D, 0.95D))"
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(ap.alias("ap"), ex.alias("ex"))
+        .select(
+            "event_type",
+            stable_round(F.col("ex")[1], 4).alias("p50_exact"),
+            stable_round(F.col("ex")[4], 4).alias("p90_exact"),
+            (
+                (F.col("ap")[0] >= F.col("ex")[0])
+                & (F.col("ap")[0] <= F.col("ex")[2])
+            ).alias("p50_in_band"),
+            (
+                (F.col("ap")[1] >= F.col("ex")[3])
+                & (F.col("ap")[1] <= F.col("ex")[5])
+            ).alias("p90_in_band"),
+        )
+    )
+
+
+@query(
     "a_stats_gauntlet",
     survey="A4",
     oracle="""

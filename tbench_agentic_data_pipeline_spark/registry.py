@@ -109,9 +109,11 @@ def query(
 # outside the window, where it would get zero external signal.
 _FRONT_ORDER: tuple[str, ...] = (
     # -- sentinels from round-1-green families ------------------------------
+    # (dedup_minhash_bands rotated out: ngram_jaccard and
+    # cluster_components below COMPOSE it, so its pipeline stays
+    # driver-exercised without holding a slot.)
     "flagship_pricing_summary",
     "st1_claim_assignment",
-    "dedup_minhash_bands",
     # -- round-1 red rows, fixed this round ---------------------------------
     "a_approx_distinct",       # r1: no_oracle → r2: tolerance-flag oracle
     "so4_array_difference",    # r1: harness crash → r2: stringified output
@@ -162,6 +164,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "j_asof_last_view",
     "j_range_incident_window",
     "events_funnel",
+    "a_approx_percentile",
 )
 
 

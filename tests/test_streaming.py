@@ -285,3 +285,73 @@ def test_dedup_within_watermark_streaming(spark, tmp_path):
     }
     assert keys == expected
     assert len(got) == len(keys)  # exactly one survivor per key
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from tbench_agentic_data_pipeline_spark.streaming.joins import (
+        enrich_with_dim,
+    )
+
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "cust long, amount double"
+    )
+    facts.write.mode("overwrite").parquet(str(src))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "cust long, tier string"
+    )
+    stream = spark.readStream.schema(facts.schema).parquet(str(src))
+    q = (
+        enrich_with_dim(stream, dim, "cust")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    rows = {r.cust: r.tier for r in spark.sql("select * from enriched").collect()}
+    # left join: unmatched stream rows survive with NULL tier
+    assert rows == {1: "gold", 2: "silver", 3: None}
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    from tbench_agentic_data_pipeline_spark.streaming.joins import (
+        join_within_window,
+    )
+
+    vsrc, csrc = tmp_path / "views_src", tmp_path / "clicks_src"
+    vsrc.mkdir()
+    csrc.mkdir()
+    views = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "v1"), (2, "2024-01-01 10:00:00", "v2")],
+        "user long, ts_s string, vid string",
+    ).select("user", F.col("ts_s").cast("timestamp").alias("ts"), "vid")
+    clicks = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:30:00", "c_in"),     # inside 1h window -> match
+            (1, "2024-01-01 12:30:00", "c_late"),   # outside window -> dropped
+            (2, "2024-01-01 09:30:00", "c_before"), # before the view -> dropped
+        ],
+        "user long, ts_s string, cid string",
+    ).select("user", F.col("ts_s").cast("timestamp").alias("cts"), "cid")
+    views.write.mode("overwrite").parquet(str(vsrc))
+    clicks.write.mode("overwrite").parquet(str(csrc))
+    vstream = spark.readStream.schema(views.schema).parquet(str(vsrc))
+    cstream = spark.readStream.schema(clicks.schema).parquet(str(csrc))
+    joined = join_within_window(
+        vstream, cstream, key="user", left_ts="ts", right_ts="cts",
+        watermark="10 minutes", window="1 hour",
+    )
+    q = (
+        joined.select("l.vid", "r.cid")
+        .writeStream.format("memory")
+        .queryName("vc_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    rows = [(r.vid, r.cid) for r in spark.sql("select * from vc_join").collect()]
+    assert rows == [("v1", "c_in")]
