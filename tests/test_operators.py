@@ -193,3 +193,54 @@ def test_connected_components_max_iters_guard(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=1)
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    # A 41-node path has diameter 40 > max_iters=20: pure neighbor-min
+    # propagation (one hop per round) would hit the convergence guard.
+    # Pointer jumping must close it within the default budget.
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], ["src", "dst"]
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {i: 100 for i in range(100, 141)}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    import random
+
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def union_find_labels(edge_list):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        edge_list = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(70)
+        ]
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        edges = spark.createDataFrame(edge_list, ["src", "dst"])
+        got = {
+            r.node: r.label for r in connected_components(edges).collect()
+        }
+        assert got == union_find_labels(edge_list), f"seed {seed}"
