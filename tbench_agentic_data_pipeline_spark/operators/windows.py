@@ -71,6 +71,40 @@ def w2_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w1_ordered_scan",
+    survey="W1",
+    oracle="""
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY s_nationkey, s_suppkey) AS BIGINT) AS pos,
+               s_suppkey, s_name, s_nationkey
+        FROM supplier
+        ORDER BY pos
+    """,
+)
+def w1_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ordered deterministic scan with assigned positions — the
+    reference iterates its store in sorted-key order and numbers rows
+    (``store.py`` list endpoints); the total order here ends in the
+    unique key so the output is reproducible run-to-run.
+
+    SCOPE: the global row_number window collapses to one partition, so
+    this is registered over the supplier DIMENSION (bounded at any SF).
+    A corpus-scale ordered export drops the position column and uses
+    ``df.sort(...)`` — Spark range-partitions the sort, every partition
+    writes in parallel, and file order encodes the global order; when
+    positions are genuinely required the two-phase offset pattern
+    (per-partition counts → cumulative starts) replaces the window."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_nationkey", "s_suppkey")
+    return supplier.select(
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+    )
+
+
+@query(
     "w3_pergroup_topn",
     survey="W3",
     oracle="""

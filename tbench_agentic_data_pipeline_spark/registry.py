@@ -112,8 +112,11 @@ _FRONT_ORDER: tuple[str, ...] = (
     # (dedup_minhash_bands rotated out: ngram_jaccard and
     # cluster_components below COMPOSE it, so its pipeline stays
     # driver-exercised without holding a slot.)
+    # (st1_claim_assignment rotated out for w1_ordered_scan — the claim
+    # protocol keeps its local equivalence proof and r1-green row, while
+    # W1 was the last §2 id with no dedicated driver row.)
     "flagship_pricing_summary",
-    "st1_claim_assignment",
+    "w1_ordered_scan",
     # -- round-1 red rows, fixed this round ---------------------------------
     "a_approx_distinct",       # r1: no_oracle → r2: tolerance-flag oracle
     "so4_array_difference",    # r1: harness crash → r2: stringified output
