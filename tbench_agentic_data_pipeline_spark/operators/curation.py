@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.operators.dedup import spread_for_compute
 from tbench_agentic_data_pipeline_spark.registry import query
 
 
@@ -99,7 +100,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``filter(grams, g -> count(...))`` formulation is O(n^2) per doc and
     was rejected for exactly that reason).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     w = F.split("text", " ")
     tagged = F.concat(
         F.transform(
@@ -283,12 +286,21 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable). The corpus side never shuffles on gram - the
     only exchange is the final per-doc count, bounded by hit rows.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     g3 = F.array_distinct(word_ngrams(F.split("text", " "), 3))
-    grams = docs.select(
+    # Two projections, NOT one: with size(g3) and explode(g3) in a single
+    # select, the analyzer inlines the full ngram expression into the
+    # post-Generate projection and recomputes it PER EXPLODED GRAM ROW
+    # (~n_grams× per doc — measured 255 s → 14 s at sf0.1). Materializing
+    # the array first makes the explode carry a column reference, so
+    # size() reads the already-built array.
+    pre = docs.select("doc_id", g3.alias("ga"))
+    grams = pre.select(
         "doc_id",
-        F.size(g3).cast("bigint").alias("n_grams"),
-        F.explode(g3).alias("gram"),
+        F.size("ga").cast("bigint").alias("n_grams"),
+        F.explode("ga").alias("gram"),
     )
     bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
     hits = (

@@ -31,7 +31,7 @@ from tbench_agentic_data_pipeline_spark.catalog import load_table
 from tbench_agentic_data_pipeline_spark.registry import query
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
+def spread_for_compute(df: DataFrame, key: str) -> DataFrame:
     """Repartition narrow-but-compute-heavy input to full parallelism.
 
     Small parquet fixtures arrive as ONE scan partition (file <
@@ -357,7 +357,7 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row projection; the only shuffles are the band-bucket join and the
     final distinct. This is the shape that replaces O(n²) comparison at
     corpus scale."""
-    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
     shingled = (
         docs.select("doc_id", toks.alias("w"))
@@ -396,7 +396,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass per row, zero shuffles. Near-dup pairing then groups on
     fingerprint bands (hamming-distance candidates) — the signature is
     the scale-critical part and what the oracle pins down."""
-    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id", token_hashes32(F.split("text", " ")).alias("th")
     ).select("doc_id", simhash32("th").alias("simhash"))
@@ -408,7 +408,7 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     but signatures use seeded ``xxhash64`` (JVM-intrinsic, no hex-string
     materialization) — the variant you run on 100 TB. Rows-only check:
     DuckDB has no xxhash64, which is exactly why the md5 twin exists."""
-    docs = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split("text", " ")
     shingled = (
         docs.select("doc_id", toks.alias("w"))

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.operators.dedup import spread_for_compute
 from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
 from tbench_agentic_data_pipeline_spark.registry import query
 
@@ -202,7 +203,9 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 3 query vectors over the whole corpus —
     the ANN correctness baseline. Dot products are sequential folds,
     bit-identical across engines, so ranking and rounded scores match."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
     queries = emb.where(F.col("vec_id") < 3).select(
@@ -249,7 +252,9 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate search joins per bucket instead of scanning the corpus;
     the histogram is what you inspect for bucket skew before trusting
     the recall/latency tradeoff."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
     with_bucket = emb.withColumn(
@@ -286,7 +291,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quadratic step runs inside buckets only — the dedup ladder's
     embedding rung. Threshold equality is engine-safe: both engines
     compute bit-identical dot-product doubles."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     )
     a = emb.select(
@@ -346,7 +353,9 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on the partition id, so the scored set is |partition|, not |corpus|.
     With real centroids the assignment step is a ``brute_force_topk``
     against the (tiny, broadcast) centroid table."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     )
     queries = emb.where(F.col("vec_id") < 3).select(
@@ -482,7 +491,9 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 vs the float baseline). Every arithmetic step before the
     final sqrt/divide is exact integer math, which is what lets a
     quantized ANN query hash-match an independent engine at all."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select(
         "vec_id",
         quantize_int8(as_double(F.col("embedding"))).alias("qv"),
     )
