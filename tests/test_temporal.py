@@ -112,3 +112,59 @@ def test_funnel_stages_monotone(spark):
         assert (r.stage >= 3) == (r.purchase_ts is not None)
         if r.stage == 3:
             assert r.view_ts <= r.click_ts <= r.purchase_ts
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    # Randomized equivalence against pandas merge_asof (the semantics the
+    # docstring claims): per-key latest left row at-or-before each right
+    # ts, rows carried whole, NULL-valued carries preserved.
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (
+            rng.randrange(5),
+            base + dt.timedelta(minutes=rng.randrange(0, 600)),
+            rng.choice([None, rng.randrange(1000)]),
+            f"L{i}",
+        )
+        for i in range(80)
+    ]
+    right_rows = [
+        (
+            rng.randrange(6),  # key 5 never on the left
+            base + dt.timedelta(minutes=rng.randrange(0, 600)),
+            f"R{i}",
+        )
+        for i in range(60)
+    ]
+    left = spark.createDataFrame(left_rows, ["k", "ts", "lv", "ltag"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "rid"])
+    got = {
+        r.rid: (r.asof_lv, r.asof_ltag)
+        for r in asof_join(
+            left, right, key="k", ts="ts", carry=["lv", "ltag"]
+        ).collect()
+    }
+
+    # pandas merge_asof needs sorted frames; ties on ts within a key are
+    # broken by taking the LAST left row at that ts (same as the window's
+    # last() over ts-then-side ordering), which merge_asof also does.
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts", "lv", "ltag"]).sort_values(
+        ["ts", "k"], kind="stable"
+    )
+    rpd = pd.DataFrame(right_rows, columns=["k", "ts", "rid"]).sort_values(
+        ["ts", "k"], kind="stable"
+    )
+    merged = pd.merge_asof(rpd, lpd, on="ts", by="k", direction="backward")
+    want = {
+        row.rid: (
+            None if pd.isna(row.lv) else int(row.lv),
+            None if (not isinstance(row.ltag, str)) else row.ltag,
+        )
+        for row in merged.itertuples()
+    }
+    assert got == want
