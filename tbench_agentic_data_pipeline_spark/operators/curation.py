@@ -23,8 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tbench_agentic_data_pipeline_spark.catalog import load_table
-from tbench_agentic_data_pipeline_spark.operators.dedup import spread_for_compute
+from tbench_agentic_data_pipeline_spark.catalog import load_table, spread_for_compute
 from tbench_agentic_data_pipeline_spark.registry import query
 
 

@@ -27,36 +27,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.catalog import load_table, spread_for_compute
 from tbench_agentic_data_pipeline_spark.registry import query
 
-
-def spread_for_compute(df: DataFrame, key: str) -> DataFrame:
-    """Repartition narrow-but-compute-heavy input to full parallelism.
-
-    Small parquet fixtures arrive as ONE scan partition (file <
-    maxPartitionBytes), which would serialize the per-row shingle/hash
-    work onto a single core — measured 8× slowdown at sf0.1. The shuffle
-    moves only (doc_id, text): trivial bytes for full CPU fan-out. At
-    100 TB the scan is already thousands of partitions, so the exchange is
-    SKIPPED entirely (conditional, below) — narrow-input fan-out never
-    costs a shuffle on a real cluster.
-
-    Partition introspection goes through ``df.rdd`` (the only pre-action
-    probe in classic mode) inside a try/except: under Spark Connect
-    ``.rdd`` is unsupported, and there we keep the unconditional
-    repartition — AQE coalesces it to near-no-op when the input is already
-    wide, so the fallback is safe on both narrow and wide inputs."""
-    try:
-        sc = df.sparkSession.sparkContext
-        parallelism = sc.defaultParallelism
-        if df.rdd.getNumPartitions() >= parallelism:
-            return df
-    except Exception:
-        parallelism = df.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "200"
-        )
-    return df.repartition(int(parallelism), key)
 
 # ---------------------------------------------------------------------------
 # Reusable operator API

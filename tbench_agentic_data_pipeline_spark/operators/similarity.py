@@ -27,8 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tbench_agentic_data_pipeline_spark.catalog import load_table
-from tbench_agentic_data_pipeline_spark.operators.dedup import spread_for_compute
+from tbench_agentic_data_pipeline_spark.catalog import load_table, spread_for_compute
 from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
 from tbench_agentic_data_pipeline_spark.registry import query
 
@@ -181,10 +180,15 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
         ),
         q AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id < 3),
         scored AS (
+            -- zero-norm vectors are DEFINED as cosine 0.0 (mirrors the
+            -- guarded Spark-side cosine)
             SELECT q.q_id, c.vec_id,
-                   list_dot_product(c.emb, q.q_emb)
-                       / (sqrt(list_dot_product(c.emb, c.emb))
-                          * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+                   CASE WHEN list_dot_product(c.emb, c.emb) > 0
+                         AND list_dot_product(q.q_emb, q.q_emb) > 0
+                        THEN list_dot_product(c.emb, q.q_emb)
+                             / (sqrt(list_dot_product(c.emb, c.emb))
+                                * sqrt(list_dot_product(q.q_emb, q.q_emb)))
+                        ELSE 0.0 END AS cos
             FROM c, q
         ),
         ranked AS (
@@ -271,17 +275,23 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
             FROM embeddings
+        ),
+        scored AS (
+            -- zero-norm vectors are DEFINED as cosine 0.0 (mirrors the
+            -- guarded Spark-side cosine)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                   CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                         AND list_dot_product(b.emb, b.emb) > 0
+                        THEN list_dot_product(a.emb, b.emb)
+                             / (sqrt(list_dot_product(a.emb, a.emb))
+                                * sqrt(list_dot_product(b.emb, b.emb)))
+                        ELSE 0.0 END AS raw_cos
+            FROM c a
+            JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-               ROUND((list_dot_product(a.emb, b.emb)
-                   / (sqrt(list_dot_product(a.emb, a.emb))
-                      * sqrt(list_dot_product(b.emb, b.emb)))) * (1 + 5e-13), 4)
-                   AS cos
-        FROM c a
-        JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.emb, b.emb)
-                  / (sqrt(list_dot_product(a.emb, a.emb))
-                     * sqrt(list_dot_product(b.emb, b.emb))) >= 0.3
+        SELECT vec_a, vec_b, label,
+               ROUND(raw_cos * (1 + 5e-13), 4) AS cos
+        FROM scored WHERE raw_cos >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,10 +339,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
               FROM c WHERE vec_id < 3),
         scored AS (
+            -- zero-norm vectors are DEFINED as cosine 0.0 (mirrors the
+            -- guarded Spark-side cosine)
             SELECT q.q_id, c.vec_id,
-                   list_dot_product(c.emb, q.q_emb)
-                       / (sqrt(list_dot_product(c.emb, c.emb))
-                          * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+                   CASE WHEN list_dot_product(c.emb, c.emb) > 0
+                         AND list_dot_product(q.q_emb, q.q_emb) > 0
+                        THEN list_dot_product(c.emb, q.q_emb)
+                             / (sqrt(list_dot_product(c.emb, c.emb))
+                                * sqrt(list_dot_product(q.q_emb, q.q_emb)))
+                        ELSE 0.0 END AS cos
             FROM c JOIN q ON c.label = q.q_label
         ),
         ranked AS (

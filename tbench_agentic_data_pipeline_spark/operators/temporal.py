@@ -39,9 +39,12 @@ def asof_join(
     carry: list[str],
 ) -> DataFrame:
     """For every RIGHT row, attach the latest LEFT row with the same
-    ``key`` and left.ts <= right.ts (ties: the left row wins, matching
-    DuckDB ASOF semantics). Returns the right rows plus ``carry`` columns
-    from the matched left row (null when no left row precedes).
+    ``key`` and left.ts <= right.ts (a left row AT the right ts wins,
+    matching DuckDB ASOF semantics; among LEFT rows tied on (key, ts)
+    the greatest carry tuple wins — deterministic where pandas/DuckDB
+    leave the pick input-order-dependent). Returns the right rows plus
+    ``carry`` columns from the matched left row (null when no left row
+    precedes).
 
     One shuffle: both sides exchange once on ``key`` for the window sort.
 
@@ -66,9 +69,13 @@ def asof_join(
         F.lit(None).cast(lt.schema["_carry"].dataType).alias("_carry"),
         *right.columns,
     )
+    # _carry as the FINAL sort key: left rows tied on (key, ts) would
+    # otherwise be picked nondeterministically by last() (partition-order
+    # dependent). Greatest-struct wins — an arbitrary but DETERMINISTIC
+    # rule, stated in the docstring.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_carry")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt, allowMissingColumns=True).select(

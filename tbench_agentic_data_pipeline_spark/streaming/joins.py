@@ -50,13 +50,26 @@ def join_within_window(
     buffered left row is evictable once the right watermark passes
     ``left_ts + window``. The range predicate is REQUIRED — an equi-only
     stream-stream join must keep every row forever.
+
+    The result is COMPOSABLE: one ``key`` column survives, and every
+    right-side column that collides with a left-side name comes back
+    prefixed ``r_`` (with the defaults, right's ``ts`` → ``r_ts``) — no
+    ambiguous references for downstream selects or sinks.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
-    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
-    return lw.alias("l").join(
+    renames = {
+        c: f"r_{c}" for c in rw.columns if c != key and c in lw.columns
+    }
+    rw = rw.withColumnsRenamed(renames)
+    r_ts = renames.get(right_ts, right_ts)
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{r_ts}")
+    joined = lw.alias("l").join(
         rw.alias("r"),
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (rcol >= lcol)
         & (rcol <= lcol + F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        "l.*", *[F.col(f"r.{c}") for c in rw.columns if c != key]
     )

@@ -344,8 +344,10 @@ def test_stream_stream_join_within_window(spark, tmp_path):
         vstream, cstream, key="user", left_ts="ts", right_ts="cts",
         watermark="10 minutes", window="1 hour",
     )
+    # composable output: flat schema, no duplicate names, writable as-is
+    assert sorted(joined.columns) == ["cid", "cts", "ts", "user", "vid"]
     q = (
-        joined.select("l.vid", "r.cid")
+        joined.select("vid", "cid")
         .writeStream.format("memory")
         .queryName("vc_join")
         .outputMode("append")

@@ -133,6 +133,14 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         )
         for i in range(80)
     ]
+    # Dedupe (k, ts): merge_asof resolves left ties by INPUT position,
+    # asof_join by greatest carry tuple — equivalence only holds tie-free
+    # (the tie rule itself is pinned in the dedicated test below).
+    seen: set = set()
+    left_rows = [
+        r for r in left_rows if (r[0], r[1]) not in seen
+        and not seen.add((r[0], r[1]))
+    ]
     right_rows = [
         (
             rng.randrange(6),  # key 5 never on the left
@@ -150,9 +158,7 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         ).collect()
     }
 
-    # pandas merge_asof needs sorted frames; ties on ts within a key are
-    # broken by taking the LAST left row at that ts (same as the window's
-    # last() over ts-then-side ordering), which merge_asof also does.
+    # pandas merge_asof needs sorted frames (left ties removed above).
     lpd = pd.DataFrame(left_rows, columns=["k", "ts", "lv", "ltag"]).sort_values(
         ["ts", "k"], kind="stable"
     )
@@ -168,3 +174,22 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for row in merged.itertuples()
     }
     assert got == want
+
+
+def test_asof_join_left_ties_resolve_to_greatest_carry(spark):
+    # Two left rows at the SAME (key, ts): the greatest carry tuple wins,
+    # deterministically, regardless of input order or partitioning.
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 7, "b"),
+            (1, _ts("2024-01-01T10:00:00"), 7, "a"),
+            (1, _ts("2024-01-01T10:00:00"), 3, "z"),
+        ],
+        ["k", "ts", "lv", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T11:00:00"), "r1")], ["k", "ts", "rid"]
+    )
+    for lt in (left, left.orderBy(F.desc("tag")), left.repartition(3)):
+        row = asof_join(lt, right, key="k", ts="ts", carry=["lv", "tag"]).collect()[0]
+        assert (row.asof_lv, row.asof_tag) == (7, "b")
