@@ -285,34 +285,49 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable). The corpus side never shuffles on gram - the
     only exchange is the final per-doc count, bounded by hit rows.
     """
-    docs = spread_for_compute(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    )
+    raw = load_table(spark, sf_dir, "documents")
     g3 = F.array_distinct(word_ngrams(F.split("text", " "), 3))
-    # Two projections, NOT one: with size(g3) and explode(g3) in a single
-    # select, the analyzer inlines the full ngram expression into the
-    # post-Generate projection and recomputes it PER EXPLODED GRAM ROW
-    # (~n_grams× per doc — measured 255 s → 14 s at sf0.1). Materializing
-    # the array first makes the explode carry a column reference, so
-    # size() reads the already-built array.
-    pre = docs.select("doc_id", g3.alias("ga"))
-    grams = pre.select(
-        "doc_id",
-        F.size("ga").cast("bigint").alias("n_grams"),
-        F.explode("ga").alias("gram"),
+
+    # The ngram pipeline lives INLINE in each Generate: explode over a
+    # pre-projected HOF alias runs ~12× slower than the same expression
+    # inline in the generator (measured 7 s vs 0.6 s at sf0.1), and a
+    # size() sibling in the explode's select would get inlined into the
+    # post-Generate projection and recomputed per gram row (255 s
+    # before round 2). So the explode emits ONLY (doc_id, gram) and
+    # n_grams is recovered per doc by counting the exploded rows — exact
+    # because array_distinct makes gram rows unique within a doc.
+    def grams_of(docs: DataFrame) -> DataFrame:
+        return docs.select("doc_id", F.explode(g3).alias("gram"))
+
+    # Bench side from the UNSPREAD scan: its doc_id filter then pushes
+    # into the parquet read (a repartition blocks pushdown), so the
+    # broadcast subquery tokenizes only the 1/97 eval slice.
+    bench = (
+        grams_of(raw.where(F.col("doc_id") % 97 == 0))
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
-    hits = (
-        grams.where(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), "gram")
-        .groupBy("doc_id", "n_grams")
-        .agg(F.count("*").alias("n_overlap"))
+    corpus = grams_of(
+        spread_for_compute(raw.where(F.col("doc_id") % 97 != 0), "doc_id")
+    )
+    # ONE pass over the corpus grams: left-join the broadcast eval set,
+    # then a single per-doc aggregate yields both the gram total and the
+    # overlap count (map-side combinable).
+    per_doc = (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("hit").cast("bigint").alias("n_overlap"),
+        )
+        .where(F.col("n_overlap") > 0)
     )
     contam = F.expr("(n_overlap * 1000) div n_grams")
-    return hits.select(
+    return per_doc.select(
         "doc_id",
         "n_grams",
-        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        "n_overlap",
         contam.cast("bigint").alias("contam_milli"),
         (contam >= 50).alias("flagged"),
     )
