@@ -187,7 +187,18 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    q_type = queries.schema[query_key].dataType.simpleString()
+    c_type = corpus.schema[corpus_key].dataType.simpleString()
+    out_schema = f"{query_key} {q_type}, {corpus_key} {c_type}, cos double"
+
     qpd = queries.select(query_key, query_vec).toPandas()
+    if not len(qpd):
+        # fold twin returns empty on empty queries; match it
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(0))
+            .where(F.lit(False))
+        )
     q_ids = qpd[query_key].to_numpy()
     qm = np.stack(qpd[query_vec].to_numpy()).astype(np.float64)  # (m, d)
     q_norms = np.linalg.norm(qm, axis=1)
@@ -203,22 +214,25 @@ def brute_force_topk_arrow(
             c_norms[c_norms == 0.0] = np.inf
             cos = (cm @ qm.T) / np.outer(c_norms, q_norms)  # (b, m)
             top = min(k, len(keys))
-            # per-query local top-k: argpartition then exact sort of k
-            idx = np.argpartition(-cos, top - 1, axis=0)[:top]  # (top, m)
+            # Match the final window's TOTAL order locally — (cos desc
+            # with NaN greatest, key asc) — so boundary ties and NaN rows
+            # prune identically to what the global rank would keep:
+            # argpartition's arbitrary tie pick would make the result
+            # depend on Arrow batch boundaries.
+            sort_cos = np.where(np.isnan(cos), np.inf, cos)
+            parts = []
+            for j in range(len(q_ids)):
+                order = np.lexsort((keys, -sort_cos[:, j]))[:top]
+                parts.append((keys[order], cos[order, j]))
             out = {
                 query_key: np.repeat(q_ids, top),
-                corpus_key: np.concatenate(
-                    [keys[idx[:, j]] for j in range(len(q_ids))]
-                ),
-                "cos": np.concatenate(
-                    [cos[idx[:, j], j] for j in range(len(q_ids))]
-                ),
+                corpus_key: np.concatenate([p[0] for p in parts]),
+                "cos": np.concatenate([p[1] for p in parts]),
             }
             yield pd.DataFrame(out)
 
     candidates = corpus.select(corpus_key, corpus_vec).mapInPandas(
-        score_batches,
-        schema=f"{query_key} long, {corpus_key} long, cos double",
+        score_batches, schema=out_schema
     )
     w = Window.partitionBy(query_key).orderBy(F.desc("cos"), F.col(corpus_key))
     return candidates.withColumn("rank", F.row_number().over(w)).where(

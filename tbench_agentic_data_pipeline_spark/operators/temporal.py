@@ -55,6 +55,11 @@ def asof_join(
     row" from "preceding row with NULL value"). The struct is non-null
     exactly when a left row exists, so the matched row arrives whole —
     the row semantics of DuckDB ``ASOF JOIN`` / pandas ``merge_asof``.
+
+    RESTRICTION: ``carry`` columns must be ORDERABLE types (no maps) —
+    the struct serves as the deterministic tie-break sort key below; for
+    a map-typed carry, pass a sortable surrogate (e.g. its sorted
+    entries via ``map_entries`` + ``array_sort``) alongside it.
     """
     lt = left.select(
         F.lit(0).alias("_side"),

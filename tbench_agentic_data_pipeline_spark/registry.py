@@ -121,7 +121,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     # -- round-1 red rows, fixed this round ---------------------------------
     "a_approx_distinct",       # r1: no_oracle → r2: tolerance-flag oracle
     "so4_array_difference",    # r1: harness crash → r2: stringified output
-    # -- the 26 queries with no round-1 driver signal -----------------------
+    # -- the 27 queries with no round-1 driver signal -----------------------
     "dedup_simhash",
     "dedup_minhash_fast",
     "dedup_ngram_jaccard",

@@ -58,8 +58,17 @@ def join_within_window(
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
+    taken = set(lw.columns) | set(rw.columns)
+
+    def fresh(c: str) -> str:
+        new = f"r_{c}"
+        while new in taken:  # e.g. right already has a literal r_ts
+            new = f"r_{new}"
+        taken.add(new)
+        return new
+
     renames = {
-        c: f"r_{c}" for c in rw.columns if c != key and c in lw.columns
+        c: fresh(c) for c in rw.columns if c != key and c in lw.columns
     }
     rw = rw.withColumnsRenamed(renames)
     r_ts = renames.get(right_ts, right_ts)

@@ -195,7 +195,9 @@ def test_arrow_topk_matches_fold_baseline(spark):
         recall_at_k,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
     queries = emb.where(F.col("vec_id") < 3).select(
@@ -204,6 +206,9 @@ def test_arrow_topk_matches_fold_baseline(spark):
     exact = brute_force_topk(emb, queries, 5)
     fast = brute_force_topk_arrow(emb, queries, 5)
     assert recall_at_k(fast, exact, 5) == 1.0
+    # empty query set: both paths return empty instead of crashing
+    empty_q = queries.where(F.lit(False))
+    assert brute_force_topk_arrow(emb, empty_q, 5).count() == 0
     joined = (
         fast.select("q_id", "vec_id", F.col("cos").alias("cos_fast"))
         .join(exact.select("q_id", "vec_id", "cos"), ["q_id", "vec_id"])
