@@ -249,6 +249,64 @@ def simhash32(th_col: str) -> Column:
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    key_col: str,
+    sim_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup PAIRING: the step after :func:`simhash32`.
+
+    Splits each fingerprint into ``bands`` equal bit-slices; by
+    pigeonhole, two fingerprints within hamming distance
+    ``bands - 1`` (default ≤ 3) agree on at least one whole slice, so
+    bucket-joining on (band, slice-value) finds every such pair without
+    an all-pairs comparison — the same candidate machinery as MinHash
+    LSH (:func:`lsh_candidate_pairs` is reused verbatim, including its
+    ``max_bucket`` skew cap). Candidates are then verified with an exact
+    popcount of the XOR, so the output is exactly the pairs with
+    ``hamming <= max_hamming`` that share a band.
+
+    One bucket exchange + one keyed join back to fingerprints — the
+    O(n²) pairing at 100 TB becomes joins over hash buckets, like every
+    rung of the dedup ladder.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = F.array(*[
+        F.concat(
+            F.lit(f"{b}:"),
+            F.shiftright(F.col(sim_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("string"),
+        )
+        for b in range(bands)
+    ])
+    with_bands = df.select(key_col, slices.alias("bands"))
+    cand = lsh_candidate_pairs(
+        with_bands, key_col, "bands", max_bucket=max_bucket
+    )
+    fa = df.select(
+        F.col(key_col).alias("key_a"), F.col(sim_col).alias("_sim_a")
+    )
+    fb = df.select(
+        F.col(key_col).alias("key_b"), F.col(sim_col).alias("_sim_b")
+    )
+    hamming = F.bit_count(
+        F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))
+    ).cast("bigint")
+    return (
+        cand.join(fa, "key_a")
+        .join(fb, "key_b")
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
 def jaccard_milli(tokens_a: Column, tokens_b: Column) -> Column:
     """Jaccard similarity of two distinct-token arrays in integer
     thousandths. Exact integer arithmetic (floor of an exactly-representable

@@ -244,3 +244,40 @@ def test_connected_components_random_graphs_match_union_find(spark):
             r.node: r.label for r in connected_components(edges).collect()
         }
         assert got == union_find_labels(edge_list), f"seed {seed}"
+
+
+def test_simhash_near_pairs_exact_vs_exhaustive(spark):
+    # Banded candidate generation + popcount verify must return EXACTLY
+    # the pairs within hamming <= bands-1 of each other (pigeonhole
+    # guarantees no candidate is missed at that distance), checked
+    # against an exhaustive python all-pairs scan.
+    import itertools
+    import random
+
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    rng = random.Random(11)
+    base = rng.getrandbits(32)
+    fps = {0: base}
+    for i in range(1, 40):
+        if i % 3 == 0:  # near-dup of base: flip <= 3 bits
+            v, flips = base, rng.randrange(0, 4)
+            for b in rng.sample(range(32), flips):
+                v ^= 1 << b
+            fps[i] = v
+        else:
+            fps[i] = rng.getrandbits(32)
+    df = spark.createDataFrame(list(fps.items()), ["doc_id", "simhash"])
+    got = {
+        (r.key_a, r.key_b): r.hamming
+        for r in simhash_near_pairs(df, "doc_id", "simhash").collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        h = bin(fps[a] ^ fps[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
+    assert len(want) >= 5  # the construction must actually exercise it
