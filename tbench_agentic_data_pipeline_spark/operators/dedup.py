@@ -424,9 +424,9 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: 32-bit per-doc locality-sensitive hash via
     per-bit majority vote over token hashes — one higher-order-function
-    pass per row, zero shuffles. Near-dup pairing then groups on
-    fingerprint bands (hamming-distance candidates) — the signature is
-    the scale-critical part and what the oracle pins down."""
+    pass per row, zero shuffles. The pairing step is
+    :func:`simhash_near_pairs` (pigeonhole band buckets + popcount
+    verify); the signature is what the oracle pins down."""
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id", token_hashes32(F.split("text", " ")).alias("th")
