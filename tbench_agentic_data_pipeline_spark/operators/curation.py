@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tbench_agentic_data_pipeline_spark.catalog import load_table, spread_for_compute
+from tbench_agentic_data_pipeline_spark.catalog import (
+    load_table,
+    spread_for_compute,
+    table_path,
+)
 from tbench_agentic_data_pipeline_spark.registry import query
 
 
@@ -100,7 +104,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     was rejected for exactly that reason).
     """
     docs = spread_for_compute(
-        load_table(spark, sf_dir, "documents"), "doc_id"
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        source_path=table_path(sf_dir, "documents"),
     )
     w = F.split("text", " ")
     tagged = F.concat(
@@ -309,7 +315,11 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     corpus = grams_of(
-        spread_for_compute(raw.where(F.col("doc_id") % 97 != 0), "doc_id")
+        spread_for_compute(
+            raw.where(F.col("doc_id") % 97 != 0),
+            "doc_id",
+            source_path=table_path(sf_dir, "documents"),
+        )
     )
     # ONE pass over the corpus grams: left-join the broadcast eval set,
     # then a single per-doc aggregate yields both the gram total and the

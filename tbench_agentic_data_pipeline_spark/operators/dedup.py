@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tbench_agentic_data_pipeline_spark.catalog import load_table, spread_for_compute
+from tbench_agentic_data_pipeline_spark.catalog import (
+    load_table,
+    spread_for_compute,
+    table_path,
+)
 from tbench_agentic_data_pipeline_spark.registry import query
 
 
@@ -218,6 +222,49 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_stats(
+    df: DataFrame, key_col: str, band_col: str, max_bucket: int
+) -> DataFrame:
+    """Coverage accounting for the ``max_bucket`` skew cap ("no silent
+    caps", VERDICT r2 #4): one row summarizing what
+    ``lsh_candidate_pairs(..., max_bucket=max_bucket)`` kept vs dropped.
+
+    A bucket of m keys holds m·(m−1)/2 candidate pairs; buckets with
+    m > max_bucket are dropped wholesale by the cap, so ``dropped_pairs``
+    is an UPPER bound on lost candidate pairs (a dropped pair may still
+    surface via another band — pair-level recall loss is bounded by, not
+    equal to, this number). Run it next to the pair query on a real
+    corpus to decide whether the cap is a free skew guard or a real
+    recall cut; ``tests/test_lsh_bucket_stats.py`` pins both the exact
+    counts on a skewed fixture and the bound's direction.
+
+    Same single bucket exchange as the pair path (groupBy count on the
+    exploded band keys) — safe to run at 100 TB."""
+    exploded = df.select(
+        F.col(key_col),
+        F.posexplode_outer(F.col(band_col)).alias("b", "band_key"),
+    ).where(F.col("band_key").isNotNull())
+    sizes = (
+        exploded.groupBy("b", "band_key")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= 2)
+    )
+    pairs_of = (F.col("m") * (F.col("m") - 1) / 2).cast("bigint")
+    dropped = F.col("m") > max_bucket
+
+    def total(col: Column, name: str) -> Column:
+        # sum over empty/never-matching input is NULL → report 0.
+        return F.coalesce(F.sum(col), F.lit(0)).cast("bigint").alias(name)
+
+    return sizes.agg(
+        F.count(F.lit(1)).alias("total_buckets"),
+        total(F.when(dropped, 1), "dropped_buckets"),
+        total(F.when(~dropped, pairs_of), "kept_pairs"),
+        total(F.when(dropped, pairs_of), "dropped_pairs"),
+        F.coalesce(F.max("m"), F.lit(0)).cast("bigint").alias("max_bucket_size"),
+    )
+
+
 def token_hashes32(tokens: Column) -> Column:
     """32-bit token hashes from md5's first 8 hex chars — the
     oracle-reproducible hash; production swaps in masked ``xxhash64``."""
@@ -273,7 +320,21 @@ def simhash_near_pairs(
     One bucket exchange + one keyed join back to fingerprints — the
     O(n²) pairing at 100 TB becomes joins over hash buckets, like every
     rung of the dedup ladder.
+
+    COMPLETENESS CONTRACT: the pigeonhole guarantee only covers
+    ``max_hamming <= bands - 1`` — beyond that a pair can differ in every
+    band and never share a bucket, so we refuse loudly rather than return
+    silently-partial results. Separately, ``max_bucket`` drops oversized
+    buckets (skew guard); measure what that costs with
+    :func:`lsh_bucket_stats` before trusting recall on a skewed corpus.
     """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"bands-1={bands - 1}: pairs could differ in every band slice "
+            f"and be silently missed. Raise `bands` (more buckets, smaller "
+            f"slices) or lower `max_hamming`."
+        )
     width = bits // bands
     mask = (1 << width) - 1
     slices = F.array(*[
@@ -388,7 +449,11 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row projection; the only shuffles are the band-bucket join and the
     final distinct. This is the shape that replaces O(n²) comparison at
     corpus scale."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        source_path=table_path(sf_dir, "documents"),
+    )
     toks = F.split("text", " ")
     shingled = (
         docs.select("doc_id", toks.alias("w"))
@@ -427,7 +492,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass per row, zero shuffles. The pairing step is
     :func:`simhash_near_pairs` (pigeonhole band buckets + popcount
     verify); the signature is what the oracle pins down."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        source_path=table_path(sf_dir, "documents"),
+    )
     return docs.select(
         "doc_id", token_hashes32(F.split("text", " ")).alias("th")
     ).select("doc_id", simhash32("th").alias("simhash"))
@@ -439,7 +508,11 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     but signatures use seeded ``xxhash64`` (JVM-intrinsic, no hex-string
     materialization) — the variant you run on 100 TB. Rows-only check:
     DuckDB has no xxhash64, which is exactly why the md5 twin exists."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        source_path=table_path(sf_dir, "documents"),
+    )
     toks = F.split("text", " ")
     shingled = (
         docs.select("doc_id", toks.alias("w"))

@@ -1,0 +1,79 @@
+"""Catalog helpers: file-size-based scan-partition estimate (no .rdd probe).
+
+VERDICT r2 "What's wrong #3": the old ``df.rdd.getNumPartitions()`` probe
+re-analyzed the plan on every query invocation. The replacement derives the
+narrow/wide decision from cached file sizes; these tests pin the estimate
+against Spark's actual scan partitioning and the skip/repartition decision.
+"""
+
+from __future__ import annotations
+
+import os
+
+from tbench_agentic_data_pipeline_spark.catalog import (
+    _scan_partition_estimate,
+    load_table,
+    spread_for_compute,
+    table_path,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_estimate_matches_actual_scan_partitions(spark):
+    """On the tiny fixture, Spark produces 1 scan partition and so does
+    the estimate (same maxSplitBytes formula)."""
+    path = table_path(SF, "documents")
+    est = _scan_partition_estimate(path, 134_217_728, 4_194_304, 32)
+    actual = spark.read.parquet(path).rdd.getNumPartitions()
+    assert est == actual == 1
+
+
+def test_estimate_scales_with_split_bytes():
+    path = table_path(SF, "documents")
+    size = os.path.getsize(path)
+    tiny_split = max(1, size // 8)
+    est = _scan_partition_estimate(path, tiny_split, 0, 1)
+    assert est >= 8
+
+
+def test_estimate_none_for_missing_path():
+    assert _scan_partition_estimate("/no/such/file.parquet", 1, 0, 1) is None
+
+
+def test_spread_repartitions_narrow_input(spark):
+    df = load_table(spark, SF, "documents")
+    out = spread_for_compute(
+        df, "doc_id", source_path=table_path(SF, "documents")
+    )
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_spread_skips_wide_input(spark):
+    """When the estimate says the scan is already at full parallelism, the
+    input DataFrame is returned untouched — no exchange added."""
+    df = load_table(spark, SF, "documents")
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    size = os.path.getsize(table_path(SF, "documents"))
+    try:
+        # Force maxPartitionBytes so small that even the tiny fixture
+        # splits into >= defaultParallelism chunks.
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            str(max(1, size // (spark.sparkContext.defaultParallelism * 2))),
+        )
+        out = spread_for_compute(
+            df, "doc_id", source_path=table_path(SF, "documents")
+        )
+        assert out is df
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_spread_without_path_repartitions(spark):
+    df = load_table(spark, SF, "documents")
+    out = spread_for_compute(df, "doc_id")
+    assert out is not df
