@@ -96,79 +96,73 @@ def query(
 
 
 # Explicit evaluation-priority order. The external driver evaluates only a
-# fixed-size prefix of queries() (observed: first 50 entries, VERDICT.md r1),
-# so prefix membership decides which queries get an external CORRECTNESS
-# row. This list holds EXACTLY the 50 highest-information entries:
-# 1 proven sentinel (flagship), the 2 round-1 red rows (fixed this round
-# — their green flip is the proof), then every query that has never had
-# a driver row: 27 past round 1's cutoff plus 20 added this round. All
-# rotated-out queries stay pinned by the local parity harness
-# (tests/test_oracle_parity.py), which checks ALL of them.
+# fixed-size prefix of queries() (observed: first 50 entries in BOTH r1 and
+# r2), so prefix membership decides which queries get an external
+# CORRECTNESS row. Round-3 rotation (VERDICT r2 "Next round" #1): all 47
+# queries whose only driver row is round-1 rotate back IN — shared helpers
+# (`spread_for_compute`, shingle guards, `stable_round`) changed underneath
+# them since that row — plus 3 round-2-green sentinels: the flagship, the
+# r1-crash fix (so4), and the most intricate r2 addition
+# (dedup_cluster_components, whose pipeline composes minhash+LSH+pointer
+# jumping). Everything rotated out keeps its r2-green row and stays pinned
+# by the local parity harness (tests/test_oracle_parity.py), which checks
+# ALL queries with the driver's own gate.
 # INVARIANT (enforced in tests/test_registry_meta.py): any NEW
 # oracle-backed query must be added to this list — never registered
 # outside the window, where it would get zero external signal.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- sentinel from round-1-green families -------------------------------
-    # (dedup_minhash_bands rotated out: ngram_jaccard and
-    # cluster_components below COMPOSE it, so its pipeline stays
-    # driver-exercised without holding a slot. st1_claim_assignment
-    # rotated out for w1_ordered_scan — the claim protocol keeps its
-    # local equivalence proof and r1-green row, while W1 was the last §2
-    # id with no dedicated driver row.)
+    # -- round-2-green sentinels --------------------------------------------
     "flagship_pricing_summary",
-    # -- round-2 addition: last §2 id without a dedicated driver row --------
-    "w1_ordered_scan",
-    # -- round-1 red rows, fixed this round ---------------------------------
-    "a_approx_distinct",       # r1: no_oracle → r2: tolerance-flag oracle
-    "so4_array_difference",    # r1: harness crash → r2: stringified output
-    # -- the 27 queries with no round-1 driver signal -----------------------
-    "dedup_simhash",
-    "dedup_minhash_fast",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "sim_topk_cosine",
-    "sim_lsh_buckets",
-    "sim_ivf_probe",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
-    "text_normalize",
-    "text_chunking",
-    "text_stratified_sample",
-    "text_sequence_packing",
-    "text_fingerprint",
-    "pipeline_corpus_build",
-    "mm_decode_features",
-    "f_string_gauntlet",
-    "f_json_gauntlet",
-    "f_datetime_gauntlet",
-    "f_substring_extract",
-    "f_markdown_render",
-    "f_line_cleanup",
-    "x1_ast_test_discovery",
-    "st_tumbling_window",
-    "st_sliding_window",
-    "st_session_windows",
-    # -- round-2 additions (no driver signal yet) ---------------------------
-    "sim_quantized_topk",
-    "x6_test_codegen",
-    "st_dedup_watermark",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "a_retention_cohorts",
-    "a_value_histogram",
+    "so4_array_difference",
     "dedup_cluster_components",
-    "text_tfidf_topk",
-    "text_repetition_filter",
-    "text_pii_redaction",
-    "text_contamination",
-    "text_mixture_weights",
-    "j_asof_last_view",
-    "j_range_incident_window",
-    "events_funnel",
-    "a_approx_percentile",
+    # -- the 47 round-1-green queries, re-confirmed after helper churn ------
+    "p1_point_lookup",
+    "p2_filter_project",
+    "p3_first_match_claim",
+    "p4_existence_guard",
+    "p5_stage_predicate",
+    "p6_timeout_predicate",
+    "p7_ownership_predicate",
+    "p8_prefix_projection",
+    "j1_semi_join_customers_with_orders",
+    "j2_anti_join_customers_without_orders",
+    "j3_full_outer_reconciliation",
+    "j4_parent_child_counts",
+    "j5_broadcast_dim_join",
+    "a1_status_histogram_zero_filled",
+    "a4_completion_rate",
+    "a5_map_value_sum_check",
+    "a6_error_rollup",
+    "a_salted_sum",
+    "a8_distinct_users_per_type",
+    "a_rollup_revenue",
+    "a_pivot_type_by_dow",
+    "a_percentiles",
+    "a_stats_gauntlet",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "so1_union_by_name",
+    "so2_delete_by_key",
+    "so3_key_set_difference",
+    "w2_global_topn",
+    "w3_pergroup_topn",
+    "w4_fifo_claim_order",
+    "w5_running_total",
+    "w6_lag_gap_seconds",
+    "u1_keyed_patch",
+    "u2_map_mutation",
+    "u3_claim_transition",
+    "u4_complete_transition",
+    "u6_timeout_release",
+    "u8_production_derivation",
+    "st1_claim_assignment",
+    "x7_validation_pipeline",
+    "a8_pytest_summary_parse",
+    "x_fail_first_policy",
+    "dedup_exact",
+    "dedup_minhash_bands",
 )
 
 
