@@ -1,0 +1,93 @@
+"""The ``max_bucket`` skew cap must be measurable, not silent (VERDICT r2
+"What's wrong #4"): ``lsh_bucket_stats`` counts what the cap drops, and a
+deliberately skewed fixture pins both the exact accounting and the recall
+the cap actually costs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+import pytest
+
+from tbench_agentic_data_pipeline_spark.operators.dedup import (
+    lsh_bucket_stats,
+    lsh_candidate_pairs,
+    simhash_near_pairs,
+)
+
+
+def _banded(spark, hot: int, cold_pairs: int):
+    """Synthetic banded frame: one hot bucket with ``hot`` keys (the skew —
+    think boilerplate docs sharing a band) plus ``cold_pairs`` well-behaved
+    2-key buckets."""
+    rows = [(k, ["hot"]) for k in range(hot)]
+    kid = hot
+    for p in range(cold_pairs):
+        rows += [(kid, [f"cold{p}"]), (kid + 1, [f"cold{p}"])]
+        kid += 2
+    return spark.createDataFrame(rows, "key bigint, bands array<string>")
+
+
+def test_stats_account_for_every_bucket(spark):
+    df = _banded(spark, hot=9, cold_pairs=4)
+    s = lsh_bucket_stats(df, "key", "bands", max_bucket=5).collect()[0]
+    assert s.total_buckets == 5          # 1 hot + 4 cold
+    assert s.dropped_buckets == 1
+    assert s.kept_pairs == 4             # the cold 2-key buckets
+    assert s.dropped_pairs == 9 * 8 // 2  # hot bucket's C(9,2)
+    assert s.max_bucket_size == 9
+
+
+def test_dropped_pairs_bounds_actual_recall_loss(spark):
+    """Pairs lost by the cap == uncapped − capped output; the stats'
+    dropped_pairs is an upper bound (tight here: one band, no rescue via
+    other bands)."""
+    df = _banded(spark, hot=9, cold_pairs=4)
+    capped = lsh_candidate_pairs(df, "key", "bands", max_bucket=5)
+    uncapped = lsh_candidate_pairs(df, "key", "bands", max_bucket=None)
+    lost = uncapped.count() - capped.count()
+    s = lsh_bucket_stats(df, "key", "bands", max_bucket=5).collect()[0]
+    assert lost == 36
+    assert s.dropped_pairs >= lost
+
+
+def test_multiband_rescue_makes_bound_conservative(spark):
+    """A pair dropped from an oversized bucket can still surface through a
+    second, smaller bucket — dropped_pairs over-counts by exactly those
+    rescues, which is why it is a bound and not an equality."""
+    # keys 0..5 share band 'hot' (dropped at cap 4); keys 0,1 also share
+    # 'side', so pair (0,1) survives the cap.
+    rows = [(k, ["hot", "side"] if k < 2 else ["hot"]) for k in range(6)]
+    df = spark.createDataFrame(rows, "key bigint, bands array<string>")
+    capped = {
+        (r.key_a, r.key_b)
+        for r in lsh_candidate_pairs(df, "key", "bands", max_bucket=4).collect()
+    }
+    assert capped == {(0, 1)}
+    s = lsh_bucket_stats(df, "key", "bands", max_bucket=4).collect()[0]
+    assert s.dropped_pairs == 15         # C(6,2) from the hot bucket
+    # actual loss is 14 (pair (0,1) rescued) — strictly below the bound.
+    assert s.dropped_pairs > 15 - 1 - 0  # bound is conservative
+
+
+def test_stats_zero_when_nothing_dropped(spark):
+    df = _banded(spark, hot=2, cold_pairs=2)
+    s = lsh_bucket_stats(df, "key", "bands", max_bucket=100).collect()[0]
+    assert s.dropped_buckets == 0 and s.dropped_pairs == 0
+    assert s.kept_pairs == 3
+
+
+def test_empty_input_yields_typed_zero_row(spark):
+    df = spark.createDataFrame([], "key bigint, bands array<string>")
+    s = lsh_bucket_stats(df, "key", "bands", max_bucket=10).collect()[0]
+    assert (
+        s.total_buckets, s.dropped_buckets, s.kept_pairs,
+        s.dropped_pairs, s.max_bucket_size,
+    ) == (0, 0, 0, 0, 0)
+
+
+def test_simhash_pigeonhole_guard_raises(spark):
+    """ADVICE r2: max_hamming beyond bands-1 breaks the pigeonhole
+    completeness guarantee — must refuse, not silently under-report."""
+    df = spark.createDataFrame([(1, 3)], "key bigint, sim bigint")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(df, "key", "sim", max_hamming=5, bands=4)
