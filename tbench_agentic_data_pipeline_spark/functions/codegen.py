@@ -154,6 +154,7 @@ _RUN_PYTEST_SH = """\
 set -u
 
 PYTHON_CMD="${PYTHON_CMD:-python3}"
+TEST_DIR="${TEST_DIR:-/tests/tests}"
 exec "$PYTHON_CMD" -m pytest "$TEST_DIR/test_outputs.py" -rA
 """
 
@@ -190,7 +191,14 @@ def write_test_bundles(assembled: DataFrame, out_dir: str) -> list[str]:
     written: list[str] = []
     scripts = script_artifacts()
     for row in assembled.toLocalIterator():
-        bundle = os.path.join(out_dir, str(row[0]))
+        key = str(row[0])
+        # The group key names a directory UNDER out_dir; a key containing
+        # a separator or '..' would write outside it. Refuse, don't mangle
+        # — a surprising key means bad upstream grouping, not a filename
+        # problem.
+        if os.sep in key or (os.altsep and os.altsep in key) or ".." in key:
+            raise ValueError(f"task key {key!r} is not a safe bundle name")
+        bundle = os.path.join(out_dir, key)
         os.makedirs(os.path.join(bundle, "tests"), exist_ok=True)
         with open(
             os.path.join(bundle, "tests", "test_outputs.py"), "w"

@@ -97,8 +97,17 @@ def asof_join(
     survey="J4,W1,F17",
     oracle="""
         WITH views AS (
-            SELECT user_id, ts, event_id, value FROM events
-            WHERE event_type = 'view'
+            -- pre-dedup to ONE view per (user_id, ts): DuckDB ASOF's pick
+            -- among equal timestamps is unspecified, Spark's tie-break is
+            -- greatest carry struct = max event_id (event_id leads the
+            -- struct). Keeping only that row makes both engines agree
+            -- even if a future fixture contains duplicate view times.
+            SELECT user_id, ts, event_id, value FROM (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'view'
+            ) WHERE rn = 1
         ),
         clicks AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
