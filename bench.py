@@ -30,21 +30,52 @@ HEADLINE = [
     "so1_union_by_name",
     "dedup_exact",
     "dedup_minhash_fast",
-    "sim_topk_cosine",
+    "sim_topk_cosine_arrow",
     "text_quality_score",
     "st_session_windows",
+    # heavy round-2 additions under regression tracking (VERDICT r2 #6):
+    "dedup_cluster_components",
+    "text_contamination",
+    "text_tfidf_topk",
 ]
+
+
+def _extra_queries():
+    """Benched production paths that are deliberately NOT registry entries:
+    sim_topk_cosine_arrow is the GEMM twin of the oracle-gated fold query
+    (ulp-level float divergence keeps it off the hash gate; the bench must
+    measure the production path)."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        sim_topk_cosine_arrow,
+    )
+
+    return {"sim_topk_cosine_arrow": sim_topk_cosine_arrow}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
-    entries = registry.collect()
-    names = [n for n in HEADLINE if n in entries] or sorted(entries)
-    # Warm the JVM + parquet footers once with the cheapest query.
+    fns = {n: e.fn for n, e in registry.collect().items()}
+    fns.update(_extra_queries())
+    names = [n for n in HEADLINE if n in fns] or sorted(fns)
+    # Warm the JVM + parquet footers once with the cheapest query, and
+    # pre-spawn the Python worker pool (first mapInPandas pays ~7 s of
+    # parallel pandas imports across 32 workers — session infrastructure,
+    # like JVM startup, not per-query work; measured 8.4 s cold → 1.1 s
+    # warm for the same query).
     try:
-        entries[names[0]].fn(spark, sf_dir).count()
+        fns[names[0]](spark, sf_dir).count()
+        parallelism = spark.sparkContext.defaultParallelism
+
+        def _touch(batches):
+            yield from batches
+
+        (
+            spark.range(parallelism * 4, numPartitions=parallelism)
+            .mapInPandas(_touch, "id long")
+            .count()
+        )
     except Exception:
         pass
 
@@ -53,7 +84,7 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         try:
-            df = entries[name].fn(spark, sf_dir)
+            df = fns[name](spark, sf_dir)
             # Force full materialization of every output row.
             df.write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)

@@ -216,3 +216,21 @@ def test_arrow_topk_matches_fold_baseline(spark):
         .first()
     )
     assert joined["d"] < 1e-9
+
+
+def test_arrow_wrapper_matches_registered_query(spark):
+    # sim_topk_cosine_arrow is the benched production twin of the
+    # registered sim_topk_cosine; same (q_id, vec_id, rank) result set.
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        sim_topk_cosine,
+        sim_topk_cosine_arrow,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    keyed = lambda df: {
+        (r.q_id, r.vec_id, r.rank) for r in df.collect()
+    }
+    assert keyed(sim_topk_cosine_arrow(spark, SF_SMOKE)) == keyed(
+        sim_topk_cosine(spark, SF_SMOKE)
+    )
