@@ -609,7 +609,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+    broadcast_labels_below: int = 5_000_000,
 ) -> DataFrame:
     """Min-label propagation connected components over an undirected edge
     list: every node ends up labeled with the smallest node id in its
@@ -627,25 +631,42 @@ def connected_components(
     candidate generation — must not re-execute every round) and
     truncates label lineage so plans don't grow. The per-round driver
     action is a scalar convergence count, never row data.
+
+    JOIN STRATEGY is picked once from the measured node count (the
+    convergence loop needs that scalar anyway): checkpointed RDDs carry
+    no size stats, so Catalyst defaults both per-round joins to shuffle
+    joins even for a few hundred labels — measured 4.1 s for 787 nodes,
+    pure shuffle/scheduling overhead. Below ``broadcast_labels_below``
+    nodes the label table is broadcast (each round = one groupBy shuffle,
+    no join exchanges); above it the keyed shuffle joins remain — the
+    only shape that works when labels are billions of rows.
     """
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .localCheckpoint()
-    )
+    # Checkpoint the DIRECTED edges first, then mirror: unionAll references
+    # its input twice, and Spark shares no work between union branches —
+    # symmetrizing the raw `edges` would execute the upstream pipeline
+    # (at corpus scale a full LSH candidate generation) twice. Mirroring
+    # the checkpointed base is two in-memory scans.
+    base = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint()
+    sym = base.unionAll(base.select(F.col("d").alias("s"), F.col("s").alias("d")))
     labels = (
         sym.select(F.col("s").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    small = labels.count() <= broadcast_labels_below
+    hint = F.broadcast if small else (lambda df: df)
     for _ in range(max_iters):
         nbr_min = (
-            sym.join(labels, sym.s == labels.node)
+            sym.join(hint(labels), sym.s == labels.node)
             .groupBy("d")
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = labels.join(nbr_min, labels.node == nbr_min.d, "left").select(
+        stepped = labels.join(
+            hint(nbr_min), labels.node == nbr_min.d, "left"
+        ).select(
             "node",
             "label",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
@@ -660,7 +681,7 @@ def connected_components(
             F.col("node").alias("pj_node"), F.col("label").alias("pj_label")
         )
         jumped = (
-            stepped.join(lab2, stepped.mid_label == lab2.pj_node, "left")
+            stepped.join(hint(lab2), stepped.mid_label == lab2.pj_node, "left")
             .select(
                 "node",
                 "label",
