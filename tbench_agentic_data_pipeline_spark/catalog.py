@@ -65,12 +65,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col] if col in df.columns else None
-        if field is not None and isinstance(field.dataType, T.LongType):
+        if field is None:
+            continue
+        if isinstance(field.dataType, T.LongType):
             # nanos → micros. Integer `div`, NOT `/`: float division of
             # epoch-nanos (~1.7e18 > 2^53) silently loses precision.
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"{col} div 1000L"))
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Fixture generations vary: TIMESTAMP(NANOS) long-encoded vs
+            # TIMESTAMP(MICROS) isAdjustedToUTC=false (read as NTZ). The
+            # engine (and its DuckDB-hash-verified outputs) is typed
+            # against TimestampType; under the UTC session timezone the
+            # cast is value-preserving, and NTZ-rejecting functions
+            # (unix_millis et al.) keep working.
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 
