@@ -17,14 +17,23 @@ destination-first moves).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tbench_agentic_data_pipeline_spark.functions.vocab import check_category, check_tags
 from tbench_agentic_data_pipeline_spark.operators.aggregates import map_sum_check
 from tbench_agentic_data_pipeline_spark.operators.joins import semi_join
+from tbench_agentic_data_pipeline_spark.sources.readers import PRODUCTION_COLUMNS
 from tbench_agentic_data_pipeline_spark.operators.mutations import deterministic_id
 from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable, move_rows
+
+
+def _now_iso() -> str:
+    """UTC now in the reference's stamp format
+    (``datetime.now(timezone.utc).isoformat()`` — microseconds, +00:00)."""
+    return datetime.now(timezone.utc).isoformat()
 
 
 @dataclass
@@ -78,51 +87,97 @@ class DatapointPipeline:
     # -- stage for review (add_dp_to_review.py) ---------------------------
     def submit_for_review(self, task_ids: list[str]) -> tuple[int, int]:
         """Move rows staging→review, destination first
-        (``add_dp_to_review.py:255-264``), normalized to the review schema
-        (reviewed_at added empty)."""
+        (``add_dp_to_review.py:255-264``), normalized to the review schema.
+
+        ``reviewed_at`` is stamped with the MOVE timestamp — the
+        reference's semantic (``add_dp_to_review.py:88``): in its review
+        CSV the field records when the row entered review, and approve /
+        cancel overwrite it with their own timestamp. All 234 shipped
+        review rows carry a non-empty value."""
         moving = (
             self.staging.read()
             .where(F.col("task_id").isin(task_ids))
-            .withColumn("reviewed_at", F.lit(""))
+            .withColumn("reviewed_at", F.lit(_now_iso()))
         )
         return move_rows(self.staging, self.review, moving, "task_id")
 
     # -- approve (approve_datapoint.py) -----------------------------------
     def approve(self, task_id: str, category: str, tags: str) -> int:
-        """Derive the production row (U8), stamp reviewed_at (U9), append
-        to production, mark reviewed in review. Refuses rows already
-        reviewed (P5 stage predicate)."""
-        row = self.review.read().where(F.col("task_id") == task_id)
-        if row.limit(1).count() == 0:
-            raise KeyError(f"{task_id} not in review")
-        if row.where(F.col("reviewed_at") != "").limit(1).count() > 0:
-            raise ValueError(f"{task_id} already reviewed")
-        now = F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX")
-        prod_row = row.select(
+        """Approve one reviewed datapoint — see :meth:`approve_many`."""
+        return self.approve_many({task_id: (category, tags)})
+
+    def approve_many(self, decisions: dict[str, tuple[str, str]]) -> int:
+        """Batch approve: derive production rows (U8), append to
+        production, stamp reviewed_at (U9) — ONE production version and
+        ONE review commit for the whole batch.
+
+        Reference parity (``approve_datapoint.py:82-167``):
+
+        - category/tags validated against the closed vocabulary
+          (``shared_tools/categories_tags.py``) before anything is read;
+        - the double-approve guard is a PRODUCTION-duplicate check
+          (``approve_datapoint.py:103-107``) — the reference does NOT
+          refuse on reviewed_at (that field holds the added-to-review
+          stamp, see :meth:`submit_for_review`);
+        - the production row passes staging fields through VERBATIM;
+          the 'medium'/'{{}}'/now fallbacks fire only when the COLUMN is
+          absent from the review table (``dict.get`` on a DictReader row
+          defaults only for missing columns, never empty cells);
+        - ``title`` = task_id, ``use_case_category`` = ``category`` =
+          the decision's category; field order per ``PRODUCTION_COLUMNS``.
+
+        Decisions are human review output — inherently driver-small — so
+        they join in as a broadcast literal table; the corpus side stays
+        distributed.
+        """
+        for task_id, (category, tags) in decisions.items():
+            check_category(category)
+            check_tags(tags)
+        review = self.review.read()
+        dec_df = self.spark.createDataFrame(
+            [(t, c, g) for t, (c, g) in decisions.items()],
+            "task_id string, _category string, _tags string",
+        )
+        picked = review.join(F.broadcast(dec_df), "task_id", "inner")
+        found = {r["task_id"] for r in picked.select("task_id").collect()}
+        missing = sorted(set(decisions) - found)
+        if missing:
+            raise KeyError(f"not in review: {', '.join(missing)}")
+        if self.production.current_version() is not None:
+            dup = semi_join(
+                dec_df, self.production.read().select("task_id"), "task_id"
+            )
+            dup_ids = sorted(r["task_id"] for r in dup.select("task_id").collect())
+            if dup_ids:
+                raise ValueError(
+                    "already exists in production dataset: " + ", ".join(dup_ids)
+                )
+        now = _now_iso()
+        has = set(picked.columns)
+        col_or = lambda c, d: (F.col(c) if c in has else F.lit(d)).alias(c)
+        prod_rows = picked.select(
             "task_id",
-            F.coalesce(F.nullif(F.col("difficulty"), F.lit("")), F.lit("medium")).alias(
-                "difficulty"
-            ),
+            col_or("difficulty", "medium"),
             F.col("task_id").alias("title"),
-            F.lit(category).alias("use_case_category"),
+            F.col("_category").alias("use_case_category"),
             "prompt",
+            F.col("_category").alias("category"),
+            F.col("_tags").alias("tags"),
             "dockerfile",
             "test_functions",
             "test_weights",
-            F.coalesce(
-                F.nullif(F.col("additional_files"), F.lit("")), F.lit("{}")
-            ).alias("additional_files"),
-            F.lit(category).alias("category"),
-            F.lit(tags).alias("tags"),
-            "created_at",
-            "updated_at",
+            col_or("additional_files", "{}"),
+            col_or("created_at", now),
+            col_or("updated_at", now),
         )
-        v = self.production.append(prod_row)
-        reviewed = self.review.read().withColumn(
+        v = self.production.append(prod_rows.select(*PRODUCTION_COLUMNS))
+        stamped = review.withColumn(
             "reviewed_at",
-            F.when(F.col("task_id") == task_id, now).otherwise(F.col("reviewed_at")),
+            F.when(
+                F.col("task_id").isin(list(decisions)), F.lit(now)
+            ).otherwise(F.col("reviewed_at")),
         )
-        self.review.commit(reviewed, operation="review_stamp")
+        self.review.commit(stamped, operation="review_stamp")
         return v
 
     # -- re-verify (create_verified_csv.py) -------------------------------

@@ -26,9 +26,11 @@ STAGING_COLUMNS: tuple[str, ...] = (
 )
 REVIEW_COLUMNS: tuple[str, ...] = STAGING_COLUMNS + ("reviewed_at",)
 PRODUCTION_COLUMNS: tuple[str, ...] = (
+    # Field order matches the reference's production CSV header
+    # (``approve_datapoint.py:108-113``).
     "task_id", "difficulty", "title", "use_case_category", "prompt",
-    "dockerfile", "test_functions", "test_weights", "additional_files",
-    "category", "tags", "created_at", "updated_at",
+    "category", "tags", "dockerfile", "test_functions", "test_weights",
+    "additional_files", "created_at", "updated_at",
 )
 
 # Task-store schema (task_manager/README.md; ``task_manager.py:51-62``).

@@ -44,24 +44,37 @@ def test_full_lifecycle(spark, tmp_path):
     ids = [r["task_id"] for r in verdicts]
     assert all(i.startswith("draft_dp_") for i in ids)
 
-    # move one to review — destination-first, staging shrinks
+    # move one to review — destination-first, staging shrinks; the move
+    # stamps reviewed_at (reference semantic, add_dp_to_review.py:88)
     pipe.submit_for_review([ids[0]])
     assert pipe.review.read().count() == 1
     assert pipe.staging.read().count() == 1
+    move_stamp = pipe.review.read().collect()[0]["reviewed_at"]
+    assert move_stamp != ""
 
-    # approve → production row derived with defaults + review stamped
-    pipe.approve(ids[0], category="debugging", tags="python|testing")
+    # vocabulary guard fires before any mutation
+    with pytest.raises(ValueError, match="invalid category"):
+        pipe.approve(ids[0], category="not-a-category", tags="python")
+    with pytest.raises(ValueError, match="invalid tags"):
+        pipe.approve(ids[0], category="debugging", tags="python|not-a-tag")
+
+    # approve → production row derived verbatim + review re-stamped
+    pipe.approve(ids[0], category="debugging", tags="python|unit-testing")
     prod = pipe.production.read().collect()
     assert len(prod) == 1
     row = prod[0]
     assert row["title"] == ids[0]
     assert row["category"] == "debugging"
-    assert row["additional_files"] == "{}"
-    stamped = pipe.review.read().where(F.col("reviewed_at") != "").count()
-    assert stamped == 1
+    assert row["use_case_category"] == "debugging"
+    # verbatim passthrough: empty additional_files stays empty (the
+    # reference's '{}' default only fires for a MISSING column)
+    assert row["additional_files"] == ""
+    approve_stamp = pipe.review.read().collect()[0]["reviewed_at"]
+    assert approve_stamp >= move_stamp
 
-    # double-approve refused (P5 stage predicate)
-    with pytest.raises(ValueError, match="already reviewed"):
+    # double-approve refused by the production-duplicate guard
+    # (approve_datapoint.py:103-107 — NOT a reviewed_at check)
+    with pytest.raises(ValueError, match="already exists in production"):
         pipe.approve(ids[0], category="debugging", tags="python")
 
     # verified semi-join: only completed validation tasks survive
