@@ -656,8 +656,25 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
-    small = labels.count() <= broadcast_labels_below
+    n_nodes = labels.count()
+    small = n_nodes <= broadcast_labels_below
     hint = F.broadcast if small else (lambda df: df)
+    # Loop parallelism follows the MEASURED graph size, not the session
+    # shuffle default: every round schedules several stages over the label
+    # table, and a near-dup graph is a tiny fraction of the corpus (here
+    # ~1k nodes spread over 32 partitions → 32 near-empty tasks per stage,
+    # pure scheduling overhead — measured ~2× the loop's wall time). One
+    # partition per ~1M nodes keeps tasks meaningful at any scale; the
+    # coalesce is narrow (no shuffle) on the already-checkpointed tables.
+    loop_parts = max(
+        1,
+        min(
+            int(n_nodes // 1_000_000) + 1,
+            edges.sparkSession.sparkContext.defaultParallelism,
+        ),
+    )
+    sym = sym.coalesce(loop_parts)
+    labels = labels.coalesce(loop_parts)
     for _ in range(max_iters):
         nbr_min = (
             sym.join(hint(labels), sym.s == labels.node)
