@@ -647,3 +647,371 @@ def a_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: the hard TPC-H shapes — decorrelation, disjunctive
+# pushdown, scalar-subquery joins, grouping sets. Adapted to the driver
+# fixture schema (no partsupp/commitdate/container columns).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_volume",
+    survey="J5,A4,F16",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation table joins in TWO ROLES (supplier side and
+    customer side) — both broadcast; the disjunctive two-direction
+    predicate applies after both roles resolve, so Catalyst pushes each
+    nation-name filter into its own broadcast build side. Only the
+    order⋈lineitem spine shuffles."""
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    survey="J5,A4,F21",
+    oracle="""
+        SELECT l_year,
+               ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE 0 END), 2) AS nation_revenue,
+               ROUND(SUM(volume), 2)          AS total_revenue
+        FROM (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n1.n_name AS supp_nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            JOIN region r   ON n2.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        ) all_nations
+        GROUP BY l_year
+        ORDER BY l_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    revenue by order year. Emits numerator and denominator as two
+    rounded sums (exact cross-engine hashing; the ratio is a trivial
+    client-side divide). Every dim broadcasts; the conditional sum is a
+    map-side CASE feeding ONE partial aggregate — not two scans."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(
+        nation.join(
+            region.where(F.col("r_name") == "ASIA"),
+            nation.n_regionkey == region.r_regionkey,
+        ).select(F.col("n_nationkey").alias("n2_key"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)
+                ), 2,
+            ).alias("nation_revenue"),
+            F.round(F.sum(volume), 2).alias("total_revenue"),
+        )
+        .orderBy("l_year")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    survey="A4,W2,J5",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier half-year revenue, keep the max.
+    The scalar subquery decorrelates to a broadcast single-row join (the
+    MAX over the same aggregate, reused); comparison happens on the
+    ROUNDED cents both sides so the equality is exact. The revenue
+    aggregate shuffles once on l_suppkey; supplier broadcasts."""
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    revenue = lineitem.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = F.broadcast(revenue.agg(F.max("total_revenue").alias("__max_rev")))
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        revenue.join(top, revenue.total_revenue == top.__max_rev)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    survey="J4,A4,P2",
+    oracle="""
+        WITH part_avg AS (
+            SELECT l_partkey, AVG(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN part_avg a ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1' AND p.p_size < 10
+          AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated AVG subquery decorrelated into a
+    per-part aggregate joined back to the fact — one shuffle on partkey
+    for the aggregate, then the filtered fact joins it (and the brand/
+    size-filtered part dim, broadcast). Quantities are integer-valued
+    doubles, so AVG is exact in both engines and the 0.5× threshold
+    compare cannot drift. (Fixture has no p_container; brand+size is the
+    selective stand-in.)"""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10)
+        )
+    )
+    part_avg = lineitem.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(part_avg, lineitem.l_partkey == F.col("pa_key"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    survey="P2,A4",
+    oracle="""
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd brand/size/quantity windows. The
+    union-of-ranges predicate straddles both tables, but its
+    single-table implications ARE derivable and Catalyst derives them:
+    the part scan gets the brand/size disjunction, the lineitem scan the
+    quantity envelope (`l_quantity BETWEEN 1 AND 30` pushed to parquet),
+    and the residual OR evaluates after the broadcast join."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    survey="J2,A4,P4",
+    oracle="""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT)      AS numcust,
+               ROUND(SUM(c.c_acctbal), 2)    AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+              )
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no RECENT order, by
+    segment. The scalar AVG subquery broadcasts as a single-row join;
+    NOT EXISTS is a LEFT ANTI join on o_custkey (J2) whose date filter
+    pushes into the orders scan; then one grouped aggregate. (Fixture
+    has no c_phone, so the segment plays the country-code role, and
+    every customer has SOME order, so dormancy is recency-based.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = F.broadcast(
+        customer.where(F.col("c_acctbal") > 0.0).agg(
+            F.avg("c_acctbal").alias("__avg_bal")
+        )
+    )
+    return (
+        customer.join(avg_bal, customer.c_acctbal > F.col("__avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "a_cube_priority_status",
+    survey="A1,A3,A7",
+    oracle="""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL')   AS status,
+               CAST(COUNT(*) AS BIGINT)         AS n_orders,
+               ROUND(SUM(o_totalprice), 2)      AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY priority, status
+    """,
+)
+def a_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping-set combinations —
+    per-cell, per-priority, per-status, grand total — in ONE pass. Spark
+    plans this as an Expand (each input row fans to 4 grouping rows)
+    feeding a single partial+final hash aggregate: no repeated scans, and
+    shuffle bytes scale with the cube's cell count, not input rows. NULL
+    grouping keys are labeled 'ALL' (fixture columns are never null, so
+    the label is unambiguous)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("priority", "status")
+    )

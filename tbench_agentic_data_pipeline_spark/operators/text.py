@@ -459,3 +459,79 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+@query(
+    "text_zipf_fluency",
+    survey="A1,J5,W2",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        vocab AS (
+            SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT)
+                       AS rank
+            FROM freq
+            QUALIFY rank <= 256
+        ),
+        joined AS (
+            SELECT t.doc_id, v.rank FROM toks t
+            LEFT JOIN vocab v ON t.w = v.w
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT)                       AS n_tokens,
+               CAST(COUNT(*) - COUNT(rank) AS BIGINT)         AS n_oov,
+               CAST(CASE WHEN COUNT(rank) = 0 THEN -1
+                         ELSE (SUM(rank) * 1000) // COUNT(rank)
+                    END AS BIGINT)                            AS mean_rank_milli
+        FROM joined
+        GROUP BY doc_id
+    """,
+)
+def text_zipf_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-class fluency scoring: rank the corpus's top-256 words
+    by frequency (ties by word — deterministic), then score each document
+    by its out-of-vocabulary token count and the mean frequency rank of
+    its in-vocabulary tokens (milli-units, integer division — engine
+    exact). Low mean rank + low OOV ≈ fluent common prose; high values
+    flag jargon/noise docs for the curation gates.
+
+    Scale shape: the vocabulary derives from a full-corpus word count —
+    one shuffle on word with map-side combine — but the RESULT is
+    top-256, a window over the vocabulary-sized aggregate that then
+    BROADCASTS back to the per-token scoring pass. The corpus-side score
+    is explode → broadcast-hash lookup → per-doc aggregate (map-side
+    combinable): corpus rows never shuffle on word."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # Global rank over the vocabulary-sized aggregate: the single-partition
+    # window is bounded by vocabulary cardinality (~100k-100M words at any
+    # corpus size), not corpus rows.
+    vocab = (
+        freq.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.col("w")))
+            .cast("bigint"),
+        )
+        .where(F.col("rank") <= 256)
+        .select("w", "rank")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("rank")).cast("bigint").alias("n_oov"),
+            F.when(F.count("rank") == 0, F.lit(-1).cast("bigint"))
+            .otherwise(
+                F.expr("(sum(rank) * 1000) div count(rank)")
+            )
+            .alias("mean_rank_milli"),
+        )
+    )
