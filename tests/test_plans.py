@@ -77,3 +77,59 @@ def test_q14_broadcasts_part_dim(spark):
 
     df = q14_promo_revenue(spark, SF_ORACLE)
     assert has_broadcast_join(df)
+
+
+def test_q19_pushes_quantity_envelope_to_scan(spark):
+    # The disjunction's single-table implication must reach the lineitem
+    # scan: every branch bounds l_quantity, so the union envelope
+    # [1, 30] is derivable and pushable even though the full predicate
+    # references part columns too.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q19_disjunctive_revenue,
+    )
+
+    df = q19_disjunctive_revenue(spark, SF_ORACLE)
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert has_broadcast_join(df)
+
+
+def test_q17_decorrelated_single_fact_exchange(spark):
+    # The correlated AVG decorrelates to ONE per-part aggregate: the
+    # only hash exchanges are that aggregate's shuffle (+ AQE reads);
+    # the part dim and the avg side must broadcast back to the fact.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q17_small_quantity_revenue,
+    )
+
+    df = q17_small_quantity_revenue(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+
+
+def test_cube_is_single_pass_expand(spark):
+    # CUBE must plan as Expand -> one partial+final aggregate pair,
+    # never one scan per grouping set.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        a_cube_priority_status,
+    )
+
+    df = a_cube_priority_status(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+
+def test_zipf_corpus_never_shuffles_on_word_twice(spark):
+    # The vocabulary derivation shuffles tokens on word once; the scoring
+    # pass must reuse a BROADCAST of the top-256 vocab, not a second
+    # word-keyed exchange of corpus tokens. Budget: word-count shuffle +
+    # per-doc aggregate shuffle + the bounded vocab window's single
+    # partition move.
+    from tbench_agentic_data_pipeline_spark.operators.text import (
+        text_zipf_fluency,
+    )
+
+    df = text_zipf_fluency(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3, count_exchanges(df)
