@@ -782,3 +782,94 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+_SWEEP_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    t AS (SELECT doc_id, list_distinct(w) AS toks FROM toks),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(shingles,
+                    s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                for h in range(0, 8)] AS mh
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+        FROM sig, range(0, 4) r(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+                      AND a.doc_id < b2.doc_id
+    ),
+    scored AS (
+        SELECT (len(list_intersect(ta.toks, tb.toks)) * 1000)
+                   // (len(ta.toks) + len(tb.toks)
+                       - len(list_intersect(ta.toks, tb.toks)))
+                   AS jaccard_milli
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.doc_a
+        JOIN t tb ON tb.doc_id = c.doc_b
+    ),
+    hist AS (
+        SELECT CAST((jaccard_milli // 100) * 100 AS BIGINT) AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT)                     AS n_pairs
+        FROM scored GROUP BY 1
+    )
+    SELECT bucket_lo, n_pairs,
+           CAST(SUM(n_pairs) OVER (
+               ORDER BY bucket_lo DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_pairs_at_or_above
+    FROM hist
+"""
+
+
+@query("dedup_threshold_sweep", survey="P4,J4,W5,A1", oracle=_SWEEP_ORACLE)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold tuning for near-dup dedup: Jaccard-score histogram of
+    ALL LSH candidate pairs (100-milli buckets) with a descending
+    cumulative count — "how many pairs would a cutoff of X keep" in one
+    result, the sweep you run BEFORE fixing the 0.8 production threshold.
+
+    Composes the oracle-pinned md5 candidate pipeline
+    (``dedup_minhash_bands``) and the exact token-set verify
+    (``dedup_ngram_jaccard``'s scorer) WITHOUT the fixed threshold, then
+    aggregates. Scale shape: the verify join runs only over LSH
+    candidates (never all-pairs); the histogram is a bounded 11-bucket
+    aggregate, and the cumulative window runs over those 11 rows — a
+    driver-trivial final step, not a corpus window."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    cand = dedup_minhash_bands(spark, sf_dir)
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    scored = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(jaccard_milli(F.col("toks_a"), F.col("toks_b")).alias("jm"))
+    )
+    hist = scored.groupBy(
+        (F.expr("jm div 100") * 100).cast("bigint").alias("bucket_lo")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    w = (
+        Window.orderBy(F.desc("bucket_lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        "bucket_lo",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    )
