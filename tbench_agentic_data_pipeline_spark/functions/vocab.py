@@ -65,3 +65,19 @@ def check_tags(tags: str) -> None:
     unknown = sorted(set(parts) - TAGS)
     if unknown:
         raise ValueError("invalid tags: " + ", ".join(unknown))
+
+
+# Cancellation taxonomy (``cancel_datapoint.py:26-32``) — why a reviewed
+# datapoint was rejected rather than approved.
+CANCELLATION_CATEGORIES: frozenset[str] = frozenset({
+    "scope", "unfixable", "complexity", "quality", "other",
+})
+
+
+def check_cancellation_category(category: str) -> None:
+    """Raise ValueError unless ``category`` is a known cancellation kind."""
+    if category not in CANCELLATION_CATEGORIES:
+        raise ValueError(
+            f"invalid cancellation category {category!r}; valid: "
+            + ", ".join(sorted(CANCELLATION_CATEGORIES))
+        )

@@ -16,13 +16,19 @@ destination-first moves).
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tbench_agentic_data_pipeline_spark.functions.vocab import check_category, check_tags
+from tbench_agentic_data_pipeline_spark.functions.vocab import (
+    check_cancellation_category,
+    check_category,
+    check_tags,
+)
 from tbench_agentic_data_pipeline_spark.operators.aggregates import map_sum_check
 from tbench_agentic_data_pipeline_spark.operators.joins import semi_join
 from tbench_agentic_data_pipeline_spark.sources.readers import PRODUCTION_COLUMNS
@@ -179,6 +185,66 @@ class DatapointPipeline:
         )
         self.review.commit(stamped, operation="review_stamp")
         return v
+
+    # -- cancel (cancel_datapoint.py) --------------------------------------
+    def cancel(
+        self, task_id: str, reason: str, category: str, attempts: int = 0
+    ) -> str:
+        """Reject a reviewed datapoint: write a structured cancellation
+        artifact, stamp reviewed_at, never touch production. Returns the
+        artifact path.
+
+        Reference parity (``cancel_datapoint.py:90-150``): category from
+        the closed cancellation taxonomy; artifact JSON carries
+        task_id/cancelled_at/cancelled_by/category/reason/review_attempts/
+        details/final_decision; the review row is re-stamped.
+
+        DOCUMENTED DEVIATION: the reference refuses when ``reviewed_at``
+        is non-empty (``cancel_datapoint.py:107-109``) — but its own
+        ``add_dp_to_review.py:88`` stamps that field on every row entering
+        review, so the literal guard refuses every reachable row (all 234
+        shipped review rows carry a stamp). We keep the guard's INTENT —
+        no double-processing — by refusing ids already in production
+        (approved) or already carrying a cancellation artifact."""
+        check_cancellation_category(category)
+        row = self.review.read().where(F.col("task_id") == task_id)
+        if row.limit(1).count() == 0:
+            raise KeyError(f"{task_id} not in review")
+        if self.production.current_version() is not None:
+            approved = (
+                self.production.read()
+                .where(F.col("task_id") == task_id)
+                .limit(1)
+                .count()
+            )
+            if approved:
+                raise ValueError(f"{task_id} already approved to production")
+        cancel_dir = os.path.join(self.review.root, "cancelled")
+        artifact_path = os.path.join(cancel_dir, f"{task_id}_cancellation.json")
+        if os.path.exists(artifact_path):
+            raise ValueError(f"{task_id} already cancelled")
+        now = _now_iso()
+        os.makedirs(cancel_dir, exist_ok=True)
+        artifact = {
+            "task_id": task_id,
+            "cancelled_at": now,
+            "cancelled_by": "review_agent",
+            "category": category,
+            "reason": reason,
+            "review_attempts": attempts,
+            "details": {},
+            "final_decision": "cancelled",
+        }
+        with open(artifact_path, "w") as f:
+            json.dump(artifact, f, indent=2)
+        stamped = self.review.read().withColumn(
+            "reviewed_at",
+            F.when(F.col("task_id") == task_id, F.lit(now)).otherwise(
+                F.col("reviewed_at")
+            ),
+        )
+        self.review.commit(stamped, operation="cancel_stamp")
+        return artifact_path
 
     # -- re-verify (create_verified_csv.py) -------------------------------
     def verified(self, completed_task_ids: DataFrame) -> DataFrame:

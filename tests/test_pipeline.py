@@ -77,6 +77,27 @@ def test_full_lifecycle(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists in production"):
         pipe.approve(ids[0], category="debugging", tags="python")
 
+    # cancel the second datapoint: artifact written, review stamped,
+    # production untouched; double-cancel and cancel-after-approve refused
+    pipe.submit_for_review([ids[1]])
+    with pytest.raises(ValueError, match="invalid cancellation category"):
+        pipe.cancel(ids[1], reason="too broad", category="not-a-kind")
+    artifact_path = pipe.cancel(
+        ids[1], reason="out of scope for the bench", category="scope", attempts=2
+    )
+    import json as _json
+
+    artifact = _json.load(open(artifact_path))
+    assert artifact["task_id"] == ids[1]
+    assert artifact["category"] == "scope"
+    assert artifact["review_attempts"] == 2
+    assert artifact["final_decision"] == "cancelled"
+    assert pipe.production.read().count() == 1  # unchanged
+    with pytest.raises(ValueError, match="already cancelled"):
+        pipe.cancel(ids[1], reason="again", category="scope")
+    with pytest.raises(ValueError, match="already approved"):
+        pipe.cancel(ids[0], reason="nope", category="other")
+
     # verified semi-join: only completed validation tasks survive
     completed = spark.createDataFrame([(ids[0],)], "task_id string")
     assert pipe.verified(completed).count() == 1
@@ -84,6 +105,7 @@ def test_full_lifecycle(spark, tmp_path):
     assert pipe.verified(none_done).count() == 0
 
     # history: every mutation is a version (time travel intact)
-    assert pipe.staging.versions() == [1, 2]   # create, move-delete
-    assert pipe.review.versions() == [1, 2]    # move-append, review stamp
+    assert pipe.staging.versions() == [1, 2, 3]  # create, two move-deletes
+    # move-append, approve stamp, move-append, cancel stamp
+    assert pipe.review.versions() == [1, 2, 3, 4]
     assert pipe.production.versions() == [1]
