@@ -91,3 +91,40 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bloom_filtered(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+) -> None:
+    """Write parquet with COLUMN BLOOM FILTERS on ``bloom_cols``.
+
+    Min/max skipping (and Z-ordering above) only helps predicates on
+    columns the layout is clustered by; a point lookup on an UNSORTED
+    high-cardinality column (user id, content hash) still reads every
+    row group whose global range happens to straddle the key — usually
+    all of them. A per-row-group bloom filter answers "definitely not
+    here" for equality predicates on any column it's built on, at ~1.2
+    bytes/item for 1% FPP, so the 100 TB point lookup touches only the
+    row groups that might contain the key. This is the complement to
+    Z-order: cluster by the 2 range-scan dimensions, bloom the equality
+    dimensions.
+
+    CAVEAT (parquet-mr behavior, relied on by the test): a column whose
+    pages all stay DICTIONARY-encoded gets NO bloom filter — the
+    dictionary is already an exact membership structure, so the writer
+    skips the redundant filter. Blooms appear exactly where they pay:
+    high-cardinality columns that overflow the dictionary page limit —
+    which is the 100 TB case (billions of user ids / content hashes per
+    file)."""
+    writer = df.write.mode("overwrite")
+    for c in bloom_cols:
+        writer = (
+            writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_items))
+            .option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+        )
+    writer.parquet(path)

@@ -357,3 +357,55 @@ def test_stream_stream_join_within_window(spark, tmp_path):
     _wait(q)
     rows = [(r.vid, r.cid) for r in spark.sql("select * from vc_join").collect()]
     assert rows == [("v1", "c_in")]
+
+
+def test_minhash_banding_is_stream_safe(spark, tmp_path):
+    """Unified batch/stream dedup front-end: the per-row signature +
+    banding pipeline (zero shuffles, no aggregation) must run UNCHANGED
+    under readStream — that's the property that lets a 100 TB ingest
+    stream compute near-dup candidates incrementally (band keys land in a
+    keyed store; the bucket join happens against it). Asserts streamed
+    band keys are byte-identical to the batch run on the same documents."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        minhash_band_df, shingles,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_src"
+    docs.write.parquet(str(src))
+
+    def band_pipeline(df):
+        toks = F.split("text", " ")
+        shingled = (
+            df.select("doc_id", toks.alias("w"))
+            .where(F.size("w") >= 3)
+            .select(
+                "doc_id",
+                shingles(F.col("w"), 3, guard_short=False).alias("shingles"),
+            )
+        )
+        return minhash_band_df(
+            shingled, "doc_id", "shingles", 8, 4, 2
+        ).select("doc_id", F.to_json(F.col("bands")).alias("bands_json"))
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    q = (
+        band_pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("stream_bands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["bands_json"]
+        for r in spark.sql("select * from stream_bands").collect()
+    }
+    want = {
+        r["doc_id"]: r["bands_json"] for r in band_pipeline(docs).collect()
+    }
+    assert got == want and len(got) > 0
