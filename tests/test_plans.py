@@ -133,3 +133,41 @@ def test_zipf_corpus_never_shuffles_on_word_twice(spark):
     df = text_zipf_fluency(spark, SF_ORACLE)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 3, count_exchanges(df)
+
+
+def test_runtime_bloom_filter_reduces_fact_join(spark):
+    # Catalyst's runtime semi-join reduction: a selective filter on one
+    # fact side injects a bloom-filter subquery into the OTHER side's
+    # scan (might_contain on the join key), so the big side drops
+    # non-joining rows BEFORE the shuffle. Default thresholds only fire
+    # at real scan sizes (appSideScanSizeThreshold = 10 GB) — exactly the
+    # 100 TB case — so the test lowers them to fixture scale to pin the
+    # mechanism.
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = load_table(spark, SF_ORACLE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
