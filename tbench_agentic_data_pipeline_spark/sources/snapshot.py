@@ -57,6 +57,13 @@ class SnapshotTable:
     def versions(self) -> list[int]:
         return list(self._read_manifest()["versions"])
 
+    def history(self) -> list[dict]:
+        """Commit log: one record per version ({version, operation, ts}).
+        Transactional consumers (the incremental rollup drain) use the
+        operation names as an applied-transaction set for replay
+        idempotence — the same role Delta's txn table plays."""
+        return list(self._read_manifest().get("history", []))
+
     def commit(
         self,
         df: DataFrame,

@@ -120,3 +120,68 @@ def drain_available(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_rollup_drain(
+    stream: DataFrame,
+    table,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint: str,
+):
+    """Incrementally-maintained aggregate table: each micro-batch's
+    PARTIAL count/sums merge additively into a snapshot rollup keyed by
+    ``keys`` — corpus statistics stay current under continuous ingest
+    with per-batch work proportional to the BATCH, never a recompute
+    over history. (``upsert_drain`` above is last-writer-wins row state;
+    this is the additive twin for counts/sums — the two merge shapes
+    incremental view maintenance needs.)
+
+    Exactly-once: the streaming checkpoint guarantees each batch id is
+    DELIVERED once, but foreachBatch may re-run a batch after a crash
+    mid-merge, and addition is not idempotent. So each merge commits
+    under operation ``rollup_batch_<id>`` and replays consult the table's
+    commit history first — the snapshot history doubles as the applied-
+    transaction log (the role Delta's txn action plays). Output columns:
+    ``keys``, ``n`` (count), and ``sum_<col>`` per ``sum_cols``."""
+    from pyspark.sql import functions as F
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        op = f"rollup_batch_{batch_id}"
+        if any(h.get("operation") == op for h in table.history()):
+            return  # replayed batch — already folded in
+        partial = batch.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        )
+        if table.current_version() is None:
+            table.commit(partial, operation=op)
+            return
+        cur = table.read()
+        val_cols = ["n"] + [f"sum_{c}" for c in sum_cols]
+        new = partial.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            *[F.col(v).alias(f"__v_{v}") for v in val_cols],
+        )
+        cond = [cur[k].eqNullSafe(F.col(f"__k_{k}")) for k in keys]
+        merged = cur.join(new, cond, "full_outer").select(
+            *[
+                F.coalesce(cur[k], F.col(f"__k_{k}")).alias(k)
+                for k in keys
+            ],
+            *[
+                (
+                    F.coalesce(cur[v], F.lit(0)) + F.coalesce(F.col(f"__v_{v}"), F.lit(0))
+                ).alias(v)
+                for v in val_cols
+            ],
+        )
+        merged = merged.withColumn("n", F.col("n").cast("bigint"))
+        table.commit(merged, operation=op)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.streaming.stateful import (
@@ -409,3 +411,69 @@ def test_minhash_banding_is_stream_safe(spark, tmp_path):
         r["doc_id"]: r["bands_json"] for r in band_pipeline(docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_rollup_drain_maintains_aggregate(spark, tmp_path):
+    """The additive-merge drain must equal a batch groupBy over ALL data
+    after any number of incremental drains, and a replayed batch id must
+    fold in exactly once (the history-log idempotence guard)."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+    from tbench_agentic_data_pipeline_spark.streaming.stateful import (
+        incremental_rollup_drain,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    a, b = events.randomSplit([0.5, 0.5], seed=7)
+    src = tmp_path / "ev_src"
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapshotTable(spark, str(tmp_path / "rollup"))
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(str(src))
+        q = incremental_rollup_drain(
+            stream, table, ["event_type"], ["value"], ckpt
+        )
+        q.awaitTermination(120)
+
+    a.write.mode("append").parquet(str(src))
+    drain()
+    b.write.mode("append").parquet(str(src))
+    drain()  # second drain folds ONLY the new files (checkpoint)
+
+    got = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in table.read().collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+    # replay idempotence: drain again with a FRESH checkpoint over the
+    # same source — batch ids restart at 0, which the table history
+    # already records as applied, so the merge must skip (a re-delivered
+    # batch id is exactly what a crash between merge and checkpoint
+    # commit produces)
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = incremental_rollup_drain(
+        stream, table, ["event_type"], ["value"], str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    got2 = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in table.read().collect()
+    }
+    assert got2 == got  # double-counting prevented by the history guard
