@@ -650,10 +650,17 @@ def connected_components(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).localCheckpoint()
     sym = base.unionAll(base.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # Head-start initialization: label(v) = min(v, min neighbor) — the
+    # same aggregation shape as the per-node distinct (one shuffle on s),
+    # but it folds what would otherwise be the whole first neighbor-min
+    # round into the init. Every node appears as a source in `sym`
+    # (symmetrized), so this also enumerates the node set.
     labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        sym.groupBy(F.col("s").alias("node"))
+        .agg(F.min("d").alias("__nbr_min"))
+        .select(
+            "node", F.least(F.col("node"), F.col("__nbr_min")).alias("label")
+        )
         .localCheckpoint()
     )
     n_nodes = labels.count()
