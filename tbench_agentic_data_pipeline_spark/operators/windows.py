@@ -226,3 +226,84 @@ def w6_lag_gap_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce(gap_s, F.lit(-1)).cast("bigint").alias("gap_s"),
     )
+
+
+@query(
+    "w7_ntile_quartiles",
+    survey="W2,A4",
+    oracle="""
+        WITH q AS (
+            SELECT o_orderpriority,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS BIGINT) AS quartile,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT o_orderpriority, quartile,
+               CAST(COUNT(*) AS BIGINT)       AS n_orders,
+               ROUND(MIN(o_totalprice), 2)    AS lo,
+               ROUND(MAX(o_totalprice), 2)    AS hi
+        FROM q
+        GROUP BY o_orderpriority, quartile
+        ORDER BY o_orderpriority, quartile
+    """,
+)
+def w7_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: NTILE bucketing — per-priority order-value quartile
+    boundaries (the distribution summary a pricing dashboard reads).
+    NTILE's bucket assignment is purely rank-arithmetic, so a
+    deterministic total order (price, then key) makes the quartile id
+    engine-exact; one window shuffle on the partition key, then a
+    bounded (priority × 4)-group aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            "o_totalprice",
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+@query(
+    "w8_trailing_week_activity",
+    survey="W2,F17",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_trailing_7d
+        FROM events
+    """,
+)
+def w8_trailing_week_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: RANGE-frame window — each event tagged with the user's
+    event count over the trailing 7 DAYS (time-based frame, not row
+    count): the rate-limiter / burst-detection primitive. The frame
+    bound is a value offset on the ORDER BY column, so ties and uneven
+    spacing are handled by semantics, not row position; COUNT keeps it
+    integer-exact across engines. One shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    # RANGE frames need a numeric ORDER BY key in Spark: epoch seconds
+    # carry the same total order and make the 7-day bound a plain offset.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 24 * 3600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_7d"),
+    )
