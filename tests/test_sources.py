@@ -167,3 +167,55 @@ def test_move_rows_review_first_ordering(spark, tmp_path):
     assert [r["task_id"] for r in staging.read().collect()] == ["t2"]
     # history records both commits
     assert review.current_version() == 2 and staging.current_version() == 2
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL corpus I/O: docs survive a partitioned gzip roundtrip
+    byte-exactly, and corrupt lines land in quarantine instead of
+    crashing the read or vanishing."""
+    from pyspark.sql import types as T
+
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.sources.corpus_io import (
+        read_jsonl,
+        write_jsonl,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, out, partition_by=["lang"], compression="gzip")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, quarantine = read_jsonl(spark, out, schema)
+    assert quarantine.count() == 0
+    got = {r["doc_id"]: (r["lang"], r["text"]) for r in good.collect()}
+    want = {r["doc_id"]: (r["lang"], r["text"]) for r in docs.collect()}
+    assert got == want
+
+    # partition pruning surface: lang dirs exist
+    import glob as _glob
+
+    assert _glob.glob(f"{out}/lang=*")
+
+    # corrupt shard: truncated JSON + schema-violating line both
+    # quarantine; good lines on the same shard still parse
+    bad_shard = tmp_path / "bad"
+    bad_shard.mkdir()
+    (bad_shard / "part-0.json").write_text(
+        '{"doc_id": 1, "lang": "en", "text": "ok"}\n'
+        '{"doc_id": 2, "lang": "en", "tex\n'
+        '{"doc_id": "not-a-long", "lang": "en", "text": "bad type"}\n'
+        '{"doc_id": 3, "lang": "fr", "text": "aussi ok"}\n'
+    )
+    good2, quarantine2 = read_jsonl(spark, str(bad_shard), schema)
+    assert {r["doc_id"] for r in good2.collect()} == {1, 3}
+    assert quarantine2.count() == 2
