@@ -880,3 +880,57 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_or_above"),
     )
+
+
+@query(
+    "corpus_leakage_safe_split",
+    survey="P4,J1,A1",
+    oracle=_CC_ORACLE.replace(
+        """    SELECT doc_id, cluster_id,
+           doc_id = cluster_id                               AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                                                             AS cluster_size
+    FROM lab
+""",
+        """    , split AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN cluster_id % 10 < 8 THEN 'train'
+                    WHEN cluster_id % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM lab
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT)                   AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM split GROUP BY split ORDER BY split
+""",
+    ),
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment WITHOUT near-dup leakage: the split key
+    is the document's near-dup CLUSTER id, never the document id — a
+    pair of near-duplicates straddling train and test silently inflates
+    eval scores, and doc-level hashing guarantees exactly that at corpus
+    scale. Composes the oracle-verified components pipeline; every
+    cluster lands wholly in one split (8/1/1 by cluster-id bucket;
+    production salts the bucket hash — the modulus here keeps the oracle
+    byte-reproducible, as the docstring convention throughout).
+    Emits per-split doc and cluster counts — the balance report you
+    check before materializing the split."""
+    pairs = dedup_minhash_bands(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    bucket = F.col("label") % 10
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        comp.select(F.col("node").alias("doc_id"), split.alias("split"), "label")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("label").cast("bigint").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
