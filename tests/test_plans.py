@@ -171,3 +171,21 @@ def test_runtime_bloom_filter_reduces_fact_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_no_query_exceeds_exchange_budget(spark):
+    """Global shuffle ceiling over EVERY registered query: the measured
+    distribution at sf0.01 is 0-5 exchanges (median 1); anything above 6
+    means an operator silently regressed into a shuffle pile-up (e.g. a
+    lost broadcast pin or a filter that stopped pushing). Cheap early
+    warning the per-query plan tests can't give for queries they don't
+    cover."""
+    from tbench_agentic_data_pipeline_spark import registry
+
+    over_budget = {}
+    for name, entry in registry.collect().items():
+        df = entry.fn(spark, SF_ORACLE)
+        n = count_exchanges(df)
+        if n > 6:
+            over_budget[name] = n
+    assert over_budget == {}, over_budget
