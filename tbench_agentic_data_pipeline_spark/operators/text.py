@@ -509,18 +509,19 @@ def text_zipf_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    # Global rank over the vocabulary-sized aggregate: the single-partition
-    # window is bounded by vocabulary cardinality (~100k-100M words at any
-    # corpus size), not corpus rows.
-    vocab = (
-        freq.withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.desc("c"), F.col("w")))
-            .cast("bigint"),
-        )
-        .where(F.col("rank") <= 256)
-        .select("w", "rank")
+    # Top-256 via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps, driver merges 256 rows) — the vocabulary-sized aggregate
+    # never funnels through a single-partition sort. The deterministic
+    # order (count desc, word asc) makes the cut identical to the
+    # oracle's QUALIFY rank <= 256. The residual row_number window runs
+    # over exactly 256 rows.
+    top = freq.orderBy(F.desc("c"), F.col("w")).limit(256)
+    vocab = top.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.col("w")))
+        .cast("bigint")
+        .alias("rank"),
     )
     return (
         toks.join(F.broadcast(vocab), "w", "left")
