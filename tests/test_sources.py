@@ -219,3 +219,38 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     good2, quarantine2 = read_jsonl(spark, str(bad_shard), schema)
     assert {r["doc_id"] for r in good2.collect()} == {1, 3}
     assert quarantine2.count() == 2
+
+
+def test_jsonl_roundtrip_adversarial_strings(spark, tmp_path):
+    """JSON escaping must carry corpus-hostile text — embedded newlines
+    (one doc per LINE is the format's whole contract), quotes,
+    backslashes, unicode, emoji — byte-exactly through a write/read."""
+    from pyspark.sql import types as T
+
+    from tbench_agentic_data_pipeline_spark.sources.corpus_io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    nasty = [
+        (1, 'line one\nline two\r\nline three'),
+        (2, 'quote " backslash \\ slash / tab\t end'),
+        (3, 'unicode: héllo wörld — ¿qué? 中文 русский'),
+        (4, 'emoji: \U0001F600\U0001F680 combining: é'),
+        (5, ''),
+        (6, '{"looks": "like json"}'),
+    ]
+    df = spark.createDataFrame(nasty, "doc_id long, text string")
+    out = str(tmp_path / "nasty_jsonl")
+    write_jsonl(df, out, compression="none")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, quarantine = read_jsonl(spark, out, schema)
+    assert quarantine.count() == 0
+    got = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert got == dict(nasty)
