@@ -296,3 +296,50 @@ def f_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.filter(toks, lambda w: w != "the"), " ").alias("cleaned"),
         F.size(F.filter(toks, lambda w: w == "the")).cast("bigint").alias("n_dropped"),
     )
+
+
+@query(
+    "f_array_gauntlet",
+    survey="F4,F13,SO4",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '), w -> len(w))
+                       AS lens
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               CAST(len(lens) AS BIGINT)                       AS n,
+               array_to_string(list_sort(lens), ',')           AS sorted_lens,
+               array_to_string(list_reverse_sort(lens)[1:3], ',')
+                                                               AS top3_lens,
+               CAST(list_sum(list_filter(lens, x -> x >= 5)) AS BIGINT)
+                                                               AS long_chars,
+               CAST(list_max(lens) - list_min(lens) AS BIGINT) AS span
+        FROM t
+    """,
+)
+def f_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function parity in one pass: transform, sort (both
+    directions), slice, filter + aggregate fold, min/max — the
+    higher-order-function surface the corpus operators build on, pinned
+    against DuckDB's list functions on integer values (length arrays —
+    engine-exact, no float folds). All per-row projections: zero
+    shuffles, one scan."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    lens = F.transform(F.split("text", " "), lambda w: F.length(w))
+    t = docs.select("doc_id", lens.alias("lens"))
+    return t.select(
+        "doc_id",
+        F.size("lens").cast("bigint").alias("n"),
+        F.array_join(F.array_sort("lens"), ",").alias("sorted_lens"),
+        F.array_join(
+            F.slice(F.sort_array(F.col("lens"), asc=False), 1, 3), ","
+        ).alias("top3_lens"),
+        F.aggregate(
+            F.filter("lens", lambda x: x >= 5),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("bigint").alias("long_chars"),
+        (F.array_max("lens") - F.array_min("lens")).cast("bigint").alias("span"),
+    )

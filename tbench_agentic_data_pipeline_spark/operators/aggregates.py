@@ -369,3 +369,38 @@ def a8_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("distinct_users"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "a_conditional_distinct",
+    survey="A7,A4",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)   AS all_users,
+               CAST(COUNT(DISTINCT CASE WHEN value >= 100.0
+                                        THEN user_id END) AS BIGINT)
+                                                         AS big_spenders
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def a_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation paths: per type, distinct users overall AND
+    distinct users conditioned on a predicate — in ONE aggregate. Spark
+    plans multi-distinct via Expand (each row fans per distinct-group)
+    feeding a two-level aggregate: shuffle bytes scale with
+    (type, user) cardinality, never raw events. The CASE-inside-DISTINCT
+    is the standard conditional-cohort idiom; NULLs (predicate false)
+    drop out of the distinct count in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("all_users"),
+            F.countDistinct(
+                F.when(F.col("value") >= 100.0, F.col("user_id"))
+            ).cast("bigint").alias("big_spenders"),
+        )
+        .orderBy("event_type")
+    )

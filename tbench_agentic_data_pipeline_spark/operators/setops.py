@@ -154,3 +154,27 @@ def so4_array_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(rare, " ").alias("rare_words"),
         F.size(rare).cast("bigint").alias("n_rare"),
     )
+
+
+@query(
+    "so5_intersect_nations",
+    survey="SO3,J1",
+    oracle="""
+        SELECT c_nationkey AS n_nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY n_nationkey
+    """,
+)
+def so5_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO-family completion: set INTERSECTION — nations with BOTH
+    customers and suppliers. Spark plans ``intersect`` as a left-semi
+    join over distinct keys (the same physical shape as J1, reached
+    through the set-operator surface); both sides aggregate to their
+    key sets before the join, so the exchange carries nation keys, not
+    fact rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c_nations = customer.select(F.col("c_nationkey").alias("n_nationkey"))
+    s_nations = supplier.select(F.col("s_nationkey").alias("n_nationkey"))
+    return c_nations.intersect(s_nations).orderBy("n_nationkey")
