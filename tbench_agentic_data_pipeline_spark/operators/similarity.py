@@ -658,3 +658,74 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@query(
+    "sim_knn_join",
+    survey="J5,W3",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, a.label,
+                   CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                         AND list_dot_product(b.emb, b.emb) > 0
+                        THEN list_dot_product(a.emb, b.emb)
+                             / (sqrt(list_dot_product(a.emb, a.emb))
+                                * sqrt(list_dot_product(b.emb, b.emb)))
+                        ELSE 0.0 END AS raw_cos
+            FROM c a
+            JOIN c b ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, nbr_id, label, raw_cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY raw_cos DESC, nbr_id
+                   ) AS rk
+            FROM scored
+        )
+        SELECT vec_id, nbr_id, label, CAST(rk AS BIGINT) AS rk,
+               ROUND(raw_cos * (1 + 5e-13), 4) AS cos
+        FROM ranked WHERE rk <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN JOIN: every vector's top-3 nearest neighbors — the all-rows
+    twin of query-set top-k (``sim_topk_cosine`` answers "neighbors of
+    THESE queries"; this answers "neighbors of EVERYTHING", the shape
+    near-dup graphs and retrieval-training mine). Candidates are bounded
+    to the coarse bucket (label ≙ centroid/LSH bucket at corpus scale),
+    so the quadratic step is per-bucket, never corpus-wide; the per-row
+    window ranks inside vec_id partitions only. Ties on identical cosine
+    break by neighbor id — deterministic across engines because the
+    sequential-fold dot products are bit-identical."""
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        source_path=table_path(sf_dir, "embeddings"),
+    ).select("vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+    a = emb.select("label", F.col("vec_id"), F.col("emb").alias("emb_a"))
+    b = emb.select(
+        "label", F.col("vec_id").alias("nbr_id"), F.col("emb").alias("emb_b")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("__cos"), F.col("nbr_id")
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("__cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "vec_id",
+            "nbr_id",
+            "label",
+            "rk",
+            stable_round(F.col("__cos"), 4).alias("cos"),
+        )
+    )
