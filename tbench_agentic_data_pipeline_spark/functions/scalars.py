@@ -343,3 +343,59 @@ def f_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("long_chars"),
         (F.array_max("lens") - F.array_min("lens")).cast("bigint").alias("span"),
     )
+
+
+@query(
+    "f_map_gauntlet",
+    survey="U2,U7,F1",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               array_to_string(
+                   list_sort(list(event_type || '=' || CAST(n * 2 AS VARCHAR))
+                             FILTER (n * 2 >= 4)),
+                   ','
+               ) AS doubled_hot
+        FROM g
+        GROUP BY user_id
+    """,
+)
+def f_map_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions in one pass — the building blocks the
+    U-family mutations (``map_put``, metadata merge) compose, pinned
+    directly: build a per-user map with ``map_from_entries``, mutate
+    every value with ``transform_values``, prune with ``map_filter``,
+    then serialize deterministically (entries → sort by key → k=v join).
+    The oracle mirrors the semantics on sorted lists — DuckDB needs no
+    MAP type for the contract to be exact, because the serialization IS
+    the contract (maps have no cross-engine order)."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+    )
+    agg = per_type.groupBy("user_id").agg(m.alias("type_counts"))
+    doubled = F.transform_values(
+        F.col("type_counts"), lambda k, v: v * 2
+    )
+    hot = F.map_filter(doubled, lambda k, v: v >= 4)
+    serialized = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(hot),
+                lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+            )
+        ),
+        ",",
+    )
+    return agg.select(
+        "user_id",
+        F.size("type_counts").cast("bigint").alias("n_types"),
+        serialized.alias("doubled_hot"),
+    )

@@ -118,6 +118,7 @@ _NEW_THIS_ROUND = {
     "dedup_threshold_sweep", "w7_ntile_quartiles", "w8_trailing_week_activity",
     "corpus_leakage_safe_split", "so5_intersect_nations",
     "a_conditional_distinct", "f_array_gauntlet", "sim_knn_join",
+    "f_map_gauntlet",
 }
 
 
