@@ -250,3 +250,26 @@ class DatapointPipeline:
     def verified(self, completed_task_ids: DataFrame) -> DataFrame:
         """J1: production rows whose validation task completed."""
         return semi_join(self.production.read(), completed_task_ids, "task_id")
+
+    def verified_from_task_store(self, state_path: str) -> DataFrame:
+        """The reference's full two-step verification sink
+        (``create_verified_csv.py:29-42``): read the task-manager state,
+        keep COMPLETED ``validate_*`` tasks, extract each one's
+        ``data.original_task_id``, and semi-join production on it. The
+        task store is S2's exploded-JSON scan; the id extraction is a
+        filtered projection, so the whole step is one broadcast-ready
+        semi-join over production."""
+        from tbench_agentic_data_pipeline_spark.sources.readers import (
+            read_task_store,
+        )
+
+        tasks = read_task_store(self.spark, state_path)
+        completed = (
+            tasks.where(
+                (F.col("status") == "completed")
+                & F.col("id").startswith("validate_")
+            )
+            .select(F.col("data")["original_task_id"].alias("task_id"))
+            .where(F.col("task_id").isNotNull())
+        )
+        return self.verified(completed)

@@ -117,3 +117,69 @@ def test_lifecycle_matches_reference_data(spark, tmp_path):
     # verified export (create_verified_csv): only completed tasks survive
     done = spark.createDataFrame([(t,) for t in ids[:5]], "task_id string")
     assert pipe.verified(done).count() == 5
+
+
+def test_verified_from_task_store(spark, tmp_path):
+    """The two-step verification workflow end-to-end: a reference-shaped
+    task-manager state (validate_* tasks with original_task_id payloads)
+    filters production down to exactly the completed ids."""
+    import json
+
+    pipe = DatapointPipeline.at(spark, str(tmp_path))
+    staged = read_datapoint_csv(spark, STAGING_CSV, STAGING_COLUMNS).na.fill("")
+    pipe.staging.commit(staged, operation="seed")
+    ids = sorted(r["task_id"] for r in staged.select("task_id").collect())
+    pipe.submit_for_review(ids)
+    pipe.approve_many(_decisions(ids))
+
+    done, not_done = ids[:7], ids[7:]
+    state = {
+        "workflow_type": "validation",
+        "metadata": {},
+        "tasks": {
+            **{
+                f"validate_{t}": {
+                    "id": f"validate_{t}",
+                    "type": "validation",
+                    "status": "completed",
+                    "parent_id": "",
+                    "locked_by": "",
+                    "locked_at": "",
+                    "created_at": "2025-01-01T00:00:00+00:00",
+                    "completed_at": "2025-01-01T01:00:00+00:00",
+                    "data": {"original_task_id": t},
+                }
+                for t in done
+            },
+            # a pending validation and an unrelated completed task must
+            # NOT leak into the verified set
+            f"validate_{not_done[0]}": {
+                "id": f"validate_{not_done[0]}",
+                "type": "validation",
+                "status": "pending",
+                "parent_id": "", "locked_by": "", "locked_at": "",
+                "created_at": "2025-01-01T00:00:00+00:00",
+                "completed_at": "",
+                "data": {"original_task_id": not_done[0]},
+            },
+            "review_dp_x": {
+                "id": "review_dp_x",
+                "type": "review",
+                "status": "completed",
+                "parent_id": "", "locked_by": "", "locked_at": "",
+                "created_at": "2025-01-01T00:00:00+00:00",
+                "completed_at": "2025-01-01T01:00:00+00:00",
+                "data": {"original_task_id": not_done[1]},
+            },
+        },
+    }
+    state_path = tmp_path / "state.json"
+    state_path.write_text(json.dumps(state))
+
+    got = sorted(
+        r["task_id"]
+        for r in pipe.verified_from_task_store(str(state_path))
+        .select("task_id")
+        .collect()
+    )
+    assert got == sorted(done)
