@@ -102,6 +102,9 @@ def main() -> None:
                 break
         if best is not None:
             times[name] = best
+            # A run-1 success followed by a run-2 failure still counts as
+            # timed — don't report the query as both timed and failed.
+            errors.pop(name, None)
 
     total = round(sum(times.values()), 3)
     payload = {

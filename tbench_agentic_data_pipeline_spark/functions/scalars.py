@@ -313,8 +313,8 @@ def f_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
                array_to_string(list_sort(lens), ',')           AS sorted_lens,
                array_to_string(list_reverse_sort(lens)[1:3], ',')
                                                                AS top3_lens,
-               CAST(list_sum(list_filter(lens, x -> x >= 5)) AS BIGINT)
-                                                               AS long_chars,
+               CAST(COALESCE(list_sum(list_filter(lens, x -> x >= 5)), 0)
+                    AS BIGINT)                                 AS long_chars,
                CAST(list_max(lens) - list_min(lens) AS BIGINT) AS span
         FROM t
     """,
@@ -355,11 +355,11 @@ def f_array_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_types,
-               array_to_string(
+               COALESCE(array_to_string(
                    list_sort(list(event_type || '=' || CAST(n * 2 AS VARCHAR))
                              FILTER (n * 2 >= 4)),
                    ','
-               ) AS doubled_hot
+               ), '') AS doubled_hot
         FROM g
         GROUP BY user_id
     """,

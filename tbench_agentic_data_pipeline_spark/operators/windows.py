@@ -295,12 +295,15 @@ def w8_trailing_week_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     spacing are handled by semantics, not row position; COUNT keeps it
     integer-exact across engines. One shuffle on user_id."""
     events = load_table(spark, sf_dir, "events")
-    # RANGE frames need a numeric ORDER BY key in Spark: epoch seconds
-    # carry the same total order and make the 7-day bound a plain offset.
+    # RANGE frames need a numeric ORDER BY key in Spark. Epoch MICROseconds
+    # (not seconds: cast('long') truncates sub-second components, shifting
+    # frame boundaries relative to the oracle's exact-timestamp INTERVAL
+    # frame) carry the full timestamp precision, so the 7-day bound is a
+    # plain offset with identical tie/boundary semantics in both engines.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-7 * 24 * 3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, Window.currentRow)
     )
     return events.select(
         "event_id",
