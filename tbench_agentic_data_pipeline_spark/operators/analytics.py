@@ -10,7 +10,7 @@ driver fixtures, oracle-checked, and worth reading with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
@@ -1014,4 +1014,424 @@ def a_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
         .orderBy("priority", "status")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    survey="J4,J5,A7,W1",
+    oracle="""
+        WITH offers AS (
+            SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice,
+                   s.s_name, s.s_acctbal, n.n_name
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            JOIN region r   ON r.r_regionkey = n.n_regionkey
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            WHERE r.r_name = 'EUROPE'
+              AND p.p_type = 'ECONOMY' AND p.p_size BETWEEN 10 AND 20
+        ),
+        best AS (
+            SELECT l_partkey, MIN(l_extendedprice) AS min_price
+            FROM offers GROUP BY l_partkey
+        )
+        SELECT DISTINCT o.l_partkey AS p_partkey, o.s_name, o.n_name,
+               o.s_acctbal, o.l_extendedprice AS min_price
+        FROM offers o
+        JOIN best b ON b.l_partkey = o.l_partkey
+                   AND o.l_extendedprice = b.min_price
+        ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated MIN subquery ("the supplier whose
+    price IS the minimum for that part") decorrelated the idiomatic
+    Spark way — a MIN window over partkey and a `price = min` filter,
+    which is the agg-plus-join-back plan fused into ONE partkey
+    exchange over ONE fact scan (the naive decorrelation scans the
+    offers lineage twice and shuffles three times; measured 5→3
+    exchanges, 20→4 plan scans). The fixture has no partsupp, so a
+    supplier's "offer" for a part is its lineitem l_extendedprice —
+    taken verbatim (no arithmetic), so the MIN and the equality filter
+    are bit-exact in both engines. Dims (region→nation→supplier chain,
+    filtered part) broadcast. Ties (several suppliers at the min) are
+    all kept — DISTINCT because a supplier may hit the min price twice
+    for the same part."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20)
+        )
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .select("l_partkey", "s_name", "n_name", "s_acctbal", "l_extendedprice")
+    )
+    min_price = F.min("l_extendedprice").over(Window.partitionBy("l_partkey"))
+    return (
+        offers.withColumn("min_price", min_price)
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.col("min_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    survey="J4,J5,A1,A4",
+    oracle="""
+        SELECT n.n_name,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity * 0.1)
+                     * (1 + 5e-13), 2) AS sum_profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%gear%'
+        GROUP BY n.n_name, o_year
+        ORDER BY n.n_name, o_year DESC
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year through a
+    five-way join. The fixture has no partsupp, so unit cost is proxied
+    as 10% of p_retailprice (both engines compute the identical
+    expression). Plan shape is the point: part (name-filtered), supplier
+    and nation all BROADCAST — the only shuffles are the lineitem⋈orders
+    orderkey join and the final group-by. The %gear% filter prunes the
+    fact through the broadcast hash join before the orderkey shuffle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(stable_round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_part_value",
+    survey="A3,A4,J5",
+    oracle="""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, ROUND(value, 2) AS value
+        FROM per_part
+        WHERE value > (SELECT 1.2 * SUM(value) / COUNT(*) FROM per_part)
+        ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING over a GLOBAL scalar — keep the parts
+    whose revenue exceeds 1.2× the MEAN per-part revenue. The
+    multiplier-of-mean form is scale-free (a fixed fraction of total
+    degenerates as the part count grows: 0.001× total excludes every
+    part once parts number >1200), stays selective-but-non-degenerate at
+    every fixture SF, and the nearest part sits ≥1.9e-5 relative from
+    the cut — far outside float sum-order noise. The scalar
+    subquery is a one-row aggregate broadcast into the per-part
+    aggregate's output as a join-free-threshold (cross join of a
+    single row — Spark plans BroadcastNestedLoopJoin over 1 row, not a
+    cartesian). The scalar derives from the per-part aggregate itself
+    (mean of group sums = total/num_parts), so its partkey shuffle is
+    a ReusedExchange of the main branch rather than a second fact
+    scan + count-distinct."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = lineitem.groupBy("l_partkey").agg(revenue.alias("value"))
+    total = F.broadcast(
+        per_part.agg(
+            (F.sum("value") * 1.2 / F.count(F.lit(1))).alias("__threshold")
+        )
+    )
+    return (
+        per_part.join(total, per_part.value > F.col("__threshold"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    survey="J3,A1,A7",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+                   ON o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT CAST(c_count AS BIGINT)  AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the outer-join count distribution — customers
+    (INCLUDING those with zero matching orders, hence LEFT join, hence
+    COUNT(o_orderkey) not COUNT(*)) bucketed by how many non-urgent
+    orders they placed, then a histogram of bucket sizes. The priority
+    predicate lives in the JOIN condition, not a WHERE — pushing it to
+    WHERE would silently drop zero-order customers. Two shuffles: the
+    custkey join/aggregate and the tiny c_count histogram."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    survey="J2,A7,A8",
+    oracle="""
+        SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)   AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type  <> 'PROMO'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN (anti-join against an excluded-supplier
+    list — negative balance plays the 'customer complaints' role) +
+    COUNT(DISTINCT supplier) per part attribute group. The exclusion
+    list is tiny → broadcast LEFT ANTI; part is negated-predicate
+    filtered and broadcast; the only real shuffle is the distinct
+    aggregate on the (brand, type, size) grouping."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+    )
+    excluded = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        lineitem.join(excluded, lineitem.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    survey="J1,A4,J5",
+    oracle="""
+        WITH shipped AS (
+            SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_name LIKE 'small%'
+              AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+            GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        totals AS (
+            SELECT l_partkey, SUM(qty) AS total_qty
+            FROM shipped GROUP BY l_partkey
+        )
+        SELECT s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT sh.l_suppkey
+            FROM shipped sh
+            JOIN totals t ON t.l_partkey = sh.l_partkey
+            WHERE sh.qty > 0.5 * t.total_qty
+        )
+        ORDER BY s.s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a semi-join chain whose inner side is ITSELF an
+    aggregate over a filtered join — suppliers who, for some
+    small-named part, shipped more than half that part's 1998 volume
+    (the availqty>half-shipped predicate re-expressed without
+    partsupp). Quantities are integer-valued doubles → sums exact, and
+    0.5×total is the same IEEE multiply in both engines. Plan: part
+    filter broadcasts into one dated lineitem scan; an explicit
+    repartition on partkey makes ONE exchange serve both the
+    (partkey, suppkey) aggregate (hash(pk) co-locates every (pk, sk)
+    group) and the per-part total — phrased as a SUM window so the
+    totals side is neither re-aggregated nor re-joined; then a LEFT
+    SEMI into the 100-row supplier dim. Nothing rescans the fact
+    (naive agg+join-back: 7 exchanges, 12 scans → this plan: 3 and 4)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    )
+    shipped = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    total_qty = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        shipped.withColumn("total_qty", total_qty)
+        .where(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        supplier.join(dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    survey="J1,J2,A1,W2",
+    oracle="""
+        WITH l1 AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM l1 l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+              )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS chain — late line items
+    (shipped >90 days after the order date — the fixture's stand-in for
+    receipt>commit) on finished multi-supplier orders where THIS
+    supplier was the only late one. EXISTS(other supplier) is a LEFT
+    SEMI self-join on orderkey with a suppkey-inequality residual;
+    NOT EXISTS(other LATE supplier) is the same shape as a LEFT ANTI
+    against the late set itself. All three lineitem-derived sides
+    shuffle on l_orderkey, so the semi/anti joins co-locate under one
+    partitioning; supplier (100 rows) broadcasts for the name."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    late = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    others = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    late_others = late.alias("l3")
+    qualified = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        qualified.join(supplier, F.col("l1.l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
     )

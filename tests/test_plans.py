@@ -14,6 +14,7 @@ from tbench_agentic_data_pipeline_spark.operators.joins import j5_broadcast_dim_
 from tbench_agentic_data_pipeline_spark.plans.explain import (
     codegen_stage_count,
     count_exchanges,
+    formatted_plan,
     has_broadcast_join,
     pushed_filters,
     read_schemas,
@@ -189,3 +190,106 @@ def test_no_query_exceeds_exchange_budget(spark):
         if n > 6:
             over_budget[name] = n
     assert over_budget == {}, over_budget
+
+
+def test_q2_window_decorrelation_single_fact_exchange(spark):
+    # The correlated-MIN decorrelates to ONE partkey window over ONE
+    # fact lineage: all dims broadcast, and the only hash exchanges are
+    # the window's partkey shuffle + the final order (no agg+join-back
+    # double-scan: that shape measured 5 exchanges / 20 plan scans).
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q2_min_cost_supplier,
+    )
+
+    df = q2_min_cost_supplier(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3, count_exchanges(df)
+
+
+def test_q9_broadcasts_all_dims_single_fact_scan(spark):
+    # Five-way join: part/supplier/nation broadcast; the fact shuffles
+    # only for the orders join + final aggregate.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q9_profit_by_nation_year,
+    )
+
+    df = q9_profit_by_nation_year(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 4, count_exchanges(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_global_scalar_is_broadcast_not_cartesian(spark):
+    # HAVING-over-global-scalar: the one-row threshold must join as a
+    # broadcast nested loop (1 row), never a cartesian, and the whole
+    # query stays inside the exchange budget.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q11_important_part_value,
+    )
+
+    df = q11_important_part_value(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) <= 4, count_exchanges(df)
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark):
+    # The priority predicate must live in the JOIN (not a post-filter
+    # that would drop zero-order customers), and the distribution query
+    # is 3 exchanges: custkey join, custkey agg reuse, histogram.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q13_order_count_distribution,
+    )
+
+    df = q13_order_count_distribution(spark, SF_ORACLE)
+    # count BEFORE collect: an executed DataFrame's formatted plan shows
+    # initial + final adaptive plans, double-counting every exchange
+    assert count_exchanges(df) <= 3, count_exchanges(df)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    assert 0 in rows  # zero-order customers survive the outer join
+
+
+def test_q16_exclusion_list_is_broadcast_anti(spark):
+    # NOT IN over the tiny excluded-supplier list must plan as a
+    # broadcast LEFT ANTI on the fact, not a shuffle.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q16_supplier_part_variety,
+    )
+
+    df = q16_supplier_part_variety(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    assert count_exchanges(df) <= 3, count_exchanges(df)
+
+
+def test_q20_one_partkey_exchange_serves_both_aggregates(spark):
+    # The explicit repartition(partkey) must be the ONLY fact exchange
+    # feeding both the (pk, sk) aggregate and the per-part window —
+    # agg+join-back measured 7 exchanges / 12 scans; this plan ≤4 / ≤8.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q20_dominant_suppliers,
+    )
+
+    df = q20_dominant_suppliers(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 4, count_exchanges(df)
+    assert plan.count("Scan parquet") <= 8, plan.count("Scan parquet")
+    assert "LeftSemi" in plan
+
+
+def test_q21_semi_anti_chain_colocates_on_orderkey(spark):
+    # EXISTS → LeftSemi, NOT EXISTS → LeftAnti, all lineitem sides keyed
+    # on l_orderkey so the chain shares one partitioning; supplier
+    # broadcasts; never a cartesian.
+    from tbench_agentic_data_pipeline_spark.operators.analytics import (
+        q21_sole_late_supplier,
+    )
+
+    df = q21_sole_late_supplier(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 5, count_exchanges(df)
