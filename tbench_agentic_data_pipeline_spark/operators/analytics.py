@@ -1098,7 +1098,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J4,J5,A1,A4",
     oracle="""
         SELECT n.n_name,
-               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
                          - p.p_retailprice * l.l_quantity * 0.1)
                      * (1 + 5e-13), 2) AS sum_profit

@@ -96,73 +96,81 @@ def query(
 
 
 # Explicit evaluation-priority order. The external driver evaluates only a
-# fixed-size prefix of queries() (observed: first 50 entries in BOTH r1 and
-# r2), so prefix membership decides which queries get an external
-# CORRECTNESS row. Round-3 rotation (VERDICT r2 "Next round" #1): all 47
-# queries whose only driver row is round-1 rotate back IN — shared helpers
-# (`spread_for_compute`, shingle guards, `stable_round`) changed underneath
-# them since that row — plus 3 round-2-green sentinels: the flagship, the
-# r1-crash fix (so4), and the most intricate r2 addition
-# (dedup_cluster_components, whose pipeline composes minhash+LSH+pointer
-# jumping). Everything rotated out keeps its r2-green row and stays pinned
-# by the local parity harness (tests/test_oracle_parity.py), which checks
-# ALL queries with the driver's own gate.
+# fixed-size prefix of queries() (observed: first 50 entries in r1, r2 AND
+# r3), so prefix membership decides which queries get an external
+# CORRECTNESS row. Round-4 rotation (VERDICT r3 "Next round" #1):
+# - the 17 round-3 additions whose ONLY check so far is the local parity
+#   harness — their external row is this round's non-negotiable goal;
+# - the 7 round-4 TPC-H tail shapes (q2/q9/q11/q13/q16/q20/q21), new this
+#   round and therefore window-mandatory per the invariant below;
+# - 3 sentinels carried green through r3 (flagship, so4,
+#   dedup_cluster_components) for cross-round continuity;
+# - 23 round-2-green queries whose implementation files are touched this
+#   round (similarity.py topk guard, dedup.py convergence assert,
+#   streaming late-data pins, scalars.py gauntlet-oracle fixes) or whose
+#   newest row is now two rounds old (q4/q6/q12/q14, asof/range joins,
+#   funnel, corpus build).
+# Everything rotated out keeps its r1/r2/r3-green row and stays pinned by
+# the local parity harness (tests/test_oracle_parity.py), which checks ALL
+# queries with the driver's own gate.
 # INVARIANT (enforced in tests/test_registry_meta.py): any NEW
 # oracle-backed query must be added to this list — never registered
 # outside the window, where it would get zero external signal.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- round-2-green sentinels --------------------------------------------
+    # -- round-3-green sentinels --------------------------------------------
     "flagship_pricing_summary",
     "so4_array_difference",
     "dedup_cluster_components",
-    # -- the 47 round-1-green queries, re-confirmed after helper churn ------
-    "p1_point_lookup",
-    "p2_filter_project",
-    "p3_first_match_claim",
-    "p4_existence_guard",
-    "p5_stage_predicate",
-    "p6_timeout_predicate",
-    "p7_ownership_predicate",
-    "p8_prefix_projection",
-    "j1_semi_join_customers_with_orders",
-    "j2_anti_join_customers_without_orders",
-    "j3_full_outer_reconciliation",
-    "j4_parent_child_counts",
-    "j5_broadcast_dim_join",
-    "a1_status_histogram_zero_filled",
-    "a4_completion_rate",
-    "a5_map_value_sum_check",
-    "a6_error_rollup",
-    "a_salted_sum",
-    "a8_distinct_users_per_type",
-    "a_rollup_revenue",
-    "a_pivot_type_by_dow",
-    "a_percentiles",
-    "a_stats_gauntlet",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q18_large_orders",
-    "so1_union_by_name",
-    "so2_delete_by_key",
-    "so3_key_set_difference",
-    "w2_global_topn",
-    "w3_pergroup_topn",
-    "w4_fifo_claim_order",
-    "w5_running_total",
-    "w6_lag_gap_seconds",
-    "u1_keyed_patch",
-    "u2_map_mutation",
-    "u3_claim_transition",
-    "u4_complete_transition",
-    "u6_timeout_release",
-    "u8_production_derivation",
-    "st1_claim_assignment",
-    "x7_validation_pipeline",
-    "a8_pytest_summary_parse",
-    "x_fail_first_policy",
-    "dedup_exact",
-    "dedup_minhash_bands",
+    # -- the 17 round-3 additions: first external row this round ------------
+    "q7_nation_volume",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "a_cube_priority_status",
+    "a_conditional_distinct",
+    "so5_intersect_nations",
+    "w7_ntile_quartiles",
+    "w8_trailing_week_activity",
+    "dedup_threshold_sweep",
+    "corpus_leakage_safe_split",
+    "sim_knn_join",
+    "text_zipf_fluency",
+    "f_array_gauntlet",
+    "f_map_gauntlet",
+    # -- the round-4 TPC-H tail: new, window-mandatory ----------------------
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation_year",
+    "q11_important_part_value",
+    "q13_order_count_distribution",
+    "q16_supplier_part_variety",
+    "q20_dominant_suppliers",
+    "q21_sole_late_supplier",
+    # -- round-2 greens rotating back in (touched files / oldest rows) ------
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_topk_cosine",
+    "sim_lsh_buckets",
+    "sim_ivf_probe",
+    "sim_quantized_topk",
+    "text_tfidf_topk",
+    "text_contamination",
+    "st_tumbling_window",
+    "st_session_windows",
+    "st_dedup_watermark",
+    "f_string_gauntlet",
+    "f_json_gauntlet",
+    "f_datetime_gauntlet",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "j_asof_last_view",
+    "j_range_incident_window",
+    "events_funnel",
+    "pipeline_corpus_build",
 )
 
 
