@@ -37,6 +37,12 @@ HEADLINE = [
     "dedup_cluster_components",
     "text_contamination",
     "text_tfidf_topk",
+    # heaviest previously-unbenched families (VERDICT r3 #8):
+    "sim_knn_join",
+    "st_dedup_watermark",
+    # round-4 TPC-H tail: the two with the most join/shuffle work
+    "q9_profit_by_nation_year",
+    "q21_sole_late_supplier",
 ]
 
 
@@ -116,6 +122,14 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    # Iterative-operator observability: rounds-to-convergence is the cost
+    # driver of the components query; surface it next to its time.
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    if connected_components.last_rounds is not None:
+        payload["cc_rounds"] = connected_components.last_rounds
     print(json.dumps(payload))
     spark.stop()
 

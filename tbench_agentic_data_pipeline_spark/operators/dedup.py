@@ -682,7 +682,7 @@ def connected_components(
     )
     sym = sym.coalesce(loop_parts)
     labels = labels.coalesce(loop_parts)
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr_min = (
             sym.join(hint(labels), sym.s == labels.node)
             .groupBy("d")
@@ -716,9 +716,19 @@ def connected_components(
             .localCheckpoint()
         )
         if jumped.where(F.col("new_label") != F.col("label")).count() == 0:
+            # Observability for the iterative heart of the dedup pipeline:
+            # rounds-to-convergence is THE cost driver here (each round is
+            # a fixed stage bundle), so it is surfaced for bench logs the
+            # same way the result is returned — no side channel at scale,
+            # just a module-level scalar from the driver-side loop.
+            connected_components.last_rounds = it + 1
             return jumped.select("node", F.col("label"))
         labels = jumped.select("node", F.col("new_label").alias("label"))
+    connected_components.last_rounds = max_iters
     raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+
+
+connected_components.last_rounds = None
 
 
 _CC_ORACLE = """

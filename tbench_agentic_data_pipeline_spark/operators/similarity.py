@@ -35,6 +35,14 @@ from tbench_agentic_data_pipeline_spark.catalog import (
 from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
 from tbench_agentic_data_pipeline_spark.registry import query
 
+# Ceiling on the query-side cardinality brute_force_topk_arrow will collect
+# to the driver (the query matrix also rides into every task's closure):
+# 32768 × 1024-dim float64 ≈ 256 MB — the working upper edge for a default
+# driver. Explicit threshold, same posture as clustering's
+# broadcast_labels_below: the scale decision is visible and testable, never
+# an OOM surprise.
+_MAX_BRUTE_FORCE_QUERIES = 32768
+
 # ---------------------------------------------------------------------------
 # Reusable operator API
 # ---------------------------------------------------------------------------
@@ -187,6 +195,9 @@ def brute_force_topk_arrow(
 
     ``queries`` must be driver-small (same contract as the broadcast in
     :func:`brute_force_topk`); it is collected once into the closure.
+    ``max_queries`` enforces that contract: exceeding it raises instead
+    of silently OOMing the driver — route large query sets to the
+    bucketed :func:`knn_join` path, which never collects either side.
     """
     import numpy as np
     import pandas as pd
@@ -195,6 +206,17 @@ def brute_force_topk_arrow(
     c_type = corpus.schema[corpus_key].dataType.simpleString()
     out_schema = f"{query_key} {q_type}, {corpus_key} {c_type}, cos double"
 
+    # LIMIT probe instead of count(): one extra row decides, the full
+    # query-side cardinality is never materialized just to fail.
+    probe = queries.select(query_key).limit(_MAX_BRUTE_FORCE_QUERIES + 1)
+    if len(probe.collect()) > _MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"brute_force_topk_arrow collects the query side to the driver "
+            f"and ships it inside the mapInPandas closure; more than "
+            f"{_MAX_BRUTE_FORCE_QUERIES} query vectors risks driver OOM. "
+            f"Use knn_join (bucketed, fully distributed) for large query "
+            f"sets."
+        )
     qpd = queries.select(query_key, query_vec).toPandas()
     if not len(qpd):
         # fold twin returns empty on empty queries; match it

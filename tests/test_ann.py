@@ -234,3 +234,34 @@ def test_arrow_wrapper_matches_registered_query(spark):
     assert keyed(sim_topk_cosine_arrow(spark, SF_SMOKE)) == keyed(
         sim_topk_cosine(spark, SF_SMOKE)
     )
+
+
+def test_arrow_topk_refuses_oversized_query_side(spark):
+    """The driver-collect contract is enforced, not assumed (VERDICT r3
+    #5): a query side beyond _MAX_BRUTE_FORCE_QUERIES raises with a
+    pointer to the distributed knn_join path instead of OOMing the
+    driver."""
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators import similarity
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("emb"),
+    )
+    big_q = spark.range(50).select(
+        F.col("id").alias("q_id"),
+        F.array(F.rand(seed=3), F.rand(seed=4)).alias("q_emb"),
+    )
+    old = similarity._MAX_BRUTE_FORCE_QUERIES
+    similarity._MAX_BRUTE_FORCE_QUERIES = 49
+    try:
+        with pytest.raises(ValueError, match="knn_join"):
+            brute_force_topk_arrow(emb, big_q, 3)
+    finally:
+        similarity._MAX_BRUTE_FORCE_QUERIES = old
+    # at the real ceiling the same frame is fine
+    assert brute_force_topk_arrow(emb, big_q, 3).count() > 0

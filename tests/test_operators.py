@@ -208,6 +208,10 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     )
     got = {r.node: r.label for r in connected_components(edges).collect()}
     assert got == {i: 100 for i in range(100, 141)}
+    # rounds-to-convergence is surfaced for bench observability, and a
+    # 40-diameter path must close in ~log2(40) rounds, not 40.
+    rounds = connected_components.last_rounds
+    assert rounds is not None and rounds <= 8, rounds
 
 
 def test_connected_components_random_graphs_match_union_find(spark):

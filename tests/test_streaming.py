@@ -477,3 +477,130 @@ def test_incremental_rollup_drain_maintains_aggregate(spark, tmp_path):
         for r in table.read().collect()
     }
     assert got2 == got  # double-counting prevented by the history guard
+
+
+def test_watermark_keeps_late_data_within_delay(spark, tmp_path):
+    # The other half of the late-data contract (VERDICT r3 #7): an event
+    # that arrives BEHIND the stream's max timestamp but whose window the
+    # watermark has NOT yet closed must be KEPT and counted — late-but-
+    # within-delay is merged, only beyond-delay is dropped.
+    src = tmp_path / "late_keep_in"
+    src.mkdir()
+    schema = "event_id long, ts_s string, event_type string, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type", "value",
+        ).write.mode("append").parquet(str(src))
+
+    # b1 through 03:30, watermark delay 2h → watermark 01:30: hour 00
+    # emitted, hour 02 still OPEN.
+    write_batch(
+        [(i, f"2024-01-01 0{h}:30:00", "click", 1.0) for i, h in enumerate([0, 1, 2, 3])]
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    agg = tumbling_counts(stream, "ts", "1 hour", "event_type", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory").queryName("late_keep")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from late_keep").collect()[0]["c"] >= 1:
+                break
+            time.sleep(1)
+        # b2: one event 45 min behind max ts into the still-open hour 02,
+        # one punctual 05:30 event pushing the watermark to 03:30 so hour
+        # 02 finalizes.
+        write_batch([(100, "2024-01-01 02:45:00", "click", 1.0),
+                     (101, "2024-01-01 05:30:00", "click", 1.0)])
+        deadline = time.time() + 60
+        hour2 = []
+        while time.time() < deadline:
+            hour2 = spark.sql(
+                "select n from late_keep "
+                "where w.start = timestamp '2024-01-01 02:00:00'"
+            ).collect()
+            if hour2:
+                break
+            time.sleep(1)
+        # hour 02 must contain BOTH its on-time row and the late-but-
+        # within-delay row.
+        assert [r["n"] for r in hour2] == [2], hour2
+    finally:
+        q.stop()
+
+
+def test_session_window_watermark_eviction(spark, tmp_path):
+    # Session-path late-data pin (VERDICT r3 #7): a session the watermark
+    # has closed stays closed — a beyond-delay event neither reopens it
+    # nor seeds a new session — while the close itself emits the merged
+    # pre-watermark events.
+    from tbench_agentic_data_pipeline_spark.streaming.windows import (
+        session_aggregate,
+    )
+
+    src = tmp_path / "sess_evict_in"
+    src.mkdir()
+    schema = "user_id string, ts_s string, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).write.mode("append").parquet(str(src))
+
+    # b1: u1 session of two events (00:00:00 + 00:00:30, gap 1 min) and a
+    # punctual event at 01:00 → watermark (delay 10 min) = 00:50 closes it.
+    write_batch([("u1", "2024-01-01 00:00:00", 1.0),
+                 ("u1", "2024-01-01 00:00:30", 1.0),
+                 ("u1", "2024-01-01 01:00:00", 1.0)])
+    stream = spark.readStream.schema(
+        "user_id string, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    agg = session_aggregate(stream, "ts", "1 minute", "user_id",
+                            watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("sess_evict")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from sess_evict").collect()[0]["c"] >= 1:
+                break
+            time.sleep(1)
+        first = spark.sql(
+            "select n_events from sess_evict "
+            "where w.start = timestamp '2024-01-01 00:00:00'"
+        ).collect()
+        assert [r["n_events"] for r in first] == [2], first
+        # b2: an event at 00:05 — 45+ min behind the watermark — plus a
+        # punctual 02:00 event that closes the 01:00 session.
+        write_batch([("u1", "2024-01-01 00:05:00", 1.0),
+                     ("u1", "2024-01-01 02:00:00", 1.0)])
+        deadline = time.time() + 60
+        sess_100 = []
+        while time.time() < deadline:
+            sess_100 = spark.sql(
+                "select n_events from sess_evict "
+                "where w.start = timestamp '2024-01-01 01:00:00'"
+            ).collect()
+            if sess_100:
+                break
+            time.sleep(1)
+        assert [r["n_events"] for r in sess_100] == [1], sess_100
+        rows = spark.sql(
+            "select w.start as s, n_events from sess_evict order by s"
+        ).collect()
+        # exactly the two legitimate sessions: the evicted 00:05 event
+        # created nothing and reopened nothing.
+        assert [(str(r["s"]), r["n_events"]) for r in rows] == [
+            ("2024-01-01 00:00:00", 2),
+            ("2024-01-01 01:00:00", 1),
+        ], rows
+    finally:
+        q.stop()
