@@ -37,8 +37,11 @@ HEADLINE = [
     "dedup_cluster_components",
     "text_contamination",
     "text_tfidf_topk",
-    # heaviest previously-unbenched families (VERDICT r3 #8):
-    "sim_knn_join",
+    # heaviest previously-unbenched families (VERDICT r3 #8). The kNN
+    # join benches its GEMM production twin — the fold twin stays the
+    # oracle path but measured α=1.66 super-linear wall-clock on the
+    # scale curve (SCALING.md), exactly what the bench must not track:
+    "sim_knn_join_arrow",
     "st_dedup_watermark",
     # round-4 TPC-H tail: the two with the most join/shuffle work
     "q9_profit_by_nation_year",
@@ -52,10 +55,14 @@ def _extra_queries():
     (ulp-level float divergence keeps it off the hash gate; the bench must
     measure the production path)."""
     from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        sim_knn_join_arrow,
         sim_topk_cosine_arrow,
     )
 
-    return {"sim_topk_cosine_arrow": sim_topk_cosine_arrow}
+    return {
+        "sim_topk_cosine_arrow": sim_topk_cosine_arrow,
+        "sim_knn_join_arrow": sim_knn_join_arrow,
+    }
 
 
 def main() -> None:

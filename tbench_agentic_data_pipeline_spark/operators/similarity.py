@@ -751,3 +751,102 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("__cos"), 4).alias("cos"),
         )
     )
+
+
+def knn_join_arrow(
+    emb: DataFrame, k: int,
+    key_col: str = "vec_id", vec_col: str = "emb", bucket_col: str = "label",
+    max_bucket_rows: int = 100_000,
+) -> DataFrame:
+    """Bucketed kNN JOIN, Arrow/numpy production path.
+
+    :func:`sim_knn_join`'s per-pair interpreted cosine fold is the right
+    ORACLE (bit-identical to DuckDB's sequential ``list_dot_product``)
+    but the wrong production kernel: the per-bucket quadratic multiplies
+    a ~10 µs lambda eval per PAIR, so doubling bucket size quadruples an
+    already-slow constant — the measured scale curve (SCALING.md) put the
+    fold path at α=1.66 super-linear wall-clock, 52 s for 10 × 2000-row
+    buckets. This twin computes each bucket's full similarity matrix as
+    ONE numpy GEMM inside ``applyInPandas`` and emits only the top-k
+    rows, same shuffle shape (one exchange on the bucket key), ~50×
+    less per-pair cost. Equivalence-pinned against the fold twin
+    (`tests/test_ann.py`), not hash-gated — numpy's reordered
+    accumulation differs in final ulps.
+
+    The quadratic is still quadratic PER BUCKET — that is the kNN-join
+    contract (neighbors within a coarse cell). At corpus scale the knob
+    that keeps it affordable is bucket COUNT ∝ corpus size (finer
+    IVF/LSH quantizer → bounded cell population); ``max_bucket_rows``
+    enforces that contract loudly: a 100k-row cell is a re-bucket
+    signal, not something to grind through (100k² = 10¹⁰ pairs/cell).
+
+    Determinism matches the fold twin's tie rule: rows are sorted by
+    ``key_col`` before the GEMM so a STABLE argsort on descending cosine
+    breaks equal-cosine ties by ascending neighbor id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_t = emb.schema[key_col].dataType.simpleString()
+    b_t = emb.schema[bucket_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_t}, nbr_id {key_t}, {bucket_col} {b_t}, "
+        f"rk bigint, cos double"
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > max_bucket_rows:
+            raise ValueError(
+                f"kNN-join bucket {pdf[bucket_col].iloc[0]!r} holds {m} "
+                f"rows (> max_bucket_rows={max_bucket_rows}): the "
+                f"per-bucket quadratic would evaluate {m * m:,} pairs. "
+                f"Re-bucket with a finer quantizer (more IVF centroids / "
+                f"longer LSH prefix) instead of raising the cap."
+            )
+        if m < 2:
+            return pd.DataFrame(
+                {key_col: [], "nbr_id": [], bucket_col: [], "rk": [], "cos": []}
+            )
+        pdf = pdf.sort_values(key_col)
+        keys = pdf[key_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vector → cos 0.0, as the fold
+        g = (mat @ mat.T) / np.outer(norms, norms)
+        np.fill_diagonal(g, -np.inf)  # self never a neighbor
+        kk = min(k, m - 1)
+        order = np.argsort(-g, axis=1, kind="stable")[:, :kk]
+        cos = np.take_along_axis(g, order, axis=1)
+        return pd.DataFrame(
+            {
+                key_col: np.repeat(keys, kk),
+                "nbr_id": keys[order].ravel(),
+                bucket_col: np.repeat(pdf[bucket_col].to_numpy(), kk),
+                "rk": np.tile(np.arange(1, kk + 1), m),
+                "cos": cos.ravel(),
+            }
+        )
+
+    return emb.groupBy(bucket_col).applyInPandas(per_bucket, out_schema)
+
+
+def sim_knn_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of :func:`sim_knn_join` (same table, same top-3
+    within-label contract, same output columns) through
+    :func:`knn_join_arrow`. NOT registered — pinned by the equivalence
+    test and benchmarked as the headline kNN join, exactly the
+    ``sim_topk_cosine`` / ``_arrow`` split."""
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        source_path=table_path(sf_dir, "embeddings"),
+    ).select("vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+    out = knn_join_arrow(emb, 3)
+    return out.select(
+        "vec_id",
+        "nbr_id",
+        "label",
+        "rk",
+        stable_round(F.col("cos"), 4).alias("cos"),
+    )

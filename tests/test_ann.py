@@ -265,3 +265,51 @@ def test_arrow_topk_refuses_oversized_query_side(spark):
         similarity._MAX_BRUTE_FORCE_QUERIES = old
     # at the real ceiling the same frame is fine
     assert brute_force_topk_arrow(emb, big_q, 3).count() > 0
+
+
+def test_knn_join_arrow_matches_fold_twin(spark):
+    """The GEMM kNN join must agree with the oracle-gated fold query:
+    same (vec_id, nbr_id) neighbor sets (modulo rank-boundary ties whose
+    cosines agree to 1e-9) and cosines within float-reassociation
+    tolerance."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        sim_knn_join,
+        sim_knn_join_arrow,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fold = {
+        (r.vec_id, r.nbr_id): r.cos for r in sim_knn_join(spark, sf).collect()
+    }
+    arrow = {
+        (r.vec_id, r.nbr_id): r.cos
+        for r in sim_knn_join_arrow(spark, sf).collect()
+    }
+    assert len(fold) == len(arrow) > 0
+    common = set(fold) & set(arrow)
+    assert max(abs(fold[p] - arrow[p]) for p in common) < 1e-9
+    # pairs picked by only one path must be rank-boundary ties: the two
+    # paths' 3rd-place cosines for that vector agree to 1e-9
+    only = (set(fold) ^ set(arrow))
+    for vec, nbr in only:
+        f3 = min(c for (v, _), c in fold.items() if v == vec)
+        a3 = min(c for (v, _), c in arrow.items() if v == vec)
+        assert abs(f3 - a3) < 1e-9, (vec, nbr, f3, a3)
+    assert len(only) <= len(fold) * 0.02, len(only)
+
+
+def test_knn_join_arrow_refuses_oversized_bucket(spark):
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        knn_join_arrow,
+    )
+
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.array(F.rand(seed=7), F.rand(seed=8)).alias("emb"),
+    )
+    with pytest.raises(Exception, match="Re-bucket"):
+        knn_join_arrow(emb, 3, max_bucket_rows=10).count()
+    assert knn_join_arrow(emb, 3, max_bucket_rows=1000).count() == 30 * 3

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Measured scale curve (VERDICT r3 "Next round" #4): run the headline
+query set at sf0.01 / sf0.1 / a synthetically inflated ~sf1 and record
+per-query scaling exponents, so "this plan is linear" is a measurement,
+not an extrapolation from one 32-core number.
+
+The ~sf1 fixture is 10× sf0.1, built once under .scaling/sf1 (gitignored):
+
+- dims (region nation customer supplier part) copy verbatim — TPC-H scales
+  them too, but holding them fixed keeps every foreign key resolvable and
+  isolates FACT growth, which is what the plans must survive;
+- orders/lineitem: 10 copies with o_orderkey/l_orderkey shifted by
+  copy × (max+1), so order-grain joins keep their fan-out (10× more
+  orders, same lines-per-order) instead of silently becoming 100× joins
+  on duplicated keys;
+- events: event_id shifted, user_id/ts kept (10× denser user streams);
+- documents: doc_id shifted AND every token tagged with the copy index
+  (w → w‿cᵢ): each copy is an independent shard with the same statistics.
+  Verbatim duplication would hand the dedup family 45 planted near-dup
+  pairs per doc (C(10,2)) — a quadratic output blow-up that measures the
+  FIXTURE, not the plan;
+- embeddings: vec_id shifted, vectors kept (top-k ties break on vec_id).
+
+Exponent: α = log(t_big / t_small) / log(10) between adjacent scales.
+α≈1 is linear, α≪1 means fixed overhead still dominates, α>~1.2 at the
+top step is a super-linear plan — diagnose it. Run-to-run noise on sub-
+second times makes the 0.01→0.1 step mostly an overhead floor reading;
+the 0.1→1 step is the signal.
+
+Usage: python tools/scaling_curve.py [--rebuild] [--update-md]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bench import HEADLINE, _extra_queries
+from tbench_agentic_data_pipeline_spark import registry
+from tbench_agentic_data_pipeline_spark.session import get_session
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_SMALL = "/root/testdata/sf0.01"
+SF_MID = "/root/testdata/sf0.1"
+SF_BIG = os.path.join(REPO, ".scaling", "sf1")
+COPIES = 10
+DIMS = ("region", "nation", "customer", "supplier", "part")
+START, END = "<!-- AUTOGEN:SCALE_CURVE -->", "<!-- /AUTOGEN:SCALE_CURVE -->"
+
+
+def _shift_union(df, key_col, copies):
+    """Union `copies` copies of df with key_col shifted by copy*(max+1)."""
+    shift = df.agg((F.max(key_col) + 1).alias("s")).collect()[0]["s"]
+    parts = [
+        df.withColumn(key_col, F.col(key_col) + F.lit(int(i * shift)))
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def build_sf1(spark) -> None:
+    os.makedirs(SF_BIG, exist_ok=True)
+    for t in DIMS:
+        src = f"{SF_MID}/{t}.parquet"
+        dst = f"{SF_BIG}/{t}.parquet"
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+
+    orders = spark.read.parquet(f"{SF_MID}/orders.parquet")
+    _shift_union(orders, "o_orderkey", COPIES).write.mode("overwrite").parquet(
+        f"{SF_BIG}/orders.parquet"
+    )
+
+    lineitem = spark.read.parquet(f"{SF_MID}/lineitem.parquet")
+    _shift_union(lineitem, "l_orderkey", COPIES).write.mode(
+        "overwrite"
+    ).parquet(f"{SF_BIG}/lineitem.parquet")
+
+    events = spark.read.parquet(f"{SF_MID}/events.parquet")
+    _shift_union(events, "event_id", COPIES).write.mode("overwrite").parquet(
+        f"{SF_BIG}/events.parquet"
+    )
+
+    docs = spark.read.parquet(f"{SF_MID}/documents.parquet")
+    shift = docs.agg((F.max("doc_id") + 1).alias("s")).collect()[0]["s"]
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(int(i * shift))).alias("doc_id"),
+            # tag every token with the copy index → shards are mutually
+            # dissimilar but statistically identical
+            F.regexp_replace("text", r"(\S+)", f"$1c{i}").alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.write.mode("overwrite").parquet(f"{SF_BIG}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF_MID}/embeddings.parquet")
+    _shift_union(emb, "vec_id", COPIES).write.mode("overwrite").parquet(
+        f"{SF_BIG}/embeddings.parquet"
+    )
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    fns = {n: e.fn for n, e in registry.collect().items()}
+    fns.update(_extra_queries())
+    names = [n for n in HEADLINE if n in fns]
+    # JVM/codegen/python-worker warmup, as in bench.py
+    try:
+        fns[names[0]](spark, sf_dir).count()
+    except Exception:
+        pass
+    times: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fns[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        times[name] = round(best, 3)
+    return times
+
+
+def exponent(t_small: float, t_big: float) -> float:
+    if t_small <= 0 or t_big <= 0:
+        return float("nan")
+    return round(math.log(t_big / t_small) / math.log(COPIES), 2)
+
+
+def render_table(res: dict[str, dict[str, float]]) -> str:
+    lines = [
+        "| query | sf0.01 (s) | sf0.1 (s) | ~sf1 (s) | α(0.01→0.1) | α(0.1→1) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in res["sf0.01"]:
+        a, b, c = (res[k][name] for k in ("sf0.01", "sf0.1", "sf1"))
+        lines.append(
+            f"| `{name}` | {a:.2f} | {b:.2f} | {c:.2f} | "
+            f"{exponent(a, b):.2f} | {exponent(b, c):.2f} |"
+        )
+    tot = [sum(res[k].values()) for k in ("sf0.01", "sf0.1", "sf1")]
+    lines.append(
+        f"| **total** | {tot[0]:.2f} | {tot[1]:.2f} | {tot[2]:.2f} | "
+        f"{exponent(tot[0], tot[1]):.2f} | {exponent(tot[1], tot[2]):.2f} |"
+    )
+    return "\n".join(lines)
+
+
+def update_md(table: str) -> None:
+    path = os.path.join(REPO, "SCALING.md")
+    text = open(path).read()
+    block = f"{START}\n{table}\n{END}"
+    if START in text:
+        pre = text.split(START)[0]
+        post = text.split(END)[1]
+        text = pre + block + post
+    else:
+        text += "\n" + block + "\n"
+    open(path, "w").write(text)
+
+
+def main() -> None:
+    rebuild = "--rebuild" in sys.argv
+    spark = get_session("scaling-curve")
+    if rebuild and os.path.isdir(SF_BIG):
+        shutil.rmtree(SF_BIG)
+    if not os.path.isdir(os.path.join(SF_BIG, "lineitem.parquet")):
+        print("building ~sf1 fixture...", file=sys.stderr)
+        build_sf1(spark)
+    res = {}
+    for label, d in (("sf0.01", SF_SMALL), ("sf0.1", SF_MID), ("sf1", SF_BIG)):
+        print(f"running headline set at {label}...", file=sys.stderr)
+        res[label] = run_queries(spark, d)
+    table = render_table(res)
+    print(table)
+    print(json.dumps(res))
+    if "--update-md" in sys.argv:
+        update_md(table)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
