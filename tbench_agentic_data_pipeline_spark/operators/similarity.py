@@ -800,9 +800,11 @@ def knn_join_arrow(
             raise ValueError(
                 f"kNN-join bucket {pdf[bucket_col].iloc[0]!r} holds {m} "
                 f"rows (> max_bucket_rows={max_bucket_rows}): the "
-                f"per-bucket quadratic would evaluate {m * m:,} pairs. "
-                f"Re-bucket with a finer quantizer (more IVF centroids / "
-                f"longer LSH prefix) instead of raising the cap."
+                f"per-bucket quadratic would evaluate {m * m:,} pairs in "
+                f"one task. Re-bucket with a finer quantizer (more IVF "
+                f"centroids / longer LSH prefix), or use knn_join_blocked "
+                f"(block-pair decomposition, task memory independent of "
+                f"bucket size) for legitimately dense cells."
             )
         if m < 2:
             return pd.DataFrame(
@@ -849,4 +851,137 @@ def sim_knn_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "rk",
         stable_round(F.col("cos"), 4).alias("cos"),
+    )
+
+
+def knn_join_blocked(
+    emb: DataFrame, k: int,
+    key_col: str = "vec_id", vec_col: str = "emb", bucket_col: str = "label",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Bucketed kNN join for buckets too big for one task: block-pair
+    decomposition of the per-bucket quadratic.
+
+    :func:`knn_join_arrow` hands each bucket to ONE ``applyInPandas``
+    task — the right call while a bucket fits in a task's memory, and a
+    straggler/OOM beyond that (its ``max_bucket_rows`` guard raises at
+    100k rows). This variant is the path PAST the guard when re-bucketing
+    is not available (a quantizer cell that is legitimately dense): rows
+    are numbered into blocks of ``block_rows`` within each bucket, every
+    (query-block, candidate-block) pair becomes its own group, each group
+    GEMMs ≤ ``2·block_rows`` rows and emits its local top-k, and a final
+    per-vector window merges the ≤ k·n_blocks partials exactly.
+
+    Scale accounting for a bucket of m rows: task memory is O(block_rows²)
+    INDEPENDENT of m; shuffle volume is the duplication factor 2·m/B
+    (each row participates in every block pair of its bucket) — for
+    m=100k, B=4k that is ~50 copies, i.e. the quadratic is paid as
+    bounded-parallel work instead of one melted executor. Same tie rule
+    as the other paths (cos desc, neighbor id asc; stable per-block sort
+    keeps partials consistent), pinned by equivalence tests rather than
+    the oracle hash (numpy accumulation order).
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_t = emb.schema[key_col].dataType.simpleString()
+    b_t = emb.schema[bucket_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_t}, nbr_id {key_t}, {bucket_col} {b_t}, "
+        f"rk bigint, cos double"
+    )
+    part_schema = (
+        f"{key_col} {key_t}, nbr_id {key_t}, {bucket_col} {b_t}, cos double"
+    )
+
+    wb = Window.partitionBy(bucket_col).orderBy(key_col)
+    rows = emb.select(
+        key_col, bucket_col, vec_col,
+        ((F.row_number().over(wb) - F.lit(1)) / F.lit(block_rows))
+        .cast("int")
+        .alias("__blk"),
+    )
+    nblk = rows.groupBy(F.col(bucket_col).alias("__b")).agg(
+        (F.max("__blk") + 1).alias("__nblk")
+    )
+    tagged = rows.join(
+        F.broadcast(nblk), rows[bucket_col] == F.col("__b")
+    ).select(
+        key_col,
+        bucket_col,
+        vec_col,
+        "__blk",
+        F.explode(
+            # query-role copies (this row's block vs every candidate
+            # block j) ∪ candidate-role copies (every query block i vs
+            # this row's block); the diagonal copy serves both roles.
+            F.array_distinct(
+                F.flatten(
+                    F.array(
+                        F.transform(
+                            F.sequence(F.lit(0), F.col("__nblk") - 1),
+                            lambda j: F.struct(
+                                F.col("__blk").alias("qb"), j.alias("cb")
+                            ),
+                        ),
+                        F.transform(
+                            F.sequence(F.lit(0), F.col("__nblk") - 1),
+                            lambda i: F.struct(
+                                i.alias("qb"), F.col("__blk").alias("cb")
+                            ),
+                        ),
+                    )
+                )
+            )
+        ).alias("__pair"),
+    ).select(
+        key_col, bucket_col, vec_col, "__blk",
+        F.col("__pair.qb").alias("__qb"),
+        F.col("__pair.cb").alias("__cb"),
+    )
+
+    def per_block_pair(keys_df: pd.DataFrame) -> pd.DataFrame:
+        qb = keys_df["__qb"].iloc[0]
+        cb = keys_df["__cb"].iloc[0]
+        q = keys_df[keys_df["__blk"] == qb].sort_values(key_col)
+        c = keys_df[keys_df["__blk"] == cb].sort_values(key_col)
+        if not len(q) or not len(c):
+            return pd.DataFrame(
+                {key_col: [], "nbr_id": [], bucket_col: [], "cos": []}
+            )
+        qk = q[key_col].to_numpy()
+        ck = c[key_col].to_numpy()
+        qm = np.stack(q[vec_col].to_numpy()).astype(np.float64)
+        cm = np.stack(c[vec_col].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        cn = np.linalg.norm(cm, axis=1)
+        qn[qn == 0.0] = np.inf
+        cn[cn == 0.0] = np.inf
+        g = (qm @ cm.T) / np.outer(qn, cn)
+        # self-pairs only arise on the diagonal block pair
+        if qb == cb:
+            g[qk[:, None] == ck[None, :]] = -np.inf
+        kk = min(k, g.shape[1])
+        order = np.argsort(-g, axis=1, kind="stable")[:, :kk]
+        cos = np.take_along_axis(g, order, axis=1)
+        keep = cos > -np.inf
+        return pd.DataFrame(
+            {
+                key_col: np.repeat(qk, kk)[keep.ravel()],
+                "nbr_id": ck[order].ravel()[keep.ravel()],
+                bucket_col: np.repeat(
+                    q[bucket_col].to_numpy(), kk
+                )[keep.ravel()],
+                "cos": cos.ravel()[keep.ravel()],
+            }
+        )
+
+    partials = tagged.groupBy(bucket_col, "__qb", "__cb").applyInPandas(
+        per_block_pair, part_schema
+    )
+    w = Window.partitionBy(key_col).orderBy(F.desc("cos"), F.col("nbr_id"))
+    return (
+        partials.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select(key_col, "nbr_id", bucket_col, "rk", "cos")
     )
