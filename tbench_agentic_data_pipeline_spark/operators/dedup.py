@@ -944,3 +944,40 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def resolve_near_duplicates(
+    docs: DataFrame,
+    clusters: DataFrame,
+    key_col: str = "doc_id",
+    prefer: list | None = None,
+) -> DataFrame:
+    """The dedup ladder's final act: given near-dup cluster assignments
+    (``connected_components`` output: (node, label)), return the corpus
+    with every cluster reduced to ONE representative — the row a training
+    pipeline actually keeps.
+
+    ``prefer`` orders candidates best-first (default: lowest key, the
+    ``is_canonical`` convention of :func:`dedup_cluster_components`); a
+    real corpus passes e.g. ``[F.length("text").desc(), F.col("doc_id")]``
+    to keep the longest variant. The tail of the effective sort is always
+    the unique key, so selection is total-ordered and deterministic.
+
+    Plan: one keyed join docs←labels (clustered docs are a small fraction
+    of the corpus — unclustered rows join nothing and pass through as
+    their own singleton cluster via ``coalesce``), one window over the
+    effective cluster id. No driver-side state, no collect; output schema
+    is exactly the input docs schema."""
+    lab = clusters.select(
+        F.col("node").alias("__k"), F.col("label").alias("__cluster")
+    )
+    joined = docs.join(lab, docs[key_col] == F.col("__k"), "left")
+    eff_cluster = F.coalesce(F.col("__cluster"), F.col(key_col))
+    order = list(prefer) if prefer else []
+    order.append(F.col(key_col).asc())
+    w = Window.partitionBy(eff_cluster).orderBy(*order)
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__k", "__cluster", "__rk")
+    )

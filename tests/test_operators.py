@@ -285,3 +285,34 @@ def test_simhash_near_pairs_exact_vs_exhaustive(spark):
             want[(a, b)] = h
     assert got == want
     assert len(want) >= 5  # the construction must actually exercise it
+
+
+def test_resolve_near_duplicates_keeps_one_per_cluster(spark):
+    """pairs → components → resolve: the full dedup endgame. Policy keeps
+    the LONGEST doc per cluster (ties by id); singletons pass through."""
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        resolve_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa"), (2, "aaaa"), (3, "aaa"),   # cluster {1,2,3} → keep 2
+            (10, "bb"), (11, "bb"),               # cluster {10,11} → tie → keep 10
+            (20, "unique-one"), (21, "unique-two"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b")
+    kept = resolve_near_duplicates(
+        docs, clusters, prefer=[F.length("text").desc()]
+    )
+    assert kept.columns == ["doc_id", "text"]
+    assert {r.doc_id for r in kept.collect()} == {2, 10, 20, 21}
+
+    # default policy = lowest id (the is_canonical convention)
+    kept_min = resolve_near_duplicates(docs, clusters)
+    assert {r.doc_id for r in kept_min.collect()} == {1, 10, 20, 21}
