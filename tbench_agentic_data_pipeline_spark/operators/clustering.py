@@ -109,3 +109,34 @@ def inertia(assigned: DataFrame) -> float:
     """Total within-cluster squared distance — the convergence metric
     (one scalar to the driver, nothing else)."""
     return assigned.agg(F.sum("dist_sq")).collect()[0][0]
+
+
+def save_ivf_index(centroids: DataFrame, root: str) -> int:
+    """Persist the coarse quantizer as a versioned snapshot table — the
+    index LIFECYCLE half of IVF: fit once over the corpus, commit, and
+    every subsequent search/assign job broadcasts the saved centroids
+    instead of re-running Lloyd's. Versioning comes from
+    :class:`SnapshotTable` (atomic manifest flip, previous index = the
+    rollback), so an index refresh is a commit and readers pin a version
+    for reproducible retrieval. Returns the committed version."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(centroids.sparkSession, root)
+    return table.commit(
+        centroids.select("cluster", "centroid"), operation="ivf_index"
+    )
+
+
+def load_ivf_index(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Load a persisted quantizer (current or pinned version), ready for
+    :func:`assign_clusters` / the IVF probe path. Centroid tables are
+    k rows — always broadcast-sized by construction."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    return SnapshotTable(spark, root).read(version)

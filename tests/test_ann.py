@@ -370,3 +370,46 @@ def test_knn_join_blocked_memory_is_block_bounded(spark):
     counts = out.groupBy("vec_id").count().collect()
     assert len(counts) == 100
     assert all(r["count"] == 5 for r in counts)
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """Fit → save → load → assign must equal assigning with the in-memory
+    quantizer, and a refreshed index keeps the old version readable
+    (pinned retrieval)."""
+    from tbench_agentic_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+    )
+    cents = kmeans_fit(emb, "vec_id", "emb", k=4, dim=64, iters=2)
+    root = str(tmp_path / "ivf_index")
+    v1 = save_ivf_index(cents, root)
+    assert v1 == 1
+
+    direct = {
+        r.vec_id: r.cluster
+        for r in assign_clusters(emb, "vec_id", "emb", cents).collect()
+    }
+    loaded = load_ivf_index(spark, root)
+    via_index = {
+        r.vec_id: r.cluster
+        for r in assign_clusters(emb, "vec_id", "emb", loaded).collect()
+    }
+    assert direct == via_index
+
+    # refresh with a finer quantizer: new current, old version pinned
+    v2 = save_ivf_index(
+        kmeans_fit(emb, "vec_id", "emb", k=8, dim=64, iters=1), root
+    )
+    assert v2 == 2
+    assert load_ivf_index(spark, root).count() == 8
+    assert load_ivf_index(spark, root, version=1).count() == 4
