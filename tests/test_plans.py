@@ -293,3 +293,28 @@ def test_q21_semi_anti_chain_colocates_on_orderkey(spark):
     assert "CartesianProduct" not in plan
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 5, count_exchanges(df)
+
+
+def test_knn_arrow_paths_shuffle_shape(spark):
+    # The benched kNN production path: ONE bucket exchange feeding the
+    # per-bucket GEMM + the final per-vector window — nothing else. The
+    # blocked variant adds exactly one more exchange (the block-pair
+    # group) on top of the within-bucket numbering window.
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        knn_join_blocked,
+        sim_knn_join_arrow,
+    )
+
+    df = sim_knn_join_arrow(spark, SF_ORACLE)
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+
+    emb = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+    )
+    blocked = knn_join_blocked(emb, 3, block_rows=64)
+    assert count_exchanges(blocked) <= 3, count_exchanges(blocked)
