@@ -316,3 +316,64 @@ def test_resolve_near_duplicates_keeps_one_per_cluster(spark):
     # default policy = lowest id (the is_canonical convention)
     kept_min = resolve_near_duplicates(docs, clusters)
     assert {r.doc_id for r in kept_min.collect()} == {1, 10, 20, 21}
+
+
+def test_resolve_near_duplicates_properties(spark):
+    """Property pin over random graphs: survivors = one per component +
+    every unclustered doc; each survivor is its cluster's policy-max
+    (longest text, then lowest id). Driver-side union-find is the
+    independent ground truth, as in the components equivalence test."""
+    import random
+
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        resolve_near_duplicates,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        docs_rows = [(i, "x" * rng.randint(1, 12)) for i in range(n)]
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(3, 15))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        in_graph = {x for e in edges for x in e}
+        lengths = dict(docs_rows)
+        expected = set()
+        for members in comp.values():
+            clustered = [m for m in members if m in in_graph]
+            if not clustered:
+                continue
+            expected.add(
+                min(clustered, key=lambda m: (-len(lengths[m]), m))
+            )
+        expected |= {i for i in range(n) if i not in in_graph}
+
+        docs = spark.createDataFrame(docs_rows, "doc_id bigint, text string")
+        clusters = connected_components(
+            spark.createDataFrame(edges, ["doc_a", "doc_b"]),
+            src="doc_a",
+            dst="doc_b",
+        )
+        kept = resolve_near_duplicates(
+            docs, clusters, prefer=[F.length("text").desc()]
+        )
+        got = {r.doc_id for r in kept.collect()}
+        assert got == expected, (trial, sorted(got ^ expected))
