@@ -92,17 +92,20 @@ def main() -> None:
     except Exception:
         pass
 
-    # Best-of-2 per query: the first run pays one-time whole-stage-codegen
+    # Best-of-3 per query: the first run pays one-time whole-stage-codegen
     # compilation and JIT warmup (measured 2-4× on the heavy queries: e.g.
     # the minhash band pipeline 2.55 s cold → 0.94 s warm at sf0.1) —
     # per-process compile cost that amortizes to nothing over a 100 TB
-    # run. min-of-2 reports steady-state throughput, the quantity that
+    # run. min reports steady-state throughput, the quantity that
     # extrapolates; plan + full execution is still included in each run.
+    # Three runs, not two: run-to-run noise on sub-second queries measured
+    # ±30% on this box, enough for a carried-over query to read as a
+    # round-over-round regression that isn't there.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             try:
                 df = fns[name](spark, sf_dir)
