@@ -101,8 +101,13 @@ def main() -> None:
     # Three runs, not two: run-to-run noise on sub-second queries measured
     # ±30% on this box, enough for a carried-over query to read as a
     # round-over-round regression that isn't there.
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    cc_rounds: int | None = None
     for name in names:
         best = None
         for _ in range(3):
@@ -121,6 +126,11 @@ def main() -> None:
             # A run-1 success followed by a run-2 failure still counts as
             # timed — don't report the query as both timed and failed.
             errors.pop(name, None)
+        if name == "dedup_cluster_components":
+            # Snapshot immediately: last_rounds is process-global and any
+            # later query that also calls connected_components (e.g. the
+            # leakage-safe split) would overwrite the attribution.
+            cc_rounds = connected_components.last_rounds
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -133,13 +143,11 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     # Iterative-operator observability: rounds-to-convergence is the cost
-    # driver of the components query; surface it next to its time.
-    from tbench_agentic_data_pipeline_spark.operators.dedup import (
-        connected_components,
-    )
-
-    if connected_components.last_rounds is not None:
-        payload["cc_rounds"] = connected_components.last_rounds
+    # driver of the components query; surface it next to its time
+    # (snapshotted right after dedup_cluster_components ran, so the
+    # attribution survives other connected_components callers).
+    if cc_rounds is not None:
+        payload["cc_rounds"] = cc_rounds
     print(json.dumps(payload))
     spark.stop()
 

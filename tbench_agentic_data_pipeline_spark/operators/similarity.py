@@ -24,6 +24,8 @@ driver-side randomness to ship.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -170,6 +172,7 @@ def brute_force_topk_arrow(
     corpus: DataFrame, queries: DataFrame, k: int,
     corpus_key: str = "vec_id", corpus_vec: str = "emb",
     query_key: str = "q_id", query_vec: str = "q_emb",
+    max_queries: int = _MAX_BRUTE_FORCE_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow/numpy production path.
 
@@ -208,12 +211,12 @@ def brute_force_topk_arrow(
 
     # LIMIT probe instead of count(): one extra row decides, the full
     # query-side cardinality is never materialized just to fail.
-    probe = queries.select(query_key).limit(_MAX_BRUTE_FORCE_QUERIES + 1)
-    if len(probe.collect()) > _MAX_BRUTE_FORCE_QUERIES:
+    probe = queries.select(query_key).limit(max_queries + 1)
+    if len(probe.collect()) > max_queries:
         raise ValueError(
             f"brute_force_topk_arrow collects the query side to the driver "
             f"and ships it inside the mapInPandas closure; more than "
-            f"{_MAX_BRUTE_FORCE_QUERIES} query vectors risks driver OOM. "
+            f"{max_queries} query vectors risks driver OOM. "
             f"Use knn_join (bucketed, fully distributed) for large query "
             f"sets."
         )
@@ -905,7 +908,11 @@ def knn_join_blocked(
         (F.max("__blk") + 1).alias("__nblk")
     )
     tagged = rows.join(
-        F.broadcast(nblk), rows[bucket_col] == F.col("__b")
+        # null-safe: knn_join_arrow's groupBy keeps a NULL bucket as its
+        # own group, so the blocked twin must too — a plain equi-join
+        # would silently drop NULL-bucket rows and the two documented
+        # result-identical paths would diverge.
+        F.broadcast(nblk), rows[bucket_col].eqNullSafe(F.col("__b"))
     ).select(
         key_col,
         bucket_col,
@@ -985,3 +992,64 @@ def knn_join_blocked(
         .where(F.col("rk") <= k)
         .select(key_col, "nbr_id", bucket_col, "rk", "cos")
     )
+
+
+def knn_join(
+    emb: DataFrame, k: int,
+    key_col: str = "vec_id", vec_col: str = "emb", bucket_col: str = "label",
+    max_bucket_rows: int = 100_000,
+    task_memory_bytes: int = 512 << 20,
+) -> DataFrame:
+    """Bucketed kNN join, auto-dispatching entry point.
+
+    :func:`knn_join_arrow` is the fast path (one task per bucket, one
+    GEMM) but raises on buckets past ``max_bucket_rows``;
+    :func:`knn_join_blocked` survives any bucket size but pays a
+    duplication-factor shuffle and per-block-pair scheduling overhead
+    (measured 1.5-4× on all-small-bucket corpora, SCALING.md). Until this
+    round the caller had to pick by hand — and a single dense quantizer
+    cell meant hand-splitting the input. This dispatcher does the
+    accounting itself:
+
+    1. one per-bucket count aggregate (bucket-cardinality-sized — the
+       same row-count reduction every ``lsh_bucket_stats`` call does);
+    2. rows in buckets ≤ ``max_bucket_rows`` take the one-task GEMM,
+       rows in dense buckets take the blocked path, results unioned —
+       buckets are independent, so the split changes nothing semantically
+       (pinned by the dispatcher equivalence test);
+    3. the blocked path's ``block_rows`` is derived from
+       ``task_memory_bytes``: a block pair holds two ``B×d`` float64
+       matrices plus the ``B²`` gram, so ``8B² + 16Bd ≤ budget`` →
+       ``B = ⌊√(d² + budget/8) − d⌋`` (clamped to [256, 65536]), with the
+       vector dimension ``d`` probed from one row.
+
+    The count-join is null-safe on the bucket key, matching both
+    underlying paths' keep-NULL-bucket semantics.
+    """
+    counts = emb.groupBy(F.col(bucket_col).alias("__cb_key")).agg(
+        F.count(F.lit(1)).alias("__bucket_n")
+    )
+    tagged = emb.join(
+        F.broadcast(counts),
+        F.col(bucket_col).eqNullSafe(F.col("__cb_key")),
+    ).drop("__cb_key")
+    small = tagged.where(F.col("__bucket_n") <= max_bucket_rows).drop("__bucket_n")
+    dense = tagged.where(F.col("__bucket_n") > max_bucket_rows).drop("__bucket_n")
+
+    out = knn_join_arrow(
+        small, k, key_col=key_col, vec_col=vec_col, bucket_col=bucket_col,
+        max_bucket_rows=max_bucket_rows,
+    )
+    # Only pay the dim probe + blocked plan when a dense bucket exists.
+    if dense.select(key_col).limit(1).count() > 0:
+        probe = dense.select(F.size(vec_col).alias("d")).limit(1).collect()
+        d = max(int(probe[0]["d"] or 1), 1)
+        block_rows = int(math.isqrt(d * d + task_memory_bytes // 8) - d)
+        block_rows = max(256, min(block_rows, 65536))
+        out = out.unionByName(
+            knn_join_blocked(
+                dense, k, key_col=key_col, vec_col=vec_col,
+                bucket_col=bucket_col, block_rows=block_rows,
+            )
+        )
+    return out

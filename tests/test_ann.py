@@ -413,3 +413,75 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     assert v2 == 2
     assert load_ivf_index(spark, root).count() == 8
     assert load_ivf_index(spark, root, version=1).count() == 4
+
+
+def test_knn_join_paths_agree_on_null_buckets(spark):
+    """A NULL bucket key is its own group in knn_join_arrow's groupBy; the
+    blocked path's broadcast count-join must be null-safe so the two
+    documented result-identical paths really are (ADVICE r4: a plain
+    equi-join silently dropped NULL-bucket rows from the blocked path)."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        knn_join_arrow,
+        knn_join_blocked,
+    )
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .alias("label"),
+        F.array(
+            F.cos(F.col("id").cast("double")),
+            F.sin(F.col("id").cast("double")),
+        ).alias("emb"),
+    )
+    one = {
+        (r.vec_id, r.nbr_id): (r.rk, r.label)
+        for r in knn_join_arrow(emb, 3).collect()
+    }
+    blocked = {
+        (r.vec_id, r.nbr_id): (r.rk, r.label)
+        for r in knn_join_blocked(emb, 3, block_rows=5).collect()
+    }
+    assert one == blocked
+    # NULL-bucket vectors (id % 3 == 0: 14 of them) DID get neighbors
+    assert sum(1 for (v, _) in one if v % 3 == 0) == 14 * 3
+
+
+def test_knn_join_dispatcher_routes_dense_buckets(spark):
+    """knn_join must route dense buckets to the blocked path silently (no
+    max_bucket_rows ValueError) and produce exactly the result the
+    one-task path gives with the guard lifted — including a NULL bucket
+    and an empty small side."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        knn_join,
+        knn_join_arrow,
+    )
+
+    emb = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        # bucket 0 is dense (60 rows), 1/2 small, plus a NULL bucket
+        F.when(F.col("id") < 60, F.lit(0))
+        .when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .alias("label"),
+        F.array(
+            F.cos(F.col("id").cast("double")),
+            F.sin(F.col("id").cast("double")),
+        ).alias("emb"),
+    )
+    dispatched = {
+        (r.vec_id, r.nbr_id): r.rk
+        for r in knn_join(emb, 3, max_bucket_rows=30).collect()
+    }
+    reference = {
+        (r.vec_id, r.nbr_id): r.rk
+        for r in knn_join_arrow(emb, 3, max_bucket_rows=10**9).collect()
+    }
+    assert dispatched == reference
+
+    # all-dense input: the small side is empty, dispatcher still complete
+    all_dense = emb.withColumn("label", F.lit(7))
+    got = knn_join(all_dense, 2, max_bucket_rows=30)
+    counts = got.groupBy("vec_id").count().collect()
+    assert len(counts) == 120 and all(r["count"] == 2 for r in counts)
