@@ -46,6 +46,21 @@ HEADLINE = [
     # round-4 TPC-H tail: the two with the most join/shuffle work
     "q9_profit_by_nation_year",
     "q21_sole_late_supplier",
+    # round-5 widening (VERDICT r4 #3): the 3-5-shuffle plans that had no
+    # recorded perf signal — a regression here was invisible to BENCH_rN.
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q20_dominant_suppliers",
+    "events_funnel",
+    "j_asof_last_view",
+    "w8_trailing_week_activity",
+    "dedup_threshold_sweep",
+    # round-5 additions, benched from birth:
+    "st_interval_join",
+    "mm_image_codec",
 ]
 
 

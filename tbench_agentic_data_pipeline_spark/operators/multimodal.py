@@ -3,12 +3,19 @@ Python feature extraction.
 
 Images/audio/video ride through the engine as opaque ``binary`` columns
 with a typed metadata struct; decode / feature-extraction / resize /
-frame-sampling run as Arrow-batched ``mapInPandas`` stages. The container
-has no imaging/audio libraries, so the decoder backend here is a
-clearly-marked deterministic fake — but every Spark-side piece a real
-deployment needs is real and tested: the schema contract, the batch
-iterator shape, partition sizing, and the pandas-UDF signature. Swapping
-``_fake_decode`` for PIL/ffmpeg is a one-function change.
+frame-sampling run as Arrow-batched ``mapInPandas`` stages. Two decode
+backends exist:
+
+- :func:`decode_image_features` — REAL pure-Python codecs for the two
+  formats that need no imaging library (binary PPM and uncompressed
+  24-bit BMP): header + pixel parsing of actual bytes, with malformed
+  payloads quarantined via a status column.
+- :func:`decode_features` — a clearly-marked deterministic fake standing
+  in for compressed-format decode (JPEG/PNG/audio/video need libraries
+  this container lacks). Every Spark-side piece around it is real and
+  tested: the schema contract, the batch iterator shape, partition
+  sizing, and the pandas-UDF signature; swapping ``_fake_decode`` for
+  PIL/ffmpeg is a one-function change.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` moderate and repartition before the
@@ -92,6 +99,210 @@ def decode_features(media: DataFrame, partitions: int | None = None) -> DataFram
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real image decode: pure-Python PPM (P6) and BMP (24-bit) parsers
+# ---------------------------------------------------------------------------
+# The container has no imaging libraries, but these two formats need none:
+# both are header + raw pixel bytes. This backend parses ACTUAL image
+# bytes — width/height from the header, per-channel means from the pixel
+# array — so the decode stage validates real byte layouts, not arithmetic
+# stand-ins. Compressed formats (JPEG/PNG) remain the declared stub
+# territory; a real deployment swaps _decode_image's dispatch for PIL.
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def _parse_ppm(buf: bytes) -> tuple[str, int, int, float, float, float]:
+    """Binary PPM (P6): ASCII header ``P6 <w> <h> <maxval>`` (whitespace-
+    separated, ``#`` comments allowed) then one raw RGB triplet per pixel,
+    row-major top-down."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = w * h * 3
+    px = buf[pos : pos + n]
+    if len(px) != n:
+        raise ValueError(f"truncated raster: {len(px)} of {n} bytes")
+    if w * h == 0:
+        return "ppm", w, h, 0.0, 0.0, 0.0
+    sums = [0, 0, 0]
+    for c in range(3):
+        sums[c] = sum(px[c::3])
+    return "ppm", w, h, *(s / (w * h) for s in sums)
+
+
+def _parse_bmp(buf: bytes) -> tuple[str, int, int, float, float, float]:
+    """Uncompressed 24-bit BMP: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER
+    (40 B); BGR pixel rows bottom-up, each padded to a 4-byte boundary.
+    Negative biHeight means top-down — means are row-order-invariant so
+    both orientations share this path."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (hdr={hdr_size} bpp={bpp} "
+            f"compression={compression})"
+        )
+    abs_h = abs(h)
+    stride = ((w * 3) + 3) & ~3
+    need = stride * abs_h
+    raster = buf[data_off : data_off + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated raster: {len(raster)} of {need} bytes")
+    if w * abs_h == 0:
+        return "bmp", w, abs_h, 0.0, 0.0, 0.0
+    sums = [0, 0, 0]  # accumulate as B,G,R then swap on return
+    for row in range(abs_h):
+        line = raster[row * stride : row * stride + w * 3]
+        for c in range(3):
+            sums[c] += sum(line[c::3])
+    n = w * abs_h
+    return "bmp", w, abs_h, sums[2] / n, sums[1] / n, sums[0] / n
+
+
+def _decode_image(payload: bytes) -> dict:
+    """Dispatch on magic bytes; failures become a status value, never an
+    exception — a 100 TB scan must quarantine bad payloads, not die on
+    row 10^11."""
+    try:
+        p = bytes(payload)
+        if p[:2] == b"P6":
+            fmt, w, h, r, g, b = _parse_ppm(p)
+        elif p[:2] == b"BM":
+            fmt, w, h, r, g, b = _parse_bmp(p)
+        else:
+            return {
+                "format": "unknown", "width": 0, "height": 0,
+                "mean_r": 0.0, "mean_g": 0.0, "mean_b": 0.0,
+                "status": "error:unrecognized magic bytes",
+            }
+        return {
+            "format": fmt, "width": w, "height": h,
+            "mean_r": r, "mean_g": g, "mean_b": b, "status": "ok",
+        }
+    except Exception as e:  # noqa: BLE001 — status column, not a crash
+        return {
+            "format": "unknown", "width": 0, "height": 0,
+            "mean_r": 0.0, "mean_g": 0.0, "mean_b": 0.0,
+            "status": f"error:{e}",
+        }
+
+
+def decode_image_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Real-codec twin of :func:`decode_features`: same Arrow-batched
+    ``mapInPandas`` plumbing (bounded batches, metadata predicates prune
+    JVM-side first), with header+pixel parsing of actual PPM/BMP bytes in
+    place of the arithmetic stub."""
+    if partitions is not None:
+        media = media.repartition(partitions)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = [_decode_image(p) for p in pdf["payload"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").to_numpy())
+            yield out
+
+    return media.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+@query(
+    "mm_image_codec",
+    survey="X4,X5,S4",
+    oracle="""
+        WITH raster AS (
+            -- pad to exactly 48 bytes: documents shorter than one 4x4
+            -- raster exist at sf0.1 (7 of 5000)
+            SELECT doc_id, rpad(substr(text, 1, 48), 48, ' ') AS bytes
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id,
+                   ord(substr(d.bytes, CAST(1 + 3 * t.i AS INT), 1)) AS r,
+                   ord(substr(d.bytes, CAST(2 + 3 * t.i AS INT), 1)) AS g,
+                   ord(substr(d.bytes, CAST(3 + 3 * t.i AS INT), 1)) AS b
+            FROM raster d
+            CROSS JOIN range(16) AS t(i)
+        )
+        SELECT doc_id,
+               'ppm'                 AS format,
+               CAST(4 AS BIGINT)     AS width,
+               CAST(4 AS BIGINT)     AS height,
+               ROUND(AVG(r) * (1 + 5e-13), 4) AS mean_r,
+               ROUND(AVG(g) * (1 + 5e-13), 4) AS mean_g,
+               ROUND(AVG(b) * (1 + 5e-13), 4) AS mean_b,
+               'ok'                  AS status
+        FROM px
+        GROUP BY doc_id
+    """,
+)
+def mm_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode end-to-end: encode each document's first 48
+    bytes (space-padded — sub-48-char docs exist at sf0.1) as a genuine
+    binary-PPM payload (header + raw RGB raster,
+    4×4) JVM-side, then run the actual PPM parser through the Arrow
+    ``mapInPandas`` decode stage. The oracle recomputes width/height and
+    per-channel byte means from the SAME text bytes with SQL string ops
+    (ASCII corpus: chars == bytes), so a green row proves the Python
+    stage parsed real encoded bytes — header offsets, channel
+    interleave, raster length — not stand-in arithmetic. Reference
+    parity: SURVEY §2.9 X4/X5 external-action shape with the side-effect
+    replaced by a pure codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(b"P6\n4 4\n255\n"),
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "UTF-8"),
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    feats = decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        F.round(F.col("mean_r") * (1 + F.lit(5e-13)), 4).alias("mean_r"),
+        F.round(F.col("mean_g") * (1 + F.lit(5e-13)), 4).alias("mean_g"),
+        F.round(F.col("mean_b") * (1 + F.lit(5e-13)), 4).alias("mean_b"),
+        "status",
+    )
 
 
 RESIZE_SCHEMA = T.StructType(

@@ -544,6 +544,71 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_search_topk(
+    corpus_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    corpus_key: str = "vec_id",
+    corpus_vec: str = "emb",
+    query_key: str = "q_id",
+    query_vec: str = "q_emb",
+) -> DataFrame:
+    """IVF search with a learned quantizer and multi-cell probing.
+
+    The index-build half happens ONCE (``assign_clusters`` over the
+    corpus → a ``cluster`` column, quantizer persisted via
+    ``save_ivf_index``); this is the search half: each query is scored
+    against the broadcast centroid table, its ``nprobe`` nearest cells
+    are probed, and exact cosine runs only over those cells' members —
+    scored rows ≈ nprobe/k_cells of the corpus instead of all of it.
+
+    Plan shape at scale: queries × centroids is a broadcast nested loop
+    over two tiny tables; the probe list joins the corpus BROADCAST on
+    ``cluster`` (the corpus side, the 100 TB side, never shuffles for
+    it); the only exchange is the final per-query top-k window over
+    candidate rows. ``nprobe`` is the recall/latency dial — measured
+    recall@k vs nprobe on the ~sf1 fixture is recorded in SCALING.md,
+    and recall is monotone in ``nprobe`` by construction (cells are
+    probed in increasing centroid distance; pinned in tests)."""
+    from tbench_agentic_data_pipeline_spark.operators.clustering import _l2_sq
+
+    probes = (
+        queries.crossJoin(
+            F.broadcast(
+                centroids.select(
+                    F.col("cluster").alias("__pc"),
+                    F.col("centroid").alias("__pcv"),
+                )
+            )
+        )
+        .select(
+            query_key,
+            query_vec,
+            F.col("__pc"),
+            _l2_sq(F.col(query_vec), F.col("__pcv")).alias("__pd"),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy(query_key).orderBy("__pd", "__pc")
+            ),
+        )
+        .where(F.col("__pr") <= nprobe)
+        .select(query_key, query_vec, F.col("__pc").alias("cluster"))
+    )
+    scored = corpus_assigned.join(F.broadcast(probes), "cluster").select(
+        query_key,
+        corpus_key,
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos"),
+    )
+    w = Window.partitionBy(query_key).orderBy(F.desc("cos"), F.col(corpus_key))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8 scalar quantization — the memory-bandwidth rung of the ANN ladder
 # ---------------------------------------------------------------------------

@@ -17,8 +17,11 @@ declaratively and they scale to unbounded input:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.registry import query
 
 
 def enrich_with_dim(
@@ -81,4 +84,56 @@ def join_within_window(
     )
     return joined.select(
         "l.*", *[F.col(f"r.{c}") for c in rw.columns if c != key]
+    )
+
+
+@query(
+    "st_interval_join",
+    survey="ST2,ST3,J4",
+    oracle="""
+        SELECT v.event_id                              AS view_id,
+               c.event_id                              AS click_id,
+               v.user_id                               AS user_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S')     AS view_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S')     AS click_ts,
+               ROUND(v.value + c.value, 2)             AS pair_value
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL '2 hours'
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch mirror: click-after-view
+    attribution pairing each view with same-user clicks inside a 2 h
+    event-time window — THROUGH :func:`join_within_window` itself (the
+    unified batch/streaming API makes ``withWatermark`` a no-op in batch,
+    so the exact production join builder gets oracle-pinned; the
+    streaming form with live state eviction is driven by
+    ``tests/test_streaming.py``). Reference parity: the reference
+    correlates task-claim and task-completion events per worker inside a
+    timeout horizon (`shared_tools/store.py` claim/complete loops); this
+    is that correlation as one declarative bounded-state join. Output is
+    unique per (view_id, click_id) so the unordered hash gate is stable;
+    the filters sit BEFORE the join so each side scans pruned
+    (PushedFilters on event_type)."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    joined = join_within_window(
+        views, clicks, key="user_id", watermark="2 hours", window="2 hours"
+    )
+    return joined.select(
+        F.col("event_id").alias("view_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round(F.col("value") + F.col("r_value"), 2).alias("pair_value"),
     )

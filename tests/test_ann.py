@@ -243,7 +243,6 @@ def test_arrow_topk_refuses_oversized_query_side(spark):
     driver."""
     import pytest
 
-    from tbench_agentic_data_pipeline_spark.operators import similarity
     from tbench_agentic_data_pipeline_spark.operators.similarity import (
         brute_force_topk_arrow,
     )
@@ -256,14 +255,9 @@ def test_arrow_topk_refuses_oversized_query_side(spark):
         F.col("id").alias("q_id"),
         F.array(F.rand(seed=3), F.rand(seed=4)).alias("q_emb"),
     )
-    old = similarity._MAX_BRUTE_FORCE_QUERIES
-    similarity._MAX_BRUTE_FORCE_QUERIES = 49
-    try:
-        with pytest.raises(ValueError, match="knn_join"):
-            brute_force_topk_arrow(emb, big_q, 3)
-    finally:
-        similarity._MAX_BRUTE_FORCE_QUERIES = old
-    # at the real ceiling the same frame is fine
+    with pytest.raises(ValueError, match="knn_join"):
+        brute_force_topk_arrow(emb, big_q, 3, max_queries=49)
+    # at the default ceiling the same frame is fine
     assert brute_force_topk_arrow(emb, big_q, 3).count() > 0
 
 
@@ -485,3 +479,39 @@ def test_knn_join_dispatcher_routes_dense_buckets(spark):
     got = knn_join(all_dense, 2, max_bucket_rows=30)
     counts = got.groupBy("vec_id").count().collect()
     assert len(counts) == 120 and all(r["count"] == 2 for r in counts)
+
+
+def test_ivf_search_recall_monotone_in_nprobe(spark):
+    """The search half of IVF (learned quantizer + nprobe cell probing):
+    recall@k must be monotone in nprobe, exact when every cell is probed,
+    and above the measured-floor targets with a 16-cell quantizer — the
+    curve the SCALING.md recall/latency table tracks at ~sf1."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        ivf_search_topk,
+    )
+
+    emb = _corpus(spark)
+    cents = kmeans_fit(emb, "vec_id", "emb", k=16, dim=DIM, iters=2)
+    assigned = assign_clusters(emb, "vec_id", "emb", cents)
+    queries = emb.limit(20).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    exact = brute_force_topk(emb, queries, K)
+    recalls = {
+        nprobe: recall_at_k(
+            ivf_search_topk(assigned, queries, cents, K, nprobe=nprobe),
+            exact,
+            K,
+        )
+        for nprobe in (1, 2, 4, 8, 16)
+    }
+    assert sorted(recalls.values()) == [recalls[n] for n in (1, 2, 4, 8, 16)], recalls
+    assert recalls[16] == 1.0, recalls  # all cells probed ⇒ brute force
+    # The fixture embeddings are only weakly clustered (near-random 64-d:
+    # measured 0.57@4, 0.795@8 — spherical normalization does not move
+    # these), so the floors pin the measured curve with a small margin;
+    # the quantizer is deterministic (seedless hash init), so these are
+    # stable, not flaky. SCALING.md records the same curve with latency
+    # at ~sf1.
+    assert recalls[4] >= 0.55, recalls
+    assert recalls[8] >= 0.75, recalls

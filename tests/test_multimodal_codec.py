@@ -1,0 +1,118 @@
+"""Real-codec invariants for the multimodal decode stage: the PPM/BMP
+parsers must recover width/height/channel-means from genuinely encoded
+bytes (fixtures produced by independent pure-Python encoders below), and
+malformed payloads must surface as status rows, never exceptions — the
+quarantine contract a 100 TB binary scan needs."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+    _decode_image,
+    _parse_bmp,
+    _parse_ppm,
+    decode_image_features,
+)
+
+
+# --- independent encoders (the fixtures, not the code under test) ----------
+
+
+def encode_ppm(pixels: list[list[tuple[int, int, int]]], comment: str | None = None) -> bytes:
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    hdr = b"P6\n"
+    if comment is not None:
+        hdr += b"# " + comment.encode() + b"\n"
+    hdr += f"{w} {h}\n255\n".encode()
+    raster = bytes(v for row in pixels for px in row for v in px)
+    return hdr + raster
+
+
+def encode_bmp(pixels: list[list[tuple[int, int, int]]], top_down: bool = False) -> bytes:
+    """24-bit uncompressed BMP: BGR byte order, rows bottom-up (unless
+    top_down → negative biHeight), stride padded to 4 bytes."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    stride = ((w * 3) + 3) & ~3
+    rows = pixels if top_down else list(reversed(pixels))
+    raster = b"".join(
+        b"".join(bytes((b_, g, r)) for (r, g, b_) in row).ljust(stride, b"\0")
+        for row in rows
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + raster
+
+
+PIXELS = [  # 3×2, known channel means: r=85, g=102, b=119
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(255, 255, 255), (0, 0, 0), (0, 57, 459 % 256)],
+]
+MEAN_R = (255 + 0 + 0 + 255 + 0 + 0) / 6
+MEAN_G = (0 + 255 + 0 + 255 + 0 + 57) / 6
+MEAN_B = (0 + 0 + 255 + 255 + 0 + 203) / 6
+
+
+def test_ppm_parse_recovers_dims_and_means():
+    fmt, w, h, r, g, b = _parse_ppm(encode_ppm(PIXELS, comment="cam0 frame"))
+    assert (fmt, w, h) == ("ppm", 3, 2)
+    assert (r, g, b) == (MEAN_R, MEAN_G, MEAN_B)
+
+
+def test_bmp_parse_bottom_up_and_top_down_agree():
+    for td in (False, True):
+        fmt, w, h, r, g, b = _parse_bmp(encode_bmp(PIXELS, top_down=td))
+        assert (fmt, w, h) == ("bmp", 3, 2)
+        # stride padding (3*3=9 → 12 bytes/row) must not leak into means
+        assert (r, g, b) == (MEAN_R, MEAN_G, MEAN_B)
+
+
+def test_malformed_payloads_become_status_rows():
+    good = encode_ppm(PIXELS)
+    cases = {
+        "truncated ppm": good[:-4],
+        "bad maxval": good.replace(b"255", b"65535"),
+        "truncated bmp": encode_bmp(PIXELS)[:40],
+        "unknown magic": b"\x89PNG\r\n\x1a\n garbage",
+        "empty": b"",
+    }
+    for label, payload in cases.items():
+        out = _decode_image(payload)
+        assert out["status"].startswith("error:"), (label, out)
+        assert out["width"] == 0 and out["height"] == 0
+    assert _decode_image(good)["status"] == "ok"
+
+
+def test_decode_image_features_end_to_end(spark):
+    """The Spark stage: mixed PPM/BMP/garbage payloads in one binary
+    column; real decodes agree with the independent encoders' ground
+    truth and bad rows are quarantined by status, all inside one
+    Arrow-batched mapInPandas pass."""
+    rows = [
+        (1, bytearray(encode_ppm(PIXELS))),
+        (2, bytearray(encode_bmp(PIXELS))),
+        (3, bytearray(b"not an image")),
+        (4, bytearray(encode_ppm([[(9, 9, 9)]] * 4))),  # 1×4 solid
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in decode_image_features(media).collect()}
+    assert got[1]["format"] == "ppm" and (got[1]["width"], got[1]["height"]) == (3, 2)
+    assert got[2]["format"] == "bmp" and got[2]["mean_g"] == MEAN_G
+    assert got[1]["mean_r"] == got[2]["mean_r"] == MEAN_R
+    assert got[3]["status"].startswith("error:")
+    assert got[4] == {
+        "doc_id": 4, "format": "ppm", "width": 1, "height": 4,
+        "mean_r": 9.0, "mean_g": 9.0, "mean_b": 9.0, "status": "ok",
+    }
+    # metadata predicates prune JVM-side before Python runs
+    pruned = decode_image_features(
+        media.where(F.length("payload") > 20)
+    ).collect()
+    assert {r["doc_id"] for r in pruned} == {1, 2, 4}

@@ -116,10 +116,15 @@ def build_sf1(spark) -> None:
     )
 
 
+# Curved but not benched: multi-shuffle plans the r4 verdict wanted a
+# scale reading on without growing the per-round bench set.
+EXTRA_CURVE = ["a_retention_cohorts", "text_mixture_weights"]
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     fns = {n: e.fn for n, e in registry.collect().items()}
     fns.update(_extra_queries())
-    names = [n for n in HEADLINE if n in fns]
+    names = [n for n in HEADLINE + EXTRA_CURVE if n in fns]
     # JVM/codegen/python-worker warmup, as in bench.py
     try:
         fns[names[0]](spark, sf_dir).count()
