@@ -544,6 +544,65 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_centroid_outliers",
+    survey="A4,J5,W2",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, label, t.i AS d,
+                   CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) AS x
+            FROM embeddings
+            CROSS JOIN range(64) AS t(i)
+        ),
+        cent AS (
+            SELECT label, d, AVG(x) AS c FROM ex GROUP BY label, d
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label,
+                   sqrt(SUM((e.x - c.c) * (e.x - c.c))) AS dist
+            FROM ex e
+            JOIN cent c ON e.label = c.label AND e.d = c.d
+            GROUP BY e.vec_id, e.label
+        )
+        SELECT vec_id, label, ROUND(dist * (1 + 5e-13), 6) AS centroid_dist
+        FROM dist
+        ORDER BY centroid_dist DESC, vec_id
+        LIMIT 20
+    """,
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: per-label mean vector, then each
+    vector's L2 distance to its label centroid; the global top-20
+    outliers are the mislabeled/garbage candidates a curation pass
+    quarantines before training. Complements the near-dup family: dedup
+    removes what is too SIMILAR, this surfaces what is too DIFFERENT.
+
+    Shape: one posexplode feeds a (label, dim) centroid aggregate —
+    label-cardinality × 64 rows, always broadcast-sized — which joins
+    back BROADCAST to the exploded stream (the corpus never shuffles for
+    the join); per-vector distance re-aggregates on vec_id; the top-20
+    is orderBy+limit → TakeOrderedAndProject. Ranking compares the
+    stable-rounded distance with a vec_id tiebreak, so engine-side ulp
+    noise in the centroid means cannot reorder the cut."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    ex = emb.select("vec_id", "label", F.posexplode("emb").alias("d", "x"))
+    cent = ex.groupBy("label", "d").agg(F.avg("x").alias("c"))
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("dist"))
+    )
+    return (
+        dist.select(
+            "vec_id", "label", stable_round(F.col("dist"), 6).alias("centroid_dist")
+        )
+        .orderBy(F.desc("centroid_dist"), F.col("vec_id"))
+        .limit(20)
+    )
+
+
 def ivf_search_topk(
     corpus_assigned: DataFrame,
     queries: DataFrame,

@@ -536,3 +536,122 @@ def text_zipf_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_rank_milli"),
         )
     )
+
+
+@query(
+    "text_bm25_topk",
+    survey="A4,J5,W2",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS DOUBLE) AS dl,
+                   CAST(SUM(CASE WHEN term = 'hash'   THEN 1 ELSE 0 END) AS DOUBLE) AS tf_hash,
+                   CAST(SUM(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS DOUBLE) AS tf_join,
+                   CAST(SUM(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_stream
+            FROM toks GROUP BY doc_id
+        ),
+        stats AS (
+            SELECT AVG(dl) AS avgdl,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash,
+                   CAST(SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+                   CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_stream
+            FROM per_doc
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   (CASE WHEN tf_hash > 0 THEN
+                        ln(1 + (s.n - s.df_hash + 0.5) / (s.df_hash + 0.5))
+                        * tf_hash * 2.2
+                        / (tf_hash + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                    ELSE 0 END)
+                 + (CASE WHEN tf_join > 0 THEN
+                        ln(1 + (s.n - s.df_join + 0.5) / (s.df_join + 0.5))
+                        * tf_join * 2.2
+                        / (tf_join + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                    ELSE 0 END)
+                 + (CASE WHEN tf_stream > 0 THEN
+                        ln(1 + (s.n - s.df_stream + 0.5) / (s.df_stream + 0.5))
+                        * tf_stream * 2.2
+                        / (tf_stream + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                    ELSE 0 END) AS score,
+                   CAST((CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_terms_hit
+            FROM per_doc d CROSS JOIN stats s
+        )
+        SELECT doc_id, ROUND(score * (1 + 5e-13), 6) AS bm25, n_terms_hit
+        FROM scored
+        WHERE n_terms_hit > 0
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring: rank the corpus for the query
+    {hash, join, stream} (k1=1.2, b=0.75) and return the top-10 docs —
+    the lexical-retrieval half of a RAG/training-data search stack next
+    to the embedding top-k family.
+
+    Shape — TWO exchanges total for a corpus-wide ranked retrieval:
+    tokens explode into ONE conditional per-doc aggregate (doc length +
+    one tf column per query term in the same pass, map-side combined),
+    corpus stats (avgdl, N, per-term df) are a second single-row
+    aggregate over it, broadcast back via a 1-row cross join; the
+    per-term BM25 contributions then sum in FIXED expression order (no
+    cross-engine sum-order nondeterminism), and the top-10 is
+    orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    global sort). This is the inverted-index-free form: at 100 TB the
+    scored side stays one pass over the corpus and only doc-count-sized
+    aggregates ever shuffle. Ranking compares the STABLE-ROUNDED score,
+    ties break on doc_id."""
+    from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
+
+    terms = ["hash", "join", "stream"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("double")
+            .alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    stats = per_doc.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("double").alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+
+    def contrib(t: str):
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log(1 + (F.col("n") - df + 0.5) / (df + 0.5))
+        part = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        return F.when(tf > 0, part).otherwise(F.lit(0.0))
+
+    score = contrib(terms[0]) + contrib(terms[1]) + contrib(terms[2])
+    hits = sum(
+        (F.col(f"tf_{t}") > 0).cast("bigint") for t in terms
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            stable_round(score, 6).alias("bm25"),
+            hits.alias("n_terms_hit"),
+        )
+        .where(F.col("n_terms_hit") > 0)
+        .orderBy(F.desc("bm25"), F.col("doc_id"))
+        .limit(10)
+    )

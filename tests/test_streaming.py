@@ -549,9 +549,14 @@ def test_session_window_watermark_eviction(spark, tmp_path):
     schema = "user_id string, ts_s string, value double"
 
     def write_batch(rows):
+        # ONE file per logical batch: with maxFilesPerTrigger=1 every
+        # file becomes its own micro-batch, and a multi-file write could
+        # process the watermark-advancing event before its session-mates
+        # (observed as a load-dependent flake), which is not the
+        # scenario under test.
         spark.createDataFrame(rows, schema).select(
             "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
-        ).write.mode("append").parquet(str(src))
+        ).coalesce(1).write.mode("append").parquet(str(src))
 
     # b1: u1 session of two events (00:00:00 + 00:00:30, gap 1 min) and a
     # punctual event at 01:00 → watermark (delay 10 min) = 00:50 closes it.
