@@ -125,10 +125,11 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _parse_ppm(buf: bytes) -> tuple[str, int, int, float, float, float]:
-    """Binary PPM (P6): ASCII header ``P6 <w> <h> <maxval>`` (whitespace-
-    separated, ``#`` comments allowed) then one raw RGB triplet per pixel,
-    row-major top-down."""
+def _ppm_raster(buf: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) down to (width, height, raw RGB raster):
+    ASCII header ``P6 <w> <h> <maxval>`` (whitespace-separated, ``#``
+    comments allowed) then one raw RGB triplet per pixel, row-major
+    top-down. Shared by the feature extractor and the resize backend."""
     if buf[:2] != b"P6":
         raise ValueError("not a P6 PPM")
     pos, fields = 2, []
@@ -151,6 +152,16 @@ def _parse_ppm(buf: bytes) -> tuple[str, int, int, float, float, float]:
     px = buf[pos : pos + n]
     if len(px) != n:
         raise ValueError(f"truncated raster: {len(px)} of {n} bytes")
+    return w, h, px
+
+
+def _encode_ppm(w: int, h: int, px: bytes) -> bytes:
+    return f"P6\n{w} {h}\n255\n".encode() + px
+
+
+def _parse_ppm(buf: bytes) -> tuple[str, int, int, float, float, float]:
+    """PPM feature extraction: dims + per-channel means."""
+    w, h, px = _ppm_raster(buf)
     if w * h == 0:
         return "ppm", w, h, 0.0, 0.0, 0.0
     sums = [0, 0, 0]
@@ -321,6 +332,69 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame", T.BinaryType()),
     ]
 )
+
+
+def _resize_ppm(buf: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of a binary PPM, re-encoded as P6.
+    Source pixel for output (x, y) is (⌊x·w/out_w⌋, ⌊y·h/out_h⌋) — the
+    standard NN mapping, exact for integer up/down factors."""
+    w, h, px = _ppm_raster(buf)
+    if w == 0 or h == 0:
+        raise ValueError("cannot resize an empty image")
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = (y * h) // out_h
+        row = sy * w * 3
+        o = y * out_w * 3
+        for x in range(out_w):
+            sx = (x * w) // out_w
+            s = row + sx * 3
+            out[o : o + 3] = px[s : s + 3]
+            o += 3
+    return _encode_ppm(out_w, out_h, bytes(out))
+
+
+RESIZE_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize stage for PPM payloads: parse → nearest-neighbor
+    resample → re-encode, inside the same Arrow ``mapInPandas`` plumbing
+    as the stub (which remains the backend for formats needing PIL/cv2).
+    Failures quarantine via the status column with the original payload
+    passed through untouched — downstream can route them to a
+    reprocessing queue instead of losing the row."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "payload": [], "out_width": [],
+                   "out_height": [], "status": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    resized = _resize_ppm(p, width, height)
+                    ow, oh, status = width, height, "ok"
+                except Exception as e:  # noqa: BLE001 — quarantine row
+                    resized, ow, oh = p, 0, 0
+                    status = f"error:{e}"
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(resized)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["status"].append(status)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, RESIZE_IMAGE_SCHEMA)
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:

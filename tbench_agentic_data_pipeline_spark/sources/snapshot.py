@@ -88,7 +88,14 @@ class SnapshotTable:
         manifest["versions"].append(next_v)
         manifest["current"] = next_v
         manifest.setdefault("history", []).append(
-            {"version": next_v, "operation": operation, "ts": time.time()}
+            {
+                "version": next_v,
+                "operation": operation,
+                "ts": time.time(),
+                # recorded so maintenance ops (compact) can preserve the
+                # layout without the caller restating it
+                "partition_by": list(partition_by or []),
+            }
         )
         self._flip_manifest(manifest)
         return next_v
@@ -100,6 +107,75 @@ class SnapshotTable:
         if v is None:
             raise FileNotFoundError(f"snapshot table {self.root} has no versions")
         return self.spark.read.parquet(os.path.join(self.root, f"v={v}"))
+
+    def compact(self, target_file_bytes: int = 128 << 20) -> int:
+        """Small-file compaction: rewrite the current version into
+        ⌈bytes/target⌉ right-sized files and commit the result as a new
+        version. Data-identical by construction (pinned row-for-row in
+        tests); the previous, fragmented version remains addressable —
+        compaction is just another commit, so time travel and rollback
+        survive it.
+
+        This is the maintenance half of the copy-on-write story: every
+        ``append`` writes task-count-many files, and at 100 TB the
+        accumulated small files dominate scan cost (per-file open +
+        footer read beats row IO long before data volume does) and melt
+        file listings. Run compact on a cadence, exactly as Delta's
+        OPTIMIZE / Iceberg's rewrite_data_files industrialize.
+
+        Partitioned versions (``commit(partition_by=...)``) keep their
+        hive layout — rows repartition ON the partition columns so each
+        partition directory collapses to one file (the classic
+        per-partition compaction); unpartitioned versions repartition to
+        the byte-derived file count."""
+        import math
+
+        manifest = self._read_manifest()
+        cur = manifest["current"]
+        if cur is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no versions")
+        path = os.path.join(self.root, f"v={cur}")
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        part_by = next(
+            (
+                h.get("partition_by") or []
+                for h in reversed(manifest.get("history", []))
+                if h["version"] == cur
+            ),
+            [],
+        )
+        df = self.read()
+        if part_by:
+            df = df.repartition(*part_by)
+            return self.commit(df, operation="compact", partition_by=part_by)
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        return self.commit(df.repartition(n_files), operation="compact")
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Storage reclamation: drop all but the newest ``keep_last``
+        version directories (never the current one). The manifest flips
+        BEFORE any directory is removed, so a reader that raced the
+        vacuum can at worst see a version disappear from `versions()` —
+        never a half-deleted directory named as current. Returns the
+        versions removed."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        manifest = self._read_manifest()
+        keep = set(manifest["versions"][-keep_last:]) | {manifest["current"]}
+        drop = [v for v in manifest["versions"] if v not in keep]
+        manifest["versions"] = [v for v in manifest["versions"] if v in keep]
+        self._flip_manifest(manifest)
+        for v in drop:
+            shutil.rmtree(os.path.join(self.root, f"v={v}"), ignore_errors=True)
+        return drop
 
     def append(self, rows: DataFrame) -> int:
         """S6: append = current ∪ rows committed as a new version (the

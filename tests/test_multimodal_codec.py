@@ -116,3 +116,55 @@ def test_decode_image_features_end_to_end(spark):
         media.where(F.length("payload") > 20)
     ).collect()
     assert {r["doc_id"] for r in pruned} == {1, 2, 4}
+
+
+def test_resize_ppm_nearest_neighbor_exact():
+    """NN resample invariants on real encoded bytes: integer downscale
+    picks exactly the expected source pixels, upscale replicates, solid
+    images stay solid, and a resize back to original dims of an upscale
+    round-trips bit-exactly."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _parse_ppm,
+        _ppm_raster,
+        _resize_ppm,
+    )
+
+    # 4x4 with distinct pixel values: p(x,y) = (16x+y, 0, 0)
+    px4 = [[(16 * x + y, 0, 0) for x in range(4)] for y in range(4)]
+    buf = encode_ppm(px4)
+    down = _resize_ppm(buf, 2, 2)
+    w, h, raster = _ppm_raster(down)
+    assert (w, h) == (2, 2)
+    # NN picks source (0,0),(2,0),(0,2),(2,2)
+    assert list(raster[0::3]) == [0, 32, 2, 34]
+
+    up = _resize_ppm(encode_ppm(PIXELS), 6, 4)
+    fmt, w, h, r, g, b = _parse_ppm(up)
+    # 2x replication preserves channel means exactly
+    assert (w, h, r, g, b) == (6, 4, MEAN_R, MEAN_G, MEAN_B)
+    assert _resize_ppm(up, 3, 2) == encode_ppm(PIXELS)
+
+    solid = encode_ppm([[(7, 8, 9)] * 3] * 5)
+    _, w, h, r, g, b = _parse_ppm(_resize_ppm(solid, 11, 2))
+    assert (r, g, b) == (7.0, 8.0, 9.0)
+
+
+def test_resize_image_stage_quarantines_bad_payloads(spark):
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _parse_ppm,
+        resize_image,
+    )
+
+    rows = [
+        (1, bytearray(encode_ppm(PIXELS))),
+        (2, bytearray(b"BMgarbage")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in resize_image(media, 9, 6).collect()}
+    assert got[1]["status"] == "ok"
+    fmt, w, h, r, g, b = _parse_ppm(bytes(got[1]["payload"]))
+    assert (w, h, r, g, b) == (9, 6, MEAN_R, MEAN_G, MEAN_B)
+    # the bad row keeps its original payload and reports the failure
+    assert got[2]["status"].startswith("error:")
+    assert bytes(got[2]["payload"]) == b"BMgarbage"
+    assert (got[2]["out_width"], got[2]["out_height"]) == (0, 0)

@@ -318,3 +318,47 @@ def test_knn_arrow_paths_shuffle_shape(spark):
     )
     blocked = knn_join_blocked(emb, 3, block_rows=64)
     assert count_exchanges(blocked) <= 3, count_exchanges(blocked)
+
+
+def test_bm25_two_aggregate_shape(spark):
+    """BM25 must stay the one-pass conditional-aggregate form: the corpus
+    explodes once, per-doc and corpus-stats aggregates are the only real
+    exchanges (≤3 with the top-k's local fan-in), the stats row joins
+    back broadcast, and the top-10 is TakeOrderedAndProject — never a
+    global sort or a per-term join chain (the first cut's tf/df joins
+    measured 7 exchanges and blew the budget fence)."""
+    from tbench_agentic_data_pipeline_spark.operators.text import text_bm25_topk
+
+    df = text_bm25_topk(spark, SF_ORACLE)
+    assert count_exchanges(df) <= 3, count_exchanges(df)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_centroid_outliers_broadcasts_centroids(spark):
+    """The per-label centroid table is label-cardinality × dim — it must
+    join back BROADCAST so the exploded corpus never shuffles for the
+    join; the only exchanges are the two aggregates (+ top-k fan-in)."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        sim_centroid_outliers,
+    )
+
+    df = sim_centroid_outliers(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 4, count_exchanges(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_interval_join_pushes_type_filters_to_both_scans(spark):
+    """Both sides of the interval join must arrive pre-pruned: the
+    event_type predicates belong in the parquet scans, not above the
+    join."""
+    from tbench_agentic_data_pipeline_spark.streaming.joins import (
+        st_interval_join,
+    )
+
+    df = st_interval_join(spark, SF_ORACLE)
+    pushed = pushed_filters(df)
+    assert any("view" in p for p in pushed), pushed
+    assert any("click" in p for p in pushed), pushed

@@ -254,3 +254,72 @@ def test_jsonl_roundtrip_adversarial_strings(spark, tmp_path):
     assert quarantine.count() == 0
     got = {r["doc_id"]: r["text"] for r in good.collect()}
     assert got == dict(nasty)
+
+
+def test_snapshot_compact_rewrites_small_files(spark, tmp_path):
+    """Compaction: a version fragmented across many files collapses to
+    few right-sized files as a NEW version — rows identical, previous
+    fragmented version still addressable (compaction is a commit, not a
+    rewrite in place)."""
+    import glob
+
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "ct"))
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    v1 = t.commit(df.repartition(64))  # 64 tiny files
+    files_before = glob.glob(str(tmp_path / "ct" / "v=1" / "*.parquet"))
+    assert len(files_before) >= 32
+    v2 = t.compact()
+    assert v2 == v1 + 1
+    files_after = glob.glob(str(tmp_path / "ct" / f"v={v2}" / "*.parquet"))
+    assert len(files_after) < len(files_before)
+    assert t.history()[-1]["operation"] == "compact"
+    # row-for-row identical, and time travel to the fragmented version works
+    assert t.read().exceptAll(t.read(version=v1)).count() == 0
+    assert t.read(version=v1).exceptAll(t.read()).count() == 0
+    assert t.read(version=v1).count() == 10_000
+
+
+def test_snapshot_compact_preserves_hive_partitioning(spark, tmp_path):
+    import glob
+
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "cp"))
+    df = spark.range(3_000).select(
+        F.col("id"), (F.col("id") % 3).alias("stage")
+    )
+    t.commit(df.repartition(16), partition_by=["stage"])
+    v2 = t.compact()
+    # layout preserved: stage=* dirs exist, one file per partition
+    for s in (0, 1, 2):
+        files = glob.glob(
+            str(tmp_path / "cp" / f"v={v2}" / f"stage={s}" / "*.parquet")
+        )
+        assert len(files) == 1, (s, files)
+    assert t.read().count() == 3_000
+    # partition pruning still applies after compaction
+    assert t.read().where(F.col("stage") == 1).count() == 1_000
+
+
+def test_snapshot_vacuum_drops_old_versions_keeps_current(spark, tmp_path):
+    import os
+
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "vt"))
+    for i in range(4):
+        t.commit(spark.range(10 + i))
+    dropped = t.vacuum(keep_last=2)
+    assert dropped == [1, 2]
+    assert t.versions() == [3, 4]
+    assert not os.path.isdir(str(tmp_path / "vt" / "v=1"))
+    assert t.read().count() == 13  # current untouched
+    assert t.read(version=3).count() == 12  # kept version readable
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.vacuum(keep_last=0)

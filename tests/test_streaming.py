@@ -54,7 +54,7 @@ def test_drain_available_checkpoint_resume(spark, tmp_path):
     src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
     src.mkdir()
     df = spark.range(10).withColumnRenamed("id", "task")
-    df.write.mode("append").parquet(str(src))
+    df.coalesce(1).write.mode("append").parquet(str(src))
     stream = spark.readStream.schema("task long").parquet(str(src))
     q = drain_available(stream, str(out), str(ckpt))
     _wait(q)
@@ -137,10 +137,10 @@ def test_upsert_drain_idempotent(spark, tmp_path):
     src.mkdir()
     spark.createDataFrame(
         [("t1", 1), ("t2", 1)], "task_id string, rev int"
-    ).write.mode("append").parquet(str(src))
+    ).coalesce(1).write.mode("append").parquet(str(src))
     spark.createDataFrame(
         [("t1", 2), ("t3", 1)], "task_id string, rev int"
-    ).write.mode("append").parquet(str(src))
+    ).coalesce(1).write.mode("append").parquet(str(src))
     table = SnapshotTable(spark, str(tmp_path / "uptbl"))
     ckpt = str(tmp_path / "upckpt")
 
@@ -172,7 +172,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
         spark.createDataFrame(rows, schema).select(
             "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
             "event_type", "value",
-        ).write.mode("append").parquet(str(src))
+        ).coalesce(1).write.mode("append").parquet(str(src))
 
     # batch 1: events through 03:30 → watermark advances past hour 00
     write_batch(
@@ -439,9 +439,9 @@ def test_incremental_rollup_drain_maintains_aggregate(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    a.write.mode("append").parquet(str(src))
+    a.coalesce(1).write.mode("append").parquet(str(src))
     drain()
-    b.write.mode("append").parquet(str(src))
+    b.coalesce(1).write.mode("append").parquet(str(src))
     drain()  # second drain folds ONLY the new files (checkpoint)
 
     got = {
@@ -492,7 +492,7 @@ def test_watermark_keeps_late_data_within_delay(spark, tmp_path):
         spark.createDataFrame(rows, schema).select(
             "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
             "event_type", "value",
-        ).write.mode("append").parquet(str(src))
+        ).coalesce(1).write.mode("append").parquet(str(src))
 
     # b1 through 03:30, watermark delay 2h → watermark 01:30: hour 00
     # emitted, hour 02 still OPEN.
@@ -556,7 +556,7 @@ def test_session_window_watermark_eviction(spark, tmp_path):
         # scenario under test.
         spark.createDataFrame(rows, schema).select(
             "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
-        ).coalesce(1).write.mode("append").parquet(str(src))
+        ).coalesce(1).coalesce(1).write.mode("append").parquet(str(src))
 
     # b1: u1 session of two events (00:00:00 + 00:00:30, gap 1 min) and a
     # punctual event at 01:00 → watermark (delay 10 min) = 00:50 closes it.
