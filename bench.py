@@ -61,6 +61,9 @@ HEADLINE = [
     # round-5 additions, benched from birth:
     "st_interval_join",
     "mm_image_codec",
+    "text_bm25_topk",
+    "sim_centroid_outliers",
+    "dedup_incremental",
 ]
 
 

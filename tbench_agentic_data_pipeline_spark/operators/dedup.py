@@ -981,3 +981,122 @@ def resolve_near_duplicates(
         .where(F.col("__rk") == 1)
         .drop("__k", "__cluster", "__rk")
     )
+
+
+def minhash_index(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Build the PERSISTABLE MinHash band index for a corpus slice:
+    one (key, b, band_key) row per band — the long format an
+    ingestion-time dedup joins new batches against. Commit it via
+    ``SnapshotTable`` (exactly the IVF-centroid lifecycle: index once,
+    refresh as a versioned commit, readers pin a version) so each new
+    batch pays its OWN signature cost plus one band join, never a
+    recompute of the historical corpus. Same md5/xxhash64 split as the
+    rest of the family: md5 for oracle parity, xxhash64 in production."""
+    toks = F.split(text_col, " ")
+    shingled = (
+        docs.select(key_col, toks.alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            key_col, shingles(F.col("w"), 3, guard_short=False).alias("sh")
+        )
+    )
+    wb = minhash_band_df(shingled, key_col, "sh", 8, 4, 2, hash_fn=hash_fn)
+    # posexplode_OUTER + null guard, per the minhash_signatures CAUTION:
+    # a plain explode would let InferFiltersFromGenerate re-inline the
+    # whole hash tree below the projection.
+    return wb.select(
+        key_col, F.posexplode_outer("bands").alias("b", "band_key")
+    ).where(F.col("band_key").isNotNull())
+
+
+_INCR_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    t AS (
+        SELECT doc_id, list_distinct(w) AS toks FROM toks
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(shingles,
+                    s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                for h in range(0, 8)] AS mh
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+        FROM sig, range(0, 4) r(b)
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS dup_of
+        FROM bands n
+        JOIN bands e ON n.b = e.b AND n.band_key = e.band_key
+        WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+    )
+    SELECT c.new_id, c.dup_of,
+           (len(list_intersect(tn.toks, te.toks)) * 1000)
+               // (len(tn.toks) + len(te.toks)
+                   - len(list_intersect(tn.toks, te.toks)))
+               AS jaccard_milli
+    FROM cand c
+    JOIN t tn ON tn.doc_id = c.new_id
+    JOIN t te ON te.doc_id = c.dup_of
+    WHERE (len(list_intersect(tn.toks, te.toks)) * 1000)
+              // (len(tn.toks) + len(te.toks)
+                  - len(list_intersect(tn.toks, te.toks))) >= 500
+"""
+
+
+@query("dedup_incremental", survey="P4,J1,J4", oracle=_INCR_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: match a NEW batch against an EXISTING
+    corpus's precomputed MinHash index — the shape a continuously-fed
+    training pipeline runs on every arrival, where the self-join family
+    (``dedup_minhash_bands``) is the wrong tool because the history is
+    already indexed and must not be re-signatured per batch.
+
+    The fixture split is doc_id parity (odd = arriving batch, even =
+    indexed history). Candidates come from ONE band equi-join of the
+    batch's bands against the index (new×existing only — no new×new or
+    existing×existing pairs, and cost scales with |batch|, not
+    |corpus|); exact token-Jaccard (integer milli) verifies ≥ 0.5.
+    At scale the index is a ``SnapshotTable`` the batch job reads
+    (persistence round-trip pinned in tests/test_operators.py); the
+    md5 twin here keeps the whole chain oracle-checkable."""
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        source_path=table_path(sf_dir, "documents"),
+    )
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = minhash_index(existing, hash_fn="md5").select(
+        F.col("doc_id").alias("dup_of"), "b", "band_key"
+    )
+    nb = minhash_index(new, hash_fn="md5").select(
+        F.col("doc_id").alias("new_id"), "b", "band_key"
+    )
+    cand = nb.join(idx, ["b", "band_key"]).select("new_id", "dup_of").distinct()
+    t = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    tn = t.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_n"))
+    te = t.select(F.col("doc_id").alias("dup_of"), F.col("toks").alias("toks_e"))
+    return (
+        cand.join(tn, "new_id")
+        .join(te, "dup_of")
+        .withColumn(
+            "jaccard_milli", jaccard_milli(F.col("toks_n"), F.col("toks_e"))
+        )
+        .where(F.col("jaccard_milli") >= 500)
+        .select("new_id", "dup_of", "jaccard_milli")
+    )

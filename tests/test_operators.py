@@ -377,3 +377,51 @@ def test_resolve_near_duplicates_properties(spark):
         )
         got = {r.doc_id for r in kept.collect()}
         assert got == expected, (trial, sorted(got ^ expected))
+
+
+def test_minhash_index_snapshot_lifecycle(spark, tmp_path):
+    """The ingestion-dedup index lifecycle: build the band index for the
+    'history' slice, COMMIT it, and match a new batch against the
+    RELOADED index — result identical to matching against a
+    freshly-built one, and an index refresh is just another version."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        minhash_index,
+    )
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    table = SnapshotTable(spark, str(tmp_path / "mh_idx"))
+    v1 = table.commit(minhash_index(existing), operation="minhash_index")
+    assert v1 == 1
+
+    nb = minhash_index(new).select(
+        F.col("doc_id").alias("new_id"), "b", "band_key"
+    )
+    via_fresh = {
+        (r["new_id"], r["dup_of"])
+        for r in nb.join(
+            minhash_index(existing).select(
+                F.col("doc_id").alias("dup_of"), "b", "band_key"
+            ),
+            ["b", "band_key"],
+        ).select("new_id", "dup_of").distinct().collect()
+    }
+    via_index = {
+        (r["new_id"], r["dup_of"])
+        for r in nb.join(
+            table.read().select(F.col("doc_id").alias("dup_of"), "b", "band_key"),
+            ["b", "band_key"],
+        ).select("new_id", "dup_of").distinct().collect()
+    }
+    assert via_fresh == via_index and via_index
+
+    # refresh after 'ingesting' the batch: the index now covers everything
+    v2 = table.commit(minhash_index(docs), operation="minhash_index")
+    assert v2 == 2
+    assert table.read(version=1).count() < table.read().count()
