@@ -6,16 +6,18 @@ with a typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched ``mapInPandas`` stages. Two decode
 backends exist:
 
-- :func:`decode_image_features` — REAL pure-Python codecs for the two
-  formats that need no imaging library (binary PPM and uncompressed
-  24-bit BMP): header + pixel parsing of actual bytes, with malformed
-  payloads quarantined via a status column.
+- :func:`decode_image_features` — REAL pure-Python codecs: binary PPM
+  and uncompressed 24-bit BMP (header + pixel parsing), and GIF87a/89a
+  including full LZW decompression (:func:`_lzw_decode` — variable-width
+  codes, clear/EOI, the KwKwK case; round-trip-pinned against an
+  independent encoder). Malformed payloads quarantine via a status
+  column.
 - :func:`decode_features` — a clearly-marked deterministic fake standing
-  in for compressed-format decode (JPEG/PNG/audio/video need libraries
-  this container lacks). Every Spark-side piece around it is real and
-  tested: the schema contract, the batch iterator shape, partition
-  sizing, and the pandas-UDF signature; swapping ``_fake_decode`` for
-  PIL/ffmpeg is a one-function change.
+  in for the formats that genuinely need libraries this container lacks
+  (JPEG/PNG entropy coding, audio/video). Every Spark-side piece around
+  it is real and tested: the schema contract, the batch iterator shape,
+  partition sizing, and the pandas-UDF signature; swapping
+  ``_fake_decode`` for PIL/ffmpeg is a one-function change.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` moderate and repartition before the
@@ -207,6 +209,130 @@ def _parse_bmp(buf: bytes) -> tuple[str, int, int, float, float, float]:
     return "bmp", w, abs_h, sums[2] / n, sums[1] / n, sums[0] / n
 
 
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-variant LZW decompression: variable code width starting at
+    ``min_code_size + 1`` (max 12 bits), codes packed LSB-first, CLEAR
+    resets the table, END terminates. Pure Python — the point is a REAL
+    compressed-format decode path with zero dependencies; throughput for
+    production GIFs would come from PIL, but the logic here is complete
+    and spec-correct (pinned by round-trip against an independent
+    encoder)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(size: int) -> int | None:
+        nonlocal bitpos
+        if bitpos + size > nbits:
+            return None
+        v = 0
+        for i in range(size):
+            v |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << i
+            bitpos += 1
+        return v
+
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    code_size = min_code_size + 1
+    next_code = end + 1
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read_code(code_size)
+        if code is None:
+            break
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                raise ValueError(f"LZW stream starts with unknown code {code}")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt LZW code {code}")
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(f"LZW underrun: {len(out)} of {expected} pixels")
+    return bytes(out[:expected])
+
+
+def _parse_gif(buf: bytes) -> tuple[str, int, int, float, float, float]:
+    """GIF87a/89a: logical screen descriptor + color table + LZW-packed
+    index stream for the FIRST image (animations: first frame).
+    Interlaced images are rejected (means would still be row-order
+    invariant, but truncated streams could hide); extensions are
+    skipped block-correctly."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = buf[10]
+    pos = 13
+    gct = None
+    if packed >> 7:
+        n = 2 ** ((packed & 7) + 1)
+        gct = buf[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while pos < len(buf) and buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            w = int.from_bytes(buf[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(buf[pos + 7 : pos + 9], "little")
+            ipacked = buf[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked >> 7:  # local color table wins
+                n = 2 ** ((ipacked & 7) + 1)
+                table = buf[pos : pos + 3 * n]
+                pos += 3 * n
+            if (ipacked >> 6) & 1:
+                raise ValueError("interlaced GIF unsupported")
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = buf[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(buf) and buf[pos] != 0:
+                n = buf[pos]
+                data += buf[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if w * h == 0:
+                return "gif", w, h, 0.0, 0.0, 0.0
+            sums = [0, 0, 0]
+            for i in idx:
+                o = 3 * i
+                sums[0] += table[o]
+                sums[1] += table[o + 1]
+                sums[2] += table[o + 2]
+            n_px = w * h
+            return "gif", w, h, sums[0] / n_px, sums[1] / n_px, sums[2] / n_px
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    raise ValueError("no image data in GIF")
+
+
 def _decode_image(payload: bytes) -> dict:
     """Dispatch on magic bytes; failures become a status value, never an
     exception — a 100 TB scan must quarantine bad payloads, not die on
@@ -217,6 +343,8 @@ def _decode_image(payload: bytes) -> dict:
             fmt, w, h, r, g, b = _parse_ppm(p)
         elif p[:2] == b"BM":
             fmt, w, h, r, g, b = _parse_bmp(p)
+        elif p[:4] == b"GIF8":
+            fmt, w, h, r, g, b = _parse_gif(p)
         else:
             return {
                 "format": "unknown", "width": 0, "height": 0,

@@ -168,3 +168,221 @@ def test_resize_image_stage_quarantines_bad_payloads(spark):
     assert got[2]["status"].startswith("error:")
     assert bytes(got[2]["payload"]) == b"BMgarbage"
     assert (got[2]["out_width"], got[2]["out_height"]) == (0, 0)
+
+
+# --- property tests: random pixel grids through the real codecs ------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _pixel = st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+
+    @st.composite
+    def _grids(draw, max_w=8, max_h=8):
+        w = draw(st.integers(1, max_w))
+        h = draw(st.integers(1, max_h))
+        return [
+            [draw(_pixel) for _ in range(w)] for _ in range(h)
+        ]
+
+    @given(_grids())
+    @settings(max_examples=60, deadline=None)
+    def test_ppm_roundtrip_property(grid):
+        """encode→parse recovers dims and exact channel means for ANY
+        pixel grid (integer sums divided by pixel count are exact in
+        float64 at these sizes)."""
+        fmt, w, h, r, g, b = _parse_ppm(encode_ppm(grid))
+        n = w * h
+        assert (fmt, w, h) == ("ppm", len(grid[0]), len(grid))
+        assert r == sum(p[0] for row in grid for p in row) / n
+        assert g == sum(p[1] for row in grid for p in row) / n
+        assert b == sum(p[2] for row in grid for p in row) / n
+
+    @given(_grids())
+    @settings(max_examples=60, deadline=None)
+    def test_bmp_matches_ppm_property(grid):
+        """The two real decoders must agree on any grid: same dims, same
+        means — BMP's BGR order, bottom-up rows and stride padding all
+        cancel out."""
+        assert _parse_bmp(encode_bmp(grid))[1:] == _parse_ppm(encode_ppm(grid))[1:]
+
+    @given(_grids())
+    @settings(max_examples=60, deadline=None)
+    def test_resize_identity_and_scaling_property(grid):
+        """Same-size NN resize is the identity re-encode; integer 2x
+        upscale preserves channel means exactly."""
+        from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+            _resize_ppm,
+        )
+
+        buf = encode_ppm(grid)
+        w, h = len(grid[0]), len(grid)
+        assert _resize_ppm(buf, w, h) == f"P6\n{w} {h}\n255\n".encode() + buf[buf.index(b"255\n") + 4:]
+        up = _resize_ppm(buf, 2 * w, 2 * h)
+        assert _parse_ppm(up)[3:] == _parse_ppm(buf)[3:]
+
+except ImportError:  # hypothesis is baked in; guard mirrors repo policy
+    pass
+
+
+# --- GIF: independent LZW encoder (test fixture) vs the real decoder -------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.bit = 0
+
+    def write(self, code, size):
+        for i in range(size):
+            if self.bit == 0:
+                self.bytes.append(0)
+            if (code >> i) & 1:
+                self.bytes[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) % 8
+
+
+def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Spec LZW encoder (GIF variant, LSB-first variable-width codes) —
+    written independently of the product decoder so the round-trip test
+    is meaningful."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    bw = _BitWriter()
+
+    def reset():
+        return (
+            {bytes([i]): i for i in range(clear)},
+            min_code_size + 1,
+            end + 1,
+        )
+
+    table, code_size, next_code = reset()
+    bw.write(clear, code_size)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            bw.write(clear, code_size)
+            table, code_size, next_code = reset()
+        w = bytes([k])
+    if w:
+        bw.write(table[w], code_size)
+    bw.write(end, code_size)
+    return bytes(bw.bytes)
+
+
+def encode_gif(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal GIF89a writer: global color table from the unique colors,
+    one non-interlaced image, LZW-packed indices in ≤255-byte
+    sub-blocks."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    palette = sorted({px for row in pixels for px in row})
+    assert len(palette) <= 256
+    bits = max(1, (len(palette) - 1).bit_length())
+    table_n = 1 << bits
+    color_idx = {c: i for i, c in enumerate(palette)}
+    indices = bytes(color_idx[px] for row in pixels for px in row)
+    min_code_size = max(2, bits)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (bits - 1))  # GCT present, size 2^(n+1)
+    out += b"\x00\x00"  # bg index, aspect
+    for c in palette:
+        out += bytes(c)
+    out += b"\x00\x00\x00" * (table_n - len(palette))
+    # a graphic-control extension, to prove block skipping works
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0)  # no LCT, not interlaced
+    out.append(min_code_size)
+    data = lzw_encode(indices, min_code_size)
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_recovers_dims_and_means():
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _parse_gif,
+    )
+
+    fmt, w, h, r, g, b = _parse_gif(encode_gif(PIXELS))
+    assert (fmt, w, h) == ("gif", 3, 2)
+    assert (r, g, b) == (MEAN_R, MEAN_G, MEAN_B)
+
+
+def test_gif_lzw_exercises_table_growth():
+    """A 64×64 gradient forces hundreds of LZW table entries and several
+    code-width bumps — the decoder's variable-width logic, not just the
+    toy path."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _decode_image,
+    )
+
+    grid = [
+        [((x * 4) % 256 // 16 * 16, (y * 4) % 256 // 16 * 16, 0)
+         for x in range(64)]
+        for y in range(64)
+    ]
+    out = _decode_image(encode_gif(grid))
+    assert out["status"] == "ok" and out["format"] == "gif"
+    n = 64 * 64
+    assert out["mean_r"] == sum(p[0] for row in grid for p in row) / n
+    assert out["mean_g"] == sum(p[1] for row in grid for p in row) / n
+
+
+def test_gif_malformed_variants_quarantine():
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _decode_image,
+    )
+
+    good = encode_gif(PIXELS)
+    bad_cases = {
+        "truncated stream": good[:-6],
+        "interlaced flag": good.replace(b"\x2c", b"\x2c", 1)[: good.index(b"\x2c") + 9]
+        + b"\x40" + good[good.index(b"\x2c") + 10 :],
+        "no image": good[:13] + b"\x3b",
+    }
+    for label, payload in bad_cases.items():
+        out = _decode_image(payload)
+        assert out["status"].startswith("error:"), (label, out)
+    assert _decode_image(good)["status"] == "ok"
+
+
+try:
+    from hypothesis import given as _given, settings as _settings
+
+    @_given(_grids(max_w=10, max_h=10))
+    @_settings(max_examples=40, deadline=None)
+    def test_gif_roundtrip_property(grid):
+        """Any pixel grid round-trips through the independent LZW
+        encoder and the product decoder with exact channel means."""
+        from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+            _parse_gif,
+        )
+
+        fmt, w, h, r, g, b = _parse_gif(encode_gif(grid))
+        n = w * h
+        assert (w, h) == (len(grid[0]), len(grid))
+        assert r == sum(p[0] for row in grid for p in row) / n
+        assert b == sum(p[2] for row in grid for p in row) / n
+
+except ImportError:
+    pass
