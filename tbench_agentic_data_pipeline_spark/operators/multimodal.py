@@ -482,6 +482,114 @@ def _resize_ppm(buf: bytes, out_w: int, out_h: int) -> bytes:
     return _encode_ppm(out_w, out_h, bytes(out))
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_milli", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def _parse_wav(buf: bytes) -> dict:
+    """RIFF/WAVE with PCM samples (format 1, 8 or 16 bit): chunk-walk to
+    ``fmt `` and ``data``, then compute frame count, duration and RMS
+    amplitude (integer thousandths of full scale — engine-stable, no
+    float repr in the contract). Chunks are skipped block-correctly
+    (word-aligned), so LIST/INFO metadata doesn't confuse the parse."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated chunk {cid!r}: {len(body)} of {size}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
+    bytes_per_frame = channels * bits // 8
+    if bytes_per_frame == 0 or len(data) % bytes_per_frame:
+        raise ValueError("data chunk not frame-aligned")
+    n_frames = len(data) // bytes_per_frame
+    # RMS over all samples; 8-bit PCM is unsigned midpoint-128, 16-bit
+    # signed little-endian. Integer accumulation → exact.
+    acc = 0
+    n_samples = n_frames * channels
+    if bits == 8:
+        for b in data:
+            v = b - 128
+            acc += v * v
+        full = 127.0
+    else:
+        import array
+
+        samples = array.array("h")
+        samples.frombytes(data)
+        if __import__("sys").byteorder == "big":  # pragma: no cover
+            samples.byteswap()
+        for v in samples:
+            acc += v * v
+        full = 32767.0
+    rms_milli = (
+        0 if n_samples == 0 else int(round((acc / n_samples) ** 0.5 / full * 1000))
+    )
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1000) // rate if rate else 0,
+        "rms_milli": rms_milli,
+    }
+
+
+def decode_audio_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Audio twin of :func:`decode_image_features`: real RIFF/PCM WAV
+    parsing through the same Arrow ``mapInPandas`` plumbing, failures
+    quarantined via status."""
+    if partitions is not None:
+        media = media.repartition(partitions)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for p in pdf["payload"]:
+                try:
+                    d = _parse_wav(bytes(p))
+                    d["status"] = "ok"
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    d = {
+                        "sample_rate": 0, "channels": 0, "bits": 0,
+                        "n_frames": 0, "duration_ms": 0, "rms_milli": 0,
+                        "status": f"error:{e}",
+                    }
+                rows.append(d)
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").to_numpy())
+            yield out
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
 RESIZE_IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -386,3 +386,90 @@ try:
 
 except ImportError:
     pass
+
+
+# --- WAV: independent writer vs the real RIFF/PCM parser -------------------
+
+
+def encode_wav(samples_per_channel, rate=8000, bits=16, extra_chunk=True):
+    """Minimal RIFF/WAVE writer: interleaved PCM frames, optional LIST
+    chunk before data to prove chunk-walking. `samples_per_channel` is a
+    list of per-channel sample lists (ints)."""
+    channels = len(samples_per_channel)
+    n = len(samples_per_channel[0])
+    frames = bytearray()
+    for i in range(n):
+        for ch in range(channels):
+            v = samples_per_channel[ch][i]
+            if bits == 16:
+                frames += int(v).to_bytes(2, "little", signed=True)
+            else:
+                frames += bytes([v + 128])
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if extra_chunk:
+        info = b"INFOimetadata"  # odd length → exercises word alignment
+        chunks += b"LIST" + len(info).to_bytes(4, "little") + info + b"\x00"
+    chunks += b"data" + len(frames).to_bytes(4, "little") + bytes(frames)
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_parse_recovers_format_and_rms():
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _parse_wav,
+    )
+
+    # mono square wave at half amplitude: RMS = 0.5 of full scale
+    sq = [16384 if i % 2 else -16384 for i in range(800)]
+    d = _parse_wav(encode_wav([sq], rate=8000, bits=16))
+    assert (d["sample_rate"], d["channels"], d["bits"]) == (8000, 1, 16)
+    assert d["n_frames"] == 800 and d["duration_ms"] == 100
+    assert d["rms_milli"] == 500
+
+    # stereo 8-bit: silent left, full-scale right → RMS = sqrt(1/2)
+    left = [0] * 100
+    right = [127 if i % 2 else -127 for i in range(100)]
+    d8 = _parse_wav(encode_wav([left, right], rate=1000, bits=8))
+    assert (d8["channels"], d8["bits"], d8["n_frames"]) == (2, 8, 100)
+    assert d8["duration_ms"] == 100
+    assert d8["rms_milli"] == 707
+
+
+def test_wav_malformed_variants():
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _parse_wav,
+    )
+
+    good = encode_wav([[0, 1000, -1000, 500]])
+    for label, bad in {
+        "not riff": b"OggS" + good[4:],
+        "truncated data": good[:-3],
+        "no data chunk": good[: good.index(b"data")],
+    }.items():
+        with pytest.raises(ValueError):
+            _parse_wav(bad)
+
+
+def test_decode_audio_features_stage(spark):
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    sq = [16384 if i % 2 else -16384 for i in range(80)]
+    rows = [
+        (1, bytearray(encode_wav([sq], rate=8000))),
+        (2, bytearray(b"not audio at all")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_audio_features(media).collect()}
+    assert got[1]["status"] == "ok" and got[1]["rms_milli"] == 500
+    assert got[1]["duration_ms"] == 10
+    assert got[2]["status"].startswith("error:")
