@@ -272,12 +272,12 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def _parse_gif(buf: bytes) -> tuple[str, int, int, float, float, float]:
-    """GIF87a/89a: logical screen descriptor + color table + LZW-packed
-    index stream for the FIRST image (animations: first frame).
-    Interlaced images are rejected (means would still be row-order
-    invariant, but truncated streams could hide); extensions are
-    skipped block-correctly."""
+def _gif_frames(buf: bytes):
+    """Iterate a GIF87a/89a's image blocks, yielding (w, h, rgb_raster)
+    per frame — each frame decoded as its OWN raster (no inter-frame
+    compositing of disposal methods/offsets; honest scope for feature
+    extraction and frame sampling, documented). Extensions are skipped
+    block-correctly; interlaced frames are rejected."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     packed = buf[10]
@@ -287,6 +287,7 @@ def _parse_gif(buf: bytes) -> tuple[str, int, int, float, float, float]:
         n = 2 ** ((packed & 7) + 1)
         gct = buf[pos : pos + 3 * n]
         pos += 3 * n
+    seen = False
     while pos < len(buf):
         b0 = buf[pos]
         if b0 == 0x21:  # extension: label byte then sub-blocks
@@ -315,22 +316,33 @@ def _parse_gif(buf: bytes) -> tuple[str, int, int, float, float, float]:
                 n = buf[pos]
                 data += buf[pos + 1 : pos + 1 + n]
                 pos += 1 + n
+            pos += 1  # block terminator
             idx = _lzw_decode(bytes(data), min_code, w * h)
-            if w * h == 0:
-                return "gif", w, h, 0.0, 0.0, 0.0
-            sums = [0, 0, 0]
-            for i in idx:
+            rgb = bytearray(w * h * 3)
+            for j, i in enumerate(idx):
                 o = 3 * i
-                sums[0] += table[o]
-                sums[1] += table[o + 1]
-                sums[2] += table[o + 2]
-            n_px = w * h
-            return "gif", w, h, sums[0] / n_px, sums[1] / n_px, sums[2] / n_px
+                rgb[3 * j : 3 * j + 3] = table[o : o + 3]
+            seen = True
+            yield w, h, bytes(rgb)
         elif b0 == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"bad GIF block 0x{b0:02x}")
-    raise ValueError("no image data in GIF")
+    if not seen:
+        raise ValueError("no image data in GIF")
+
+
+def _parse_gif(buf: bytes) -> tuple[str, int, int, float, float, float]:
+    """GIF feature extraction: dims + channel means of the FIRST frame
+    (animations: frame 0)."""
+    w, h, rgb = next(iter(_gif_frames(buf)))
+    if w * h == 0:
+        return "gif", w, h, 0.0, 0.0, 0.0
+    n_px = w * h
+    return (
+        "gif", w, h,
+        sum(rgb[0::3]) / n_px, sum(rgb[1::3]) / n_px, sum(rgb[2::3]) / n_px,
+    )
 
 
 def _decode_image(payload: bytes) -> dict:
@@ -657,6 +669,59 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),  # re-encoded as P6 PPM
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def frame_sample_gif(media: DataFrame, stride: int = 1) -> DataFrame:
+    """REAL frame sampling for animated GIFs: decode every ``stride``-th
+    frame (full LZW per frame) and emit it re-encoded as a binary PPM —
+    the 1→N explode shape of video keyframe sampling with an actual
+    decoder behind it. Payloads that fail to parse yield ONE quarantine
+    row (frame_idx -1, original payload) so failures stay visible
+    downstream. Frames are decoded as independent rasters — no
+    inter-frame compositing (disposal/offsets), which is the documented
+    scope; pyav/ffmpeg replace this one stage for real video
+    containers."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame": [],
+                   "width": [], "height": [], "status": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                try:
+                    for i, (w, h, rgb) in enumerate(_gif_frames(p)):
+                        if i % stride:
+                            continue
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_idx"].append(i)
+                        out["frame"].append(_encode_ppm(w, h, rgb))
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["status"].append("ok")
+                except Exception as e:  # noqa: BLE001 — quarantine row
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(-1)
+                    out["frame"].append(p)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, GIF_FRAME_SCHEMA)
 
 
 def frame_sample_stub(media: DataFrame, stride: int, frame_bytes: int = 64) -> DataFrame:

@@ -473,3 +473,101 @@ def test_decode_audio_features_stage(spark):
     assert got[1]["status"] == "ok" and got[1]["rms_milli"] == 500
     assert got[1]["duration_ms"] == 10
     assert got[2]["status"].startswith("error:")
+
+
+# --- animated GIF: real frame sampling ------------------------------------
+
+
+def encode_animated_gif(frames):
+    """Multi-frame GIF89a: shared global color table over all frames,
+    one image descriptor + LZW stream per frame, a graphic-control
+    extension before each (as real encoders emit)."""
+    h = len(frames[0])
+    w = len(frames[0][0])
+    palette = sorted({px for f in frames for row in f for px in row})
+    assert len(palette) <= 256
+    bits = max(1, (len(palette) - 1).bit_length())
+    color_idx = {c: i for i, c in enumerate(palette)}
+    min_code_size = max(2, bits)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (bits - 1))
+    out += b"\x00\x00"
+    for c in palette:
+        out += bytes(c)
+    out += b"\x00\x00\x00" * ((1 << bits) - len(palette))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop ext
+    for f in frames:
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE, 100ms delay
+        out += b"\x2c\x00\x00\x00\x00"
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0)
+        out.append(min_code_size)
+        data = lzw_encode(
+            bytes(color_idx[px] for row in f for px in row), min_code_size
+        )
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _solid(w, h, color):
+    return [[color] * w for _ in range(h)]
+
+
+def test_gif_frame_iteration_decodes_every_frame():
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _gif_frames,
+    )
+
+    frames = [_solid(4, 3, (10 * i, 5, 255 - 10 * i)) for i in range(5)]
+    decoded = list(_gif_frames(encode_animated_gif(frames)))
+    assert len(decoded) == 5
+    for i, (w, h, rgb) in enumerate(decoded):
+        assert (w, h) == (4, 3)
+        assert set(rgb[0::3]) == {10 * i}
+        assert set(rgb[2::3]) == {255 - 10 * i}
+
+
+def test_frame_sample_gif_stage(spark):
+    """The Spark stage: stride sampling over a real 6-frame animation,
+    pixel-exact PPM frames out, garbage payloads quarantined with
+    frame_idx -1."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _parse_ppm,
+        frame_sample_gif,
+    )
+
+    frames = [_solid(3, 2, (40 * i, 0, 0)) for i in range(6)]
+    rows = [
+        (1, bytearray(encode_animated_gif(frames))),
+        (2, bytearray(b"GIF8 but not really")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = frame_sample_gif(media, stride=2).collect()
+    mine = sorted(
+        (r["frame_idx"], bytes(r["frame"])) for r in got if r["doc_id"] == 1
+    )
+    assert [i for i, _ in mine] == [0, 2, 4]
+    for i, frame in mine:
+        fmt, w, h, r, g, b = _parse_ppm(frame)
+        assert (w, h, r) == (3, 2, 40.0 * i)
+    bad = [r for r in got if r["doc_id"] == 2]
+    assert len(bad) == 1 and bad[0]["frame_idx"] == -1
+    assert bad[0]["status"].startswith("error:")
+
+
+def test_gif_first_frame_feature_extract_on_animation():
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _decode_image,
+    )
+
+    frames = [_solid(2, 2, (100, 150, 200)), _solid(2, 2, (0, 0, 0))]
+    out = _decode_image(encode_animated_gif(frames))
+    assert out["status"] == "ok"
+    assert (out["mean_r"], out["mean_g"], out["mean_b"]) == (100, 150, 200)
