@@ -1,0 +1,75 @@
+"""Exact exchange-count pins for every benched query.
+
+The global ≤6 budget (test_plans.py) catches pile-ups; this fence
+catches DRIFT — a lost broadcast pin, a filter that stopped pushing, or
+an optimizer-rule change typically adds exactly one Exchange, which the
+budget can absorb silently but a benchmark at 100 TB cannot. Counts are
+the plan at sf0.01 with the session's own config (the bench
+environment). If a change here is INTENTIONAL (a query rewrite), update
+the pin in the same commit and say why in its message.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bench import HEADLINE, _extra_queries
+from tbench_agentic_data_pipeline_spark import registry
+from tbench_agentic_data_pipeline_spark.plans.explain import count_exchanges
+from tests.conftest import SF_ORACLE
+
+# Measured 2026-08-14 (round 5) — every benched query's shuffle count.
+_PINS = {
+    "flagship_pricing_summary": 2,
+    "a4_completion_rate": 1,
+    "a8_distinct_users_per_type": 2,
+    "j1_semi_join_customers_with_orders": 0,
+    "j5_broadcast_dim_join": 1,
+    "w3_pergroup_topn": 1,
+    "so1_union_by_name": 0,
+    "dedup_exact": 1,
+    "dedup_minhash_fast": 3,
+    "sim_topk_cosine_arrow": 2,
+    "text_quality_score": 0,
+    "st_session_windows": 1,
+    "dedup_cluster_components": 1,
+    "text_contamination": 2,
+    "text_tfidf_topk": 5,
+    "sim_knn_join_arrow": 2,
+    "st_dedup_watermark": 1,
+    "q9_profit_by_nation_year": 2,
+    "q21_sole_late_supplier": 4,
+    "q2_min_cost_supplier": 2,
+    "q11_important_part_value": 4,
+    "q13_order_count_distribution": 3,
+    "q15_top_supplier": 4,
+    "q16_supplier_part_variety": 3,
+    "q20_dominant_suppliers": 4,
+    "events_funnel": 5,
+    "j_asof_last_view": 1,
+    "w8_trailing_week_activity": 1,
+    "dedup_threshold_sweep": 4,
+    "st_interval_join": 0,
+    "mm_image_codec": 0,
+    "text_bm25_topk": 3,
+    "sim_centroid_outliers": 2,
+    "dedup_incremental": 4,
+}
+
+
+def test_every_benched_query_is_pinned():
+    assert sorted(_PINS) == sorted(HEADLINE), (
+        "bench HEADLINE changed — add/remove pins for the delta"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_PINS))
+def test_exchange_count_pin(spark, name):
+    fns = {n: e.fn for n, e in registry.collect().items()}
+    fns.update(_extra_queries())
+    got = count_exchanges(fns[name](spark, SF_ORACLE))
+    assert got == _PINS[name], (
+        f"{name}: plan now has {got} exchanges (pinned {_PINS[name]}) — "
+        f"either a regression (lost broadcast/pushdown) or an intentional "
+        f"rewrite that must update this pin"
+    )
