@@ -34,7 +34,9 @@ _PINS = {
     "st_session_windows": 1,
     "dedup_cluster_components": 1,
     "text_contamination": 2,
-    "text_tfidf_topk": 5,
+    # round-5 rewrite: DF via COUNT OVER (PARTITION BY term) instead of
+    # aggregate+join-back — one less TF-table shuffle, measured faster
+    "text_tfidf_topk": 4,
     "sim_knn_join_arrow": 2,
     "st_dedup_watermark": 1,
     "q9_profit_by_nation_year": 2,
