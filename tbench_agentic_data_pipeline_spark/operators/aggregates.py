@@ -404,3 +404,69 @@ def a_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "a_profile_documents",
+    survey="A7,A3,F13",
+    oracle="""
+        SELECT 'doc_id' AS column_name,
+               CAST(COUNT(*) - COUNT(doc_id) AS BIGINT)  AS n_nulls,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT)    AS n_distinct,
+               CAST(MIN(doc_id) AS VARCHAR)              AS min_value,
+               CAST(MAX(doc_id) AS VARCHAR)              AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'lang',
+               CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+               CAST(COUNT(DISTINCT lang) AS BIGINT),
+               MIN(lang), MAX(lang)
+        FROM documents
+        UNION ALL
+        SELECT 'source',
+               CAST(COUNT(*) - COUNT(source) AS BIGINT),
+               CAST(COUNT(DISTINCT source) AS BIGINT),
+               MIN(source), MAX(source)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars',
+               CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+               CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+               CAST(MIN(n_chars) AS VARCHAR),
+               CAST(MAX(n_chars) AS VARCHAR)
+        FROM documents
+    """,
+)
+def a_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-card / ANALYZE TABLE shape): per-column
+    null count, exact distinct count, and min/max over the documents
+    table, emitted long-format (one row per column) so downstream
+    quality gates diff profiles across corpus versions.
+
+    One wide aggregate computes every column's stats in a single corpus
+    pass — the multi-countDistinct plans as ONE Expand (grouping-set
+    style) aggregation, so the scan count stays 1 and shuffle bytes
+    scale with per-column distinct cardinality, never rows; the
+    long-format pivot is a zero-shuffle ``stack`` projection of the
+    1-row wide result. min/max stringify AFTER aggregation in each
+    column's own type (lexicographic min of an int column would be
+    wrong in both engines — and identically wrong, which the oracle
+    would not catch; ASCII corpus keeps string collation engine-equal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
