@@ -100,13 +100,42 @@ class SnapshotTable:
         self._flip_manifest(manifest)
         return next_v
 
+    def _parents(self, manifest: dict) -> dict:
+        """version → parent version (None for full commits). History
+        records written before delta support lack the key — `.get`
+        treats them as full commits, so old tables read unchanged."""
+        return {
+            h["version"]: h.get("parent")
+            for h in manifest.get("history", [])
+        }
+
+    def _chain(self, manifest: dict, v: int) -> list[int]:
+        """The versions whose directories compose version ``v``: ``v``
+        itself plus transitive delta parents down to the nearest full
+        commit, oldest first."""
+        parents = self._parents(manifest)
+        chain = [v]
+        while parents.get(chain[-1]) is not None:
+            chain.append(parents[chain[-1]])
+        return list(reversed(chain))
+
     def read(self, version: int | None = None) -> DataFrame:
-        """Read the current (or a pinned historical) version."""
+        """Read the current (or a pinned historical) version. A delta
+        version (``append_delta``) resolves to the union of its chain —
+        base full commit plus every delta up to ``version`` — with
+        by-name unions, so later deltas may add columns."""
         manifest = self._read_manifest()
         v = version if version is not None else manifest["current"]
         if v is None:
             raise FileNotFoundError(f"snapshot table {self.root} has no versions")
-        return self.spark.read.parquet(os.path.join(self.root, f"v={v}"))
+        parts = [
+            self.spark.read.parquet(os.path.join(self.root, f"v={c}"))
+            for c in self._chain(manifest, v)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def compact(self, target_file_bytes: int = 128 << 20) -> int:
         """Small-file compaction: rewrite the current version into
@@ -134,19 +163,25 @@ class SnapshotTable:
         cur = manifest["current"]
         if cur is None:
             raise FileNotFoundError(f"snapshot table {self.root} has no versions")
-        path = os.path.join(self.root, f"v={cur}")
+        chain = self._chain(manifest, cur)
         total = 0
-        for dirpath, _dirs, files in os.walk(path):
-            total += sum(
-                os.path.getsize(os.path.join(dirpath, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
+        for v in chain:
+            for dirpath, _dirs, files in os.walk(
+                os.path.join(self.root, f"v={v}")
+            ):
+                total += sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        # the layout to preserve is the chain BASE's (delta appends are
+        # written unpartitioned; compacting a chain restores the base's
+        # hive layout over the merged rows)
         part_by = next(
             (
                 h.get("partition_by") or []
                 for h in reversed(manifest.get("history", []))
-                if h["version"] == cur
+                if h["version"] == chain[0]
             ),
             [],
         )
@@ -170,6 +205,11 @@ class SnapshotTable:
             raise ValueError("keep_last must be >= 1")
         manifest = self._read_manifest()
         keep = set(manifest["versions"][-keep_last:]) | {manifest["current"]}
+        # a kept delta version is unreadable without its chain: keep the
+        # transitive parents of everything kept (compact() first if you
+        # want the chain reclaimed)
+        for v in list(keep):
+            keep.update(self._chain(manifest, v))
         drop = [v for v in manifest["versions"] if v not in keep]
         manifest["versions"] = [v for v in manifest["versions"] if v in keep]
         self._flip_manifest(manifest)
@@ -180,12 +220,46 @@ class SnapshotTable:
     def append(self, rows: DataFrame) -> int:
         """S6: append = current ∪ rows committed as a new version (the
         engine keeps append copy-on-write so readers get isolation; at
-        scale a partition-append sink amortizes this)."""
+        scale :meth:`append_delta` is the right sink and this COW form
+        remains for small control tables)."""
         cur = self._read_manifest()["current"]
         merged = rows if cur is None else self.read().unionByName(
             rows, allowMissingColumns=True
         )
         return self.commit(merged, operation="append")
+
+    def append_delta(self, rows: DataFrame) -> int:
+        """O(|batch|) append: write ONLY the new rows as a delta version
+        chained to the current one — the Delta-log mechanic that makes
+        appends affordable at 100 TB (COW ``append`` rewrites the whole
+        table per batch). Readers of the new version union the chain
+        (base full commit + deltas); isolation and time travel are
+        unchanged because the manifest still flips atomically and every
+        prior version keeps meaning. Long chains tax readers with
+        per-delta file listings — ``compact()`` collapses the chain back
+        to one full commit on a cadence, after which ``vacuum()`` can
+        reclaim it (``vacuum`` never drops a kept delta's parents)."""
+        manifest = self._read_manifest()
+        cur = manifest["current"]
+        if cur is None:
+            return self.commit(rows, operation="append")
+        next_v = cur + 1
+        rows.write.mode("overwrite").parquet(
+            os.path.join(self.root, f"v={next_v}")
+        )
+        manifest["versions"].append(next_v)
+        manifest["current"] = next_v
+        manifest.setdefault("history", []).append(
+            {
+                "version": next_v,
+                "operation": "append_delta",
+                "ts": time.time(),
+                "partition_by": [],
+                "parent": cur,
+            }
+        )
+        self._flip_manifest(manifest)
+        return next_v
 
 
 def audit_append(

@@ -323,3 +323,63 @@ def test_snapshot_vacuum_drops_old_versions_keeps_current(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.vacuum(keep_last=0)
+
+
+def test_append_delta_chain_reads_and_compacts(spark, tmp_path):
+    """O(batch) appends: each append_delta writes ONLY its rows; read()
+    resolves the base+delta chain (including schema-evolved deltas);
+    time travel addresses every link; compact() collapses the chain to
+    one full commit with identical rows."""
+    import glob
+
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "dt"))
+    t.commit(spark.range(100).select(F.col("id"), F.lit("base").alias("src")))
+    t.append_delta(
+        spark.range(100, 130).select(F.col("id"), F.lit("b1").alias("src"))
+    )
+    v3 = t.append_delta(
+        spark.range(130, 140).select(
+            F.col("id"), F.lit("b2").alias("src"), F.lit(1).alias("extra")
+        )
+    )
+    assert v3 == 3
+    # delta dirs hold only their own rows
+    d2 = spark.read.parquet(str(tmp_path / "dt" / "v=2"))
+    assert d2.count() == 30
+    # the chain resolves, with the evolved column null for older links
+    cur = t.read()
+    assert cur.count() == 140
+    assert cur.where(F.col("extra").isNull()).count() == 130
+    # time travel: v2 = base + first delta
+    assert t.read(version=2).count() == 130
+    assert t.read(version=1).count() == 100
+
+    v4 = t.compact()
+    files = glob.glob(str(tmp_path / "dt" / f"v={v4}" / "*.parquet"))
+    assert files  # one full commit
+    assert t.read().count() == 140
+    assert t.read().exceptAll(t.read(version=v3)).count() == 0
+    assert t.read(version=v3).exceptAll(t.read()).count() == 0
+
+
+def test_vacuum_never_orphans_a_delta_chain(spark, tmp_path):
+    """vacuum(keep_last=1) while current is a DELTA must keep its base
+    (dropping it would leave the current version unreadable); after
+    compact() the chain becomes reclaimable."""
+    import os
+
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "vd"))
+    t.commit(spark.range(50))
+    t.append_delta(spark.range(50, 60))
+    dropped = t.vacuum(keep_last=1)
+    assert dropped == []  # v1 is v2's parent: protected
+    assert t.read().count() == 60
+    t.compact()  # v3 = full
+    dropped = t.vacuum(keep_last=1)
+    assert dropped == [1, 2]
+    assert not os.path.isdir(str(tmp_path / "vd" / "v=1"))
+    assert t.read().count() == 60
