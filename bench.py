@@ -64,6 +64,7 @@ HEADLINE = [
     "text_bm25_topk",
     "sim_centroid_outliers",
     "dedup_incremental",
+    "a_profile_documents",
 ]
 
 

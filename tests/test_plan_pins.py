@@ -56,6 +56,7 @@ _PINS = {
     "text_bm25_topk": 3,
     "sim_centroid_outliers": 2,
     "dedup_incremental": 4,
+    "a_profile_documents": 2,
 }
 
 
