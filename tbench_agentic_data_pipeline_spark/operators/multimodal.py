@@ -233,7 +233,10 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
         return v
 
     out = bytearray()
-    table: dict[int, bytes] = {}
+    # The initial table exists BEFORE any code is read: the spec only
+    # recommends (not requires) a leading CLEAR, so streams that start
+    # with a literal root code must decode.
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
     code_size = min_code_size + 1
     next_code = end + 1
     prev: bytes | None = None
@@ -318,8 +321,16 @@ def _gif_frames(buf: bytes):
                 pos += 1 + n
             pos += 1  # block terminator
             idx = _lzw_decode(bytes(data), min_code, w * h)
+            n_colors = len(table) // 3
             rgb = bytearray(w * h * 3)
             for j, i in enumerate(idx):
+                if i >= n_colors:
+                    # a short table[o:o+3] slice would silently SHRINK
+                    # the raster and misalign every later pixel — this
+                    # is corrupt data, not a decodable image
+                    raise ValueError(
+                        f"pixel index {i} outside {n_colors}-color table"
+                    )
                 o = 3 * i
                 rgb[3 * j : 3 * j + 3] = table[o : o + 3]
             seen = True
@@ -628,11 +639,14 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
             out = {"doc_id": [], "payload": [], "out_width": [],
                    "out_height": [], "status": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                p = bytes(payload)
                 try:
+                    # bytes() INSIDE the try: a NULL payload must
+                    # quarantine like any other bad row, not kill the job
+                    p = bytes(payload)
                     resized = _resize_ppm(p, width, height)
                     ow, oh, status = width, height, "ok"
                 except Exception as e:  # noqa: BLE001 — quarantine row
+                    p = b"" if payload is None else bytes(payload)
                     resized, ow, oh = p, 0, 0
                     status = f"error:{e}"
                 out["doc_id"].append(int(doc_id))
@@ -701,7 +715,7 @@ def frame_sample_gif(media: DataFrame, stride: int = 1) -> DataFrame:
             out = {"doc_id": [], "frame_idx": [], "frame": [],
                    "width": [], "height": [], "status": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                p = bytes(payload)
+                p = b"" if payload is None else bytes(payload)
                 try:
                     for i, (w, h, rgb) in enumerate(_gif_frames(p)):
                         if i % stride:

@@ -1164,9 +1164,11 @@ def knn_join(
         small, k, key_col=key_col, vec_col=vec_col, bucket_col=bucket_col,
         max_bucket_rows=max_bucket_rows,
     )
-    # Only pay the dim probe + blocked plan when a dense bucket exists.
-    if dense.select(key_col).limit(1).count() > 0:
-        probe = dense.select(F.size(vec_col).alias("d")).limit(1).collect()
+    # ONE driver probe answers both questions — dense bucket exists?
+    # and what is the vector dim? (two separate limit-1 jobs would each
+    # re-run the per-bucket count aggregate lineage).
+    probe = dense.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if probe:
         d = max(int(probe[0]["d"] or 1), 1)
         block_rows = int(math.isqrt(d * d + task_memory_bytes // 8) - d)
         block_rows = max(256, min(block_rows, 65536))

@@ -179,12 +179,28 @@ class SnapshotTable:
         # hive layout over the merged rows)
         part_by = next(
             (
-                h.get("partition_by") or []
+                h.get("partition_by")
                 for h in reversed(manifest.get("history", []))
-                if h["version"] == chain[0]
+                if h["version"] == chain[0] and h.get("partition_by")
             ),
-            [],
+            None,
         )
+        if part_by is None:
+            # history written before partition_by was recorded: recover
+            # the layout from the directory itself (hive dirs are
+            # key=value; nested levels are nested partition columns) so
+            # upgrading never silently flattens an old partitioned table
+            part_by = []
+            probe = os.path.join(self.root, f"v={chain[0]}")
+            while True:
+                subs = [
+                    d for d in sorted(os.listdir(probe))
+                    if "=" in d and os.path.isdir(os.path.join(probe, d))
+                ]
+                if not subs:
+                    break
+                part_by.append(subs[0].split("=", 1)[0])
+                probe = os.path.join(probe, subs[0])
         df = self.read()
         if part_by:
             df = df.repartition(*part_by)

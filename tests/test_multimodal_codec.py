@@ -571,3 +571,67 @@ def test_gif_first_frame_feature_extract_on_animation():
     out = _decode_image(encode_animated_gif(frames))
     assert out["status"] == "ok"
     assert (out["mean_r"], out["mean_g"], out["mean_b"]) == (100, 150, 200)
+
+
+def test_null_payloads_quarantine_not_crash(spark):
+    """A NULL binary payload must become a status row in EVERY pandas
+    stage, never a Python-worker TypeError that kills the job (found by
+    round-5 self-review: resize/frame-sample called bytes(payload)
+    outside the try)."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+        decode_image_features,
+        frame_sample_gif,
+        resize_image,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(PIXELS))), (2, None)],
+        "doc_id long, payload binary",
+    )
+    for stage in (
+        lambda m: decode_image_features(m),
+        lambda m: decode_audio_features(m),
+        lambda m: resize_image(m, 4, 4),
+        lambda m: frame_sample_gif(m),
+    ):
+        rows = {r["doc_id"]: r for r in stage(media).collect()}
+        assert rows[2]["status"].startswith("error:"), stage
+
+
+def test_gif_out_of_table_pixel_index_is_corrupt_not_ok():
+    """An LZW index beyond the color table must quarantine — the
+    short-slice assignment would otherwise silently shrink the raster
+    and report wrong means with status ok."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _decode_image,
+    )
+
+    # 4 distinct colors → 4-entry GCT (size field 1), indices 0..3
+    grid = [[(0, 0, 0), (85, 85, 85)], [(170, 170, 170), (255, 255, 255)]]
+    gif = bytearray(encode_gif(grid))
+    assert gif[10] == 0x81  # GCT present, 2^(1+1)=4 entries
+    # lie: declare only 2 entries and remove the extra 2*3 table bytes —
+    # pixel indices 2 and 3 now point outside the table
+    gif[10] = 0x80
+    del gif[13 + 6 : 13 + 12]
+    out = _decode_image(bytes(gif))
+    assert out["status"].startswith("error:"), out
+    assert "outside" in out["status"] or "color table" in out["status"]
+
+
+def test_lzw_stream_without_leading_clear_decodes():
+    """GIF89a only RECOMMENDS a leading CLEAR; the decoder's table must
+    be initialized up front so literal-first streams decode. The writer
+    here mirrors the width-bump schedule by hand (after the third
+    literal the table reaches 2^width, so END is read at width 4)."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _lzw_decode,
+    )
+
+    bw = _BitWriter()
+    for code in (0, 1, 2):  # literal root codes, NO leading clear
+        bw.write(code, 3)   # min_code_size 2 → initial width 3
+    bw.write(5, 4)          # END (clear=4, end=5), read at width 4
+    out = _lzw_decode(bytes(bw.bytes), 2, 3)
+    assert out == bytes([0, 1, 2])

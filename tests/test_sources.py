@@ -383,3 +383,30 @@ def test_vacuum_never_orphans_a_delta_chain(spark, tmp_path):
     assert dropped == [1, 2]
     assert not os.path.isdir(str(tmp_path / "vd" / "v=1"))
     assert t.read().count() == 60
+
+
+def test_compact_recovers_layout_from_legacy_history(spark, tmp_path):
+    """History records written before partition_by was recorded must not
+    silently flatten a partitioned table on compact: the layout is
+    recovered from the version directory's hive structure."""
+    import glob
+    import json
+
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "legacy"))
+    t.commit(
+        spark.range(900).select(F.col("id"), (F.col("id") % 3).alias("stage")),
+        partition_by=["stage"],
+    )
+    # simulate a pre-round-5 manifest: strip the partition_by key
+    mpath = tmp_path / "legacy" / "manifest.json"
+    m = json.loads(mpath.read_text())
+    for h in m["history"]:
+        h.pop("partition_by", None)
+    mpath.write_text(json.dumps(m))
+
+    v2 = t.compact()
+    dirs = glob.glob(str(tmp_path / "legacy" / f"v={v2}" / "stage=*"))
+    assert len(dirs) == 3, dirs
+    assert t.read().where(F.col("stage") == 2).count() == 300

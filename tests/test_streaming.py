@@ -556,7 +556,7 @@ def test_session_window_watermark_eviction(spark, tmp_path):
         # scenario under test.
         spark.createDataFrame(rows, schema).select(
             "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
-        ).coalesce(1).coalesce(1).write.mode("append").parquet(str(src))
+        ).coalesce(1).write.mode("append").parquet(str(src))
 
     # b1: u1 session of two events (00:00:00 + 00:00:30, gap 1 min) and a
     # punctual event at 01:00 → watermark (delay 10 min) = 00:50 closes it.

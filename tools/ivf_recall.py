@@ -71,9 +71,12 @@ def main() -> None:
         "vec_id",
         F.transform(
             "emb",
+            # pmod, not %: Spark's % keeps the dividend's sign, which
+            # would give half the draws a systematic negative shift and
+            # double amplitude instead of zero-mean ±amp
             lambda x, i: x
             + F.lit(amp)
-            * ((F.xxhash64(F.col("vec_id"), i) % 2001 - 1000) / 1000.0),
+            * ((F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2001)) - 1000) / 1000.0),
         ).alias("emb"),
     )
     n = emb.count()
