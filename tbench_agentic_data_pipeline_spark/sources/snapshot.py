@@ -137,7 +137,9 @@ class SnapshotTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    def compact(self, target_file_bytes: int = 128 << 20) -> int:
+    def compact(
+        self, target_file_bytes: int = 128 << 20, merge_key: str | None = None
+    ) -> int:
         """Small-file compaction: rewrite the current version into
         ⌈bytes/target⌉ right-sized files and commit the result as a new
         version. Data-identical by construction (pinned row-for-row in
@@ -201,7 +203,10 @@ class SnapshotTable:
                     break
                 part_by.append(subs[0].split("=", 1)[0])
                 probe = os.path.join(probe, subs[0])
-        df = self.read()
+        # merge_key: compacting an upsert-style table resolves
+        # latest-wins BEFORE the rewrite, so superseded rows are
+        # reclaimed instead of frozen into the new full commit
+        df = self.read_merged(merge_key) if merge_key else self.read()
         if part_by:
             df = df.repartition(*part_by)
             return self.commit(df, operation="compact", partition_by=part_by)
@@ -276,6 +281,42 @@ class SnapshotTable:
         )
         self._flip_manifest(manifest)
         return next_v
+
+    def read_merged(self, key_col: str, version: int | None = None) -> DataFrame:
+        """Merge-on-read over the delta chain: latest-wins per
+        ``key_col``, where 'latest' is the highest commit version whose
+        directory contains the key (ties within one commit break by
+        nothing — a commit should hold one row per key, as the COW
+        upsert drain guarantees). This turns :meth:`append_delta` into
+        an O(|batch|) UPSERT: write only the changed rows, resolve at
+        read time — Delta/Iceberg merge-on-read, minus deletes (a
+        tombstone row with a status column is the idiomatic delete here,
+        exactly how the reference's store marks cancelled tasks rather
+        than erasing them). Compact an upsert table with
+        ``compact(merge_key=...)`` so the rewrite resolves instead of
+        freezing duplicates into the full commit."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        manifest = self._read_manifest()
+        v = version if version is not None else manifest["current"]
+        if v is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no versions")
+        parts = []
+        for c in self._chain(manifest, v):
+            parts.append(
+                self.spark.read.parquet(os.path.join(self.root, f"v={c}"))
+                .withColumn("__commit_v", F.lit(c))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        w = Window.partitionBy(key_col).orderBy(F.desc("__commit_v"))
+        return (
+            out.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .drop("__rk", "__commit_v")
+        )
 
 
 def audit_append(

@@ -410,3 +410,47 @@ def test_compact_recovers_layout_from_legacy_history(spark, tmp_path):
     dirs = glob.glob(str(tmp_path / "legacy" / f"v={v2}" / "stage=*"))
     assert len(dirs) == 3, dirs
     assert t.read().where(F.col("stage") == 2).count() == 300
+
+
+def test_merge_on_read_upserts_over_delta_chain(spark, tmp_path):
+    """append_delta + read_merged = O(batch) upserts: the latest commit
+    containing a key wins, schema evolution composes, and
+    compact(merge_key=...) reclaims superseded rows in the rewrite."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "mor"))
+    t.commit(
+        spark.createDataFrame(
+            [("t1", "pending"), ("t2", "pending"), ("t3", "pending")],
+            "task_id string, status string",
+        )
+    )
+    t.append_delta(
+        spark.createDataFrame(
+            [("t1", "claimed"), ("t4", "pending")], "task_id string, status string"
+        )
+    )
+    t.append_delta(
+        spark.createDataFrame(
+            [("t1", "completed", "w7")],
+            "task_id string, status string, owner string",
+        )
+    )
+    got = {
+        r["task_id"]: (r["status"], r["owner"])
+        for r in t.read_merged("task_id").collect()
+    }
+    assert got == {
+        "t1": ("completed", "w7"),
+        "t2": ("pending", None),
+        "t3": ("pending", None),
+        "t4": ("pending", None),
+    }
+    # raw read still shows the full chain (6 physical rows)
+    assert t.read().count() == 6
+    # merged compaction freezes the RESOLVED state and drops supersedes
+    v = t.compact(merge_key="task_id")
+    assert t.read(version=v).count() == 4
+    assert {
+        r["task_id"]: r["status"] for r in t.read_merged("task_id").collect()
+    } == {"t1": "completed", "t2": "pending", "t3": "pending", "t4": "pending"}
