@@ -119,23 +119,42 @@ class SnapshotTable:
             chain.append(parents[chain[-1]])
         return list(reversed(chain))
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Read the current (or a pinned historical) version. A delta
-        version (``append_delta``) resolves to the union of its chain —
-        base full commit plus every delta up to ``version`` — with
-        by-name unions, so later deltas may add columns."""
-        manifest = self._read_manifest()
-        v = version if version is not None else manifest["current"]
-        if v is None:
-            raise FileNotFoundError(f"snapshot table {self.root} has no versions")
-        parts = [
-            self.spark.read.parquet(os.path.join(self.root, f"v={c}"))
-            for c in self._chain(manifest, v)
-        ]
+    def _read_with_provenance(self, manifest: dict, v: int) -> DataFrame:
+        """Chain union carrying ``__commit_v`` — the commit each row
+        arrived in. A raw ``compact()`` persists this column into the
+        full commit (coalesced here so persisted provenance survives
+        flattening), which is what keeps ``read_merged`` correct after
+        compaction: without it, collapsing a chain would erase the
+        ordering latest-wins depends on (caught by the model-based
+        random-ops test)."""
+        from pyspark.sql import functions as F
+
+        parts = []
+        for c in self._chain(manifest, v):
+            df = self.spark.read.parquet(os.path.join(self.root, f"v={c}"))
+            if "__commit_v" in df.columns:
+                df = df.withColumn(
+                    "__commit_v", F.coalesce(F.col("__commit_v"), F.lit(c))
+                )
+            else:
+                df = df.withColumn("__commit_v", F.lit(c))
+            parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the current (or a pinned historical) version. A delta
+        version (``append_delta``) resolves to the union of its chain —
+        base full commit plus every delta up to ``version`` — with
+        by-name unions, so later deltas may add columns. The internal
+        provenance column is never exposed."""
+        manifest = self._read_manifest()
+        v = version if version is not None else manifest["current"]
+        if v is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no versions")
+        return self._read_with_provenance(manifest, v).drop("__commit_v")
 
     def compact(
         self, target_file_bytes: int = 128 << 20, merge_key: str | None = None
@@ -205,8 +224,17 @@ class SnapshotTable:
                 probe = os.path.join(probe, subs[0])
         # merge_key: compacting an upsert-style table resolves
         # latest-wins BEFORE the rewrite, so superseded rows are
-        # reclaimed instead of frozen into the new full commit
-        df = self.read_merged(merge_key) if merge_key else self.read()
+        # reclaimed instead of frozen into the new full commit. A RAW
+        # compact keeps the provenance column so read_merged stays
+        # correct over the flattened commit (duplicate keys would
+        # otherwise all share one commit version and resolve
+        # arbitrarily).
+        if merge_key:
+            df = self.read_merged(merge_key)
+        elif len(chain) > 1:
+            df = self._read_with_provenance(manifest, cur)
+        else:
+            df = self.read()
         if part_by:
             df = df.repartition(*part_by)
             return self.commit(df, operation="compact", partition_by=part_by)
@@ -284,17 +312,16 @@ class SnapshotTable:
 
     def read_merged(self, key_col: str, version: int | None = None) -> DataFrame:
         """Merge-on-read over the delta chain: latest-wins per
-        ``key_col``, where 'latest' is the highest commit version whose
-        directory contains the key (ties within one commit break by
-        nothing — a commit should hold one row per key, as the COW
-        upsert drain guarantees). This turns :meth:`append_delta` into
-        an O(|batch|) UPSERT: write only the changed rows, resolve at
-        read time — Delta/Iceberg merge-on-read, minus deletes (a
-        tombstone row with a status column is the idiomatic delete here,
-        exactly how the reference's store marks cancelled tasks rather
-        than erasing them). Compact an upsert table with
-        ``compact(merge_key=...)`` so the rewrite resolves instead of
-        freezing duplicates into the full commit."""
+        ``key_col``, where 'latest' is the highest ORIGINATING commit of
+        the key's rows — provenance that survives raw ``compact()``
+        because flattening persists the ``__commit_v`` column. This
+        turns :meth:`append_delta` into an O(|batch|) UPSERT: write only
+        the changed rows, resolve at read time — Delta/Iceberg
+        merge-on-read, minus deletes (a tombstone row with a status
+        column is the idiomatic delete here, exactly how the reference's
+        store marks cancelled tasks rather than erasing them). Compact
+        an upsert table with ``compact(merge_key=...)`` when superseded
+        rows should be physically reclaimed."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -302,15 +329,7 @@ class SnapshotTable:
         v = version if version is not None else manifest["current"]
         if v is None:
             raise FileNotFoundError(f"snapshot table {self.root} has no versions")
-        parts = []
-        for c in self._chain(manifest, v):
-            parts.append(
-                self.spark.read.parquet(os.path.join(self.root, f"v={c}"))
-                .withColumn("__commit_v", F.lit(c))
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
+        out = self._read_with_provenance(manifest, v)
         w = Window.partitionBy(key_col).orderBy(F.desc("__commit_v"))
         return (
             out.withColumn("__rk", F.row_number().over(w))

@@ -454,3 +454,59 @@ def test_merge_on_read_upserts_over_delta_chain(spark, tmp_path):
     assert {
         r["task_id"]: r["status"] for r in t.read_merged("task_id").collect()
     } == {"t1": "completed", "t2": "pending", "t3": "pending", "t4": "pending"}
+
+
+def test_snapshot_delta_model_based_random_ops(spark, tmp_path):
+    """Model-based check of the versioned-table state machine: replay 12
+    seeded-random operation sequences (full commit / delta append /
+    upsert-batch / compact / merged compact / vacuum) against a plain
+    Python dict model; after every operation read_merged must equal the
+    model exactly, and raw read row counts must match the model's
+    physical-rows ledger. Catches chain-resolution, vacuum-protection
+    and merge-ordering bugs that single-scenario tests can miss."""
+    import random
+
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    rng = random.Random(42)
+    for seq in range(12):
+        t = SnapshotTable(spark, str(tmp_path / f"m{seq}"))
+        model: dict[str, int] = {}
+        physical_rows = 0
+        key_pool = [f"k{i}" for i in range(8)]
+
+        def batch():
+            ks = rng.sample(key_pool, rng.randint(1, 4))
+            return {k: rng.randint(0, 99) for k in ks}
+
+        def to_df(d):
+            return spark.createDataFrame(
+                sorted(d.items()), "task_id string, val int"
+            )
+
+        first = batch()
+        t.commit(to_df(first))
+        model = dict(first)
+        physical_rows = len(first)
+
+        for _ in range(rng.randint(3, 7)):
+            op = rng.choice(["delta", "delta", "compact", "merged", "vacuum"])
+            if op == "delta":
+                b = batch()
+                t.append_delta(to_df(b))
+                model.update(b)
+                physical_rows += len(b)
+            elif op == "compact":
+                t.compact()  # raw: freezes duplicates, row count unchanged
+            elif op == "merged":
+                t.compact(merge_key="task_id")
+                physical_rows = len(model)
+            else:
+                t.vacuum(keep_last=1)
+
+            got = {
+                r["task_id"]: r["val"]
+                for r in t.read_merged("task_id").collect()
+            }
+            assert got == model, (seq, op, got, model)
+            assert t.read().count() == physical_rows, (seq, op)
