@@ -65,6 +65,9 @@ HEADLINE = [
     "sim_centroid_outliers",
     "dedup_incremental",
     "a_profile_documents",
+    # the kNN entry point users actually call: dispatcher overhead
+    # (bucket accounting + routing) measured against sim_knn_join_arrow
+    "sim_knn_join_auto",
 ]
 
 
@@ -75,12 +78,14 @@ def _extra_queries():
     measure the production path)."""
     from tbench_agentic_data_pipeline_spark.operators.similarity import (
         sim_knn_join_arrow,
+        sim_knn_join_auto,
         sim_topk_cosine_arrow,
     )
 
     return {
         "sim_topk_cosine_arrow": sim_topk_cosine_arrow,
         "sim_knn_join_arrow": sim_knn_join_arrow,
+        "sim_knn_join_auto": sim_knn_join_auto,
     }
 
 

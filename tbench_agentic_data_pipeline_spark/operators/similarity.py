@@ -981,6 +981,24 @@ def sim_knn_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark wrapper for the :func:`knn_join` DISPATCHER — what a
+    production caller actually invokes (per-bucket accounting + routing)
+    — so the dispatch overhead vs the direct `knn_join_arrow` path is a
+    measured number in BENCH, not an assumption. NOT registered: the
+    fold twin remains the oracle, the arrow twin the equivalence pin."""
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        source_path=table_path(sf_dir, "embeddings"),
+    ).select("vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+    out = knn_join(emb, 3)
+    return out.select(
+        "vec_id", "nbr_id", "label", "rk",
+        stable_round(F.col("cos"), 4).alias("cos"),
+    )
+
+
 def knn_join_blocked(
     emb: DataFrame, k: int,
     key_col: str = "vec_id", vec_col: str = "emb", bucket_col: str = "label",

@@ -57,6 +57,10 @@ _PINS = {
     "sim_centroid_outliers": 2,
     "dedup_incremental": 4,
     "a_profile_documents": 2,
+    # dispatcher: arrow path + per-bucket count accounting (broadcast);
+    # measured overhead vs sim_knn_join_arrow ≈ 0.6 s at sf0.1 — fixed
+    # probe/aggregate cost that amortizes as corpus >> bucket count
+    "sim_knn_join_auto": 4,
 }
 
 
