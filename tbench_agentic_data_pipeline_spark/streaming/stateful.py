@@ -106,6 +106,33 @@ def upsert_drain(stream: DataFrame, table, key_col: str, checkpoint: str):
     )
 
 
+def upsert_drain_delta(stream: DataFrame, table, key_col: str, checkpoint: str):
+    """O(|batch|) streaming upsert: each micro-batch lands as ONE delta
+    commit (``append_delta``) and readers resolve latest-wins through
+    ``read_merged(key_col)`` — merge-on-read ingestion, vs
+    :func:`upsert_drain`'s COW merge that re-reads and rewrites the
+    WHOLE table every micro-batch (fine for control tables, ruinous for
+    a 100 TB fact stream). Exactly-once at the merged view: the
+    checkpoint prevents re-delivery, and a crash-window replay would
+    append identical rows in a later commit, which resolve to the same
+    values (physical duplicates reclaimed at the next
+    ``compact(merge_key=...)``)."""
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        fresh = batch.dropDuplicates([key_col])
+        if table.current_version() is None:
+            table.commit(fresh, operation=f"upsert_delta_batch_{batch_id}")
+        else:
+            table.append_delta(fresh)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def drain_available(
     stream: DataFrame, sink_path: str, checkpoint: str, fmt: str = "parquet"
 ):

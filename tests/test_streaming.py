@@ -609,3 +609,44 @@ def test_session_window_watermark_eviction(spark, tmp_path):
         ], rows
     finally:
         q.stop()
+
+
+def test_upsert_drain_delta_merge_on_read(spark, tmp_path):
+    """The O(batch) streaming drain: micro-batches land as delta
+    commits (no table rewrite), read_merged resolves latest-wins, a
+    re-drain with no new data is a no-op, and merged compaction
+    reclaims superseded rows."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+    from tbench_agentic_data_pipeline_spark.streaming.stateful import (
+        upsert_drain_delta,
+    )
+
+    src = tmp_path / "udsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        [("t1", 1), ("t2", 1)], "task_id string, rev int"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [("t1", 2), ("t3", 1)], "task_id string, rev int"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    table = SnapshotTable(spark, str(tmp_path / "udtbl"))
+    ckpt = str(tmp_path / "udckpt")
+
+    def drain():
+        q = upsert_drain_delta(
+            spark.readStream.schema("task_id string, rev int")
+            .option("maxFilesPerTrigger", "1").parquet(str(src)),
+            table, "task_id", ckpt,
+        )
+        q.awaitTermination(60)
+
+    drain()
+    merged = {r["task_id"]: r["rev"] for r in table.read_merged("task_id").collect()}
+    assert merged == {"t1": 2, "t2": 1, "t3": 1}
+    # physical: 2 + 2 rows across base + one delta — no rewrite happened
+    assert table.read().count() == 4
+    v_after = table.current_version()
+    drain()  # checkpoint: nothing re-delivered
+    assert table.current_version() == v_after
+    v = table.compact(merge_key="task_id")
+    assert table.read(version=v).count() == 3
