@@ -510,3 +510,7 @@ def test_snapshot_delta_model_based_random_ops(spark, tmp_path):
             }
             assert got == model, (seq, op, got, model)
             assert t.read().count() == physical_rows, (seq, op)
+            # the internal provenance column must never leak into the
+            # public read surfaces, even after raw compaction persists it
+            assert "__commit_v" not in t.read().columns, (seq, op)
+            assert "__commit_v" not in t.read_merged("task_id").columns
