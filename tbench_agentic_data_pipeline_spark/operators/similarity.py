@@ -1168,8 +1168,15 @@ def knn_join(
     The count-join is null-safe on the bucket key, matching both
     underlying paths' keep-NULL-bucket semantics.
     """
+    # The count table is bucket-cardinality-sized — persist it so the
+    # routing decision (one driver probe over COUNTS, not over the
+    # joined corpus) and the broadcast build share one aggregation pass
+    # instead of each re-scanning the corpus.
     counts = emb.groupBy(F.col(bucket_col).alias("__cb_key")).agg(
         F.count(F.lit(1)).alias("__bucket_n")
+    ).persist()
+    has_dense = bool(
+        counts.where(F.col("__bucket_n") > max_bucket_rows).limit(1).collect()
     )
     tagged = emb.join(
         F.broadcast(counts),
@@ -1182,12 +1189,10 @@ def knn_join(
         small, k, key_col=key_col, vec_col=vec_col, bucket_col=bucket_col,
         max_bucket_rows=max_bucket_rows,
     )
-    # ONE driver probe answers both questions — dense bucket exists?
-    # and what is the vector dim? (two separate limit-1 jobs would each
-    # re-run the per-bucket count aggregate lineage).
-    probe = dense.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if probe:
-        d = max(int(probe[0]["d"] or 1), 1)
+    if has_dense:
+        # dim probe only on the (rare) dense route
+        probe = dense.select(F.size(vec_col).alias("d")).limit(1).collect()
+        d = max(int(probe[0]["d"] or 1), 1) if probe else 1
         block_rows = int(math.isqrt(d * d + task_memory_bytes // 8) - d)
         block_rows = max(256, min(block_rows, 65536))
         out = out.unionByName(

@@ -57,10 +57,13 @@ _PINS = {
     "sim_centroid_outliers": 2,
     "dedup_incremental": 4,
     "a_profile_documents": 2,
-    # dispatcher: arrow path + per-bucket count accounting (broadcast);
-    # measured overhead vs sim_knn_join_arrow ≈ 0.6 s at sf0.1 — fixed
-    # probe/aggregate cost that amortizes as corpus >> bucket count
-    "sim_knn_join_auto": 4,
+    # dispatcher: arrow path + per-bucket count accounting. The count
+    # table is persisted (routing probe + broadcast build share one
+    # aggregation), which cut measured overhead vs sim_knn_join_arrow
+    # from ~0.6 s to ~0.3 s at sf0.1; the formatted plan now REPEATS the
+    # cached aggregate's exchange inside each InMemoryRelation subtree
+    # (textual count 6, executed once) — the pin tracks the text.
+    "sim_knn_join_auto": 6,
 }
 
 
