@@ -65,6 +65,7 @@ HEADLINE = [
     "sim_centroid_outliers",
     "dedup_incremental",
     "a_profile_documents",
+    "events_attribution",
     # the kNN entry point users actually call: dispatcher overhead
     # (bucket accounting + routing) measured against sim_knn_join_arrow
     "sim_knn_join_auto",

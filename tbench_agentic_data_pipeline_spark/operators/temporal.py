@@ -317,3 +317,94 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage.cast("bigint").alias("stage"),
         )
     )
+
+
+@query(
+    "events_attribution",
+    survey="J1,A4,W4",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        att AS (
+            SELECT p.user_id, p.value,
+                   (SELECT t.event_type FROM t
+                    WHERE t.user_id = p.user_id
+                      AND t.ts < p.ts
+                      AND t.ts >= p.ts - INTERVAL 7 DAY
+                    ORDER BY t.ts DESC, t.event_type
+                    LIMIT 1) AS channel
+            FROM p
+        )
+        SELECT COALESCE(channel, 'direct')   AS channel,
+               CAST(COUNT(*) AS BIGINT)      AS n_purchases,
+               ROUND(SUM(value), 2)          AS total_value
+        FROM att
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent click/view STRICTLY before it within a 7-day lookback
+    (no touch → 'direct'), reported as per-channel purchase counts and
+    revenue — the marketing-analytics staple next to the funnel.
+
+    Shape: ONE tagged union of touches and purchases, one user_id
+    exchange, one ordered window — ``last(touch, ignorenulls)`` over
+    rows sorted (ts, purchases-before-touches-at-equal-ts, touch_type
+    desc) reproduces exactly the oracle's correlated
+    ORDER-BY-ts-DESC-type-ASC LIMIT 1 semantics, including strict
+    ``t.ts < p.ts`` (the equal-ts touch sorts AFTER the purchase, so
+    the preceding-rows frame can't see it) and the click-over-view
+    tiebreak. No correlated per-purchase subquery survives at scale;
+    the window is the decorrelated form. The channel aggregate is a
+    3-row rollup."""
+    events = load_table(spark, sf_dir, "events")
+    touches = events.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts",
+        F.col("event_type").alias("touch_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("string").alias("touch_type"),
+        "value",
+        F.lit(1).alias("is_p"),
+    )
+    u = touches.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_p").desc(), F.col("touch_type").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_touch = F.last(
+        F.when(F.col("is_p") == 0, F.struct("ts", "touch_type")),
+        ignorenulls=True,
+    ).over(w)
+    att = (
+        u.withColumn("__lt", last_touch)
+        .where(F.col("is_p") == 1)
+        .select(
+            "value",
+            F.when(
+                F.col("__lt").isNotNull()
+                & (F.col("__lt.ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+                F.col("__lt.touch_type"),
+            ).otherwise(F.lit("direct")).alias("channel"),
+        )
+    )
+    return (
+        att.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("channel")
+    )

@@ -57,6 +57,10 @@ _PINS = {
     "sim_centroid_outliers": 2,
     "dedup_incremental": 4,
     "a_profile_documents": 2,
+    # tagged-union window attribution: one user exchange + channel
+    # rollup + ordered output — the decorrelated form of the oracle's
+    # per-purchase correlated subquery
+    "events_attribution": 3,
     # dispatcher: arrow path + per-bucket count accounting. The count
     # table is persisted (routing probe + broadcast build share one
     # aggregation), which cut measured overhead vs sim_knn_join_arrow
