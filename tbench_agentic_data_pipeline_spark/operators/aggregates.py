@@ -470,3 +470,72 @@ def a_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_expr}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+@query(
+    "a_heavy_hitters_cms",
+    survey="A7,A8,W2",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        counts AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM toks GROUP BY term
+        )
+        SELECT term, exact_count, TRUE AS within_contract
+        FROM counts
+        ORDER BY exact_count DESC, term
+        LIMIT 5
+    """,
+)
+def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Count-Min sketch — the frequency twin of the
+    HLL distinct sketch (``a_approx_distinct``): at 100 TB the full
+    term-count table may be too hot to keep exact, but a CMS is a few
+    KB per executor, merges associatively, and answers point frequency
+    queries with a one-sided guarantee (never under, over by ≤ ε·N with
+    probability 1−δ).
+
+    Same tolerance-contract oracle pattern as the HLL query: sketch
+    estimates are not engine-portable, so Spark emits the exact top-5
+    terms (deterministic order: count desc, term) plus
+    ``within_contract`` — estimate ∈ [exact, exact + 5ε·N], a ~5-sigma
+    band so data-dependent sketch error at an unseen scale factor
+    cannot flip the driver's hash — and the oracle emits the exact rows
+    with literal TRUE. The sketch is built DISTRIBUTED by the JVM
+    ``count_min_sketch`` aggregate (one binary blob to the driver, the
+    same bytes a serving layer would ship); only the 5 point queries run
+    driver-side through the sketch API."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    eps, seed = 0.001, 42
+    agg = toks.agg(
+        F.expr(f"count_min_sketch(term, {eps}d, 0.99d, {seed})").alias("sk"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(agg["sk"]))
+    )
+    budget = 5 * eps * int(agg["n_tokens"])
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.col("term"))
+        .limit(5)
+        .collect()
+    )
+    rows = [
+        (
+            r["term"],
+            r["exact_count"],
+            r["exact_count"]
+            <= cms.estimateCount(r["term"])
+            <= r["exact_count"] + budget,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "term string, exact_count bigint, within_contract boolean"
+    )
