@@ -1100,3 +1100,95 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard_milli") >= 500)
         .select("new_id", "dup_of", "jaccard_milli")
     )
+
+
+_SURVIVOR_ORACLE = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(shingles,
+                    s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                for h in range(0, 8)] AS mh
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+        FROM sig, range(0, 4) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+                      AND a.doc_id < b2.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    lab AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, strlen(d.text) AS len,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY strlen(d.text) DESC, l.doc_id
+               ) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+                   AS n_members
+        FROM lab l JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS survivor_doc_id,
+           CAST(len AS BIGINT) AS survivor_len, n_members
+    FROM ranked WHERE rk = 1
+"""
+
+
+@query("dedup_resolve_survivors", survey="P4,J1,W3", oracle=_SURVIVOR_ORACLE)
+def dedup_resolve_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder's LAST rung, oracle-verified end-to-end: LSH
+    candidate pairs → connected components → one surviving
+    representative per near-dup cluster under the keep-the-LONGEST
+    policy (tie → min doc_id). Runs through the production
+    :func:`resolve_near_duplicates` itself (previously pinned only by
+    the local union-find property test — this gives the survivor
+    operator an external driver row), restricted to clustered docs so
+    the oracle pins exactly the rows the policy decided."""
+    pairs = dedup_minhash_bands(spark, sf_dir)
+    clusters = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    surv = resolve_near_duplicates(
+        docs, clusters, "doc_id", prefer=[F.length("text").desc()]
+    )
+    lab = clusters.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        surv.join(lab, "doc_id")
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.length("text").cast("bigint").alias("survivor_len"),
+            "n_members",
+        )
+    )

@@ -103,19 +103,19 @@ def query(
 # #1, which also demanded the cadence be CODIFIED — see the
 # max-staleness invariant in tests/test_registry_meta.py, now derived
 # from the CORRECTNESS_r*.json files themselves):
-# - the 8 round-5 additions (stream-stream interval join, real-codec
+# - the 9 round-5 additions (stream-stream interval join, real-codec
 #   image decode, BM25 retrieval, centroid-outlier QC, incremental
 #   index dedup, column profiling, last-touch attribution, CMS heavy
-#   hitters) — new queries are window-mandatory;
+#   hitters, oracle-verified survivor resolution) — window-mandatory;
 # - the 24 queries whose newest external row is round 2 (two rounds old:
 #   the full text_* family, approx aggregates, retention/histogram,
 #   the r2 scalar-function rows, x1/x6, mm_decode_features,
 #   st_sliding_window, w1, plus rows-only dedup_minhash_fast) — the
 #   staleness ceiling makes these non-negotiable this round;
-# - 18 round-3-green queries, preferring files that churned since their
-#   row (dedup.py, bench-headline aggregates) and module spread; the 29
+# - 17 round-3-green queries, preferring files that churned since their
+#   row (dedup.py, bench-headline aggregates) and module spread; the 30
 #   r3-greens left over hit the staleness ceiling NEXT round and are
-#   r6's mandatory block (29 < 50: the schedule stays feasible).
+#   r6's mandatory block (30 < 50: the schedule stays feasible).
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
@@ -130,6 +130,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "a_profile_documents",
     "events_attribution",
     "a_heavy_hitters_cms",
+    "dedup_resolve_survivors",
     # -- newest row is r2: staleness ceiling forces these 24 ----------------
     "a_approx_distinct",
     "a_approx_percentile",
@@ -168,7 +169,6 @@ _FRONT_ORDER: tuple[str, ...] = (
     "a6_error_rollup",
     "a_rollup_revenue",
     "a_pivot_type_by_dow",
-    "a_percentiles",
     "j1_semi_join_customers_with_orders",
     "j5_broadcast_dim_join",
     "w3_pergroup_topn",
