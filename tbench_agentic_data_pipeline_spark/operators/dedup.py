@@ -951,6 +951,7 @@ def resolve_near_duplicates(
     clusters: DataFrame,
     key_col: str = "doc_id",
     prefer: list | None = None,
+    keep_cluster_col: str | None = None,
 ) -> DataFrame:
     """The dedup ladder's final act: given near-dup cluster assignments
     (``connected_components`` output: (node, label)), return the corpus
@@ -976,11 +977,17 @@ def resolve_near_duplicates(
     order = list(prefer) if prefer else []
     order.append(F.col(key_col).asc())
     w = Window.partitionBy(eff_cluster).orderBy(*order)
-    return (
+    out = (
         joined.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
-        .drop("__k", "__cluster", "__rk")
     )
+    if keep_cluster_col:
+        # expose the raw cluster id (NULL for singleton pass-throughs)
+        # so callers reporting per-cluster facts don't need a second
+        # labels join — the survivors query measured one full exchange
+        # saved by this
+        out = out.withColumn(keep_cluster_col, F.col("__cluster"))
+    return out.drop("__k", "__cluster", "__rk")
 
 
 def minhash_index(
@@ -1174,17 +1181,17 @@ def dedup_resolve_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     surv = resolve_near_duplicates(
-        docs, clusters, "doc_id", prefer=[F.length("text").desc()]
-    )
-    lab = clusters.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
-    sizes = lab.groupBy("cluster_id").agg(
+        docs, clusters, "doc_id",
+        prefer=[F.length("text").desc()],
+        keep_cluster_col="cluster_id",
+    ).where(F.col("cluster_id").isNotNull())
+    # cluster-size table: component-count rows — broadcast-sized by the
+    # same argument as the label table inside connected_components
+    sizes = clusters.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
     return (
-        surv.join(lab, "doc_id")
-        .join(sizes, "cluster_id")
+        surv.join(F.broadcast(sizes), "cluster_id")
         .select(
             "cluster_id",
             F.col("doc_id").alias("survivor_doc_id"),
