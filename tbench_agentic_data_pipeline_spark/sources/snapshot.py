@@ -24,6 +24,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..registry import query
+
 
 @dataclass
 class SnapshotTable:
@@ -270,11 +272,33 @@ class SnapshotTable:
         """S6: append = current ∪ rows committed as a new version (the
         engine keeps append copy-on-write so readers get isolation; at
         scale :meth:`append_delta` is the right sink and this COW form
-        remains for small control tables)."""
-        cur = self._read_manifest()["current"]
-        merged = rows if cur is None else self.read().unionByName(
-            rows, allowMissingColumns=True
-        )
+        remains for small control tables).
+
+        If the current version is a delta chain (or a raw-compacted
+        commit carrying persisted ``__commit_v``), the union keeps that
+        provenance instead of flattening it away through :meth:`read` —
+        otherwise a later :meth:`read_merged` would resolve previously
+        ordered duplicate keys arbitrarily. New rows are tagged with a
+        null ``__commit_v``, which readers coalesce to the append
+        commit's own version (newer than every prior commit, as append
+        semantics require)."""
+        from pyspark.sql import functions as F
+
+        manifest = self._read_manifest()
+        cur = manifest["current"]
+        if cur is None:
+            return self.commit(rows, operation="append")
+        chain = self._chain(manifest, cur)
+        base_cols = self.spark.read.parquet(
+            os.path.join(self.root, f"v={chain[0]}")
+        ).columns
+        if len(chain) > 1 or "__commit_v" in base_cols:
+            merged = self._read_with_provenance(manifest, cur).unionByName(
+                rows.withColumn("__commit_v", F.lit(None).cast("long")),
+                allowMissingColumns=True,
+            )
+        else:
+            merged = self.read().unionByName(rows, allowMissingColumns=True)
         return self.commit(merged, operation="append")
 
     def append_delta(self, rows: DataFrame) -> int:
@@ -321,7 +345,13 @@ class SnapshotTable:
         column is the idiomatic delete here, exactly how the reference's
         store marks cancelled tasks rather than erasing them). Compact
         an upsert table with ``compact(merge_key=...)`` when superseded
-        rows should be physically reclaimed."""
+        rows should be physically reclaimed.
+
+        Duplicate keys WITHIN one commit (a caller committing a frame
+        that itself contains duplicates) have no commit-order to rank by;
+        a stable full-row hash breaks the tie so the winner is
+        deterministic across runs and engines, rather than whichever row
+        ``row_number`` happened to meet first."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -330,12 +360,102 @@ class SnapshotTable:
         if v is None:
             raise FileNotFoundError(f"snapshot table {self.root} has no versions")
         out = self._read_with_provenance(manifest, v)
-        w = Window.partitionBy(key_col).orderBy(F.desc("__commit_v"))
+        data_cols = [c for c in out.columns if c != "__commit_v"]
+        w = Window.partitionBy(key_col).orderBy(
+            F.desc("__commit_v"), F.desc(F.xxhash64(*data_cols))
+        )
         return (
             out.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") == 1)
             .drop("__rk", "__commit_v")
         )
+
+
+@query(
+    "snap_merge_on_read",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price, 1 AS v
+  FROM orders
+), d1 AS (
+  SELECT o_orderkey, 'X' AS status, o_totalprice + 10 AS price, 2 AS v
+  FROM orders WHERE o_orderkey % 10 = 0
+), d2 AS (
+  SELECT o_orderkey, 'Z' AS status, o_totalprice * 2 AS price, 3 AS v
+  FROM orders WHERE o_orderkey % 20 = 0
+), merged AS (
+  SELECT o_orderkey, status, price FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rk
+    FROM (
+      SELECT * FROM base
+      UNION ALL SELECT * FROM d1
+      UNION ALL SELECT * FROM d2
+    )
+  ) WHERE rk = 1
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(price), 2) AS total_price
+FROM merged GROUP BY status ORDER BY status
+""",
+    survey="S6,S7,S8",
+)
+def snap_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read upsert end-to-end through the production snapshot
+    layer (reference durability protocol: ``patch_dp.py:157-172`` atomic
+    replace, ``approve_datapoint.py:56-63`` versioned backups —
+    generalized to O(|batch|) delta appends): commit ``orders`` as the
+    base version, ``append_delta`` two keyed patch batches (only the
+    changed rows are written), raw-``compact`` the chain (provenance must
+    survive flattening), then ``read_merged`` resolves latest-wins per
+    key and aggregates by final status. The oracle replays the same
+    base∪delta ranking in SQL. Scale shape: each delta write is
+    O(|batch|), the merge is one window over the chain union — never a
+    whole-table rewrite per batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    d1 = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") + 10).alias("price"),
+    )
+    d2 = orders.where(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.lit("Z").alias("status"),
+        (F.col("o_totalprice") * 2).alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_snapshots",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+        "merge_on_read",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    t = SnapshotTable(spark, root)
+    t.commit(base.coalesce(4), operation="overwrite")
+    t.append_delta(d1.coalesce(1))
+    t.append_delta(d2.coalesce(1))
+    t.compact()  # raw compact: chain → one commit, provenance persisted
+    return (
+        t.read_merged("o_orderkey")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .orderBy("status")
+    )
 
 
 def audit_append(

@@ -87,7 +87,7 @@ def _external_green_rounds() -> dict[str, int]:
                 row.get("err") is None
                 and row.get("rows_match")
                 and row.get("schema_match")
-                and row.get("hash_match") is not False
+                and row.get("hash_match") is True
             )
             ok_rows_only = (
                 row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0

@@ -456,6 +456,64 @@ def test_merge_on_read_upserts_over_delta_chain(spark, tmp_path):
     } == {"t1": "completed", "t2": "pending", "t3": "pending", "t4": "pending"}
 
 
+def test_read_merged_ties_within_one_commit_are_deterministic(spark, tmp_path):
+    """r5 advisor: duplicate keys landing in the SAME commit have no
+    commit-order to rank by; read_merged must still pick the same winner
+    every time (stable full-row-hash tiebreak), not whichever row
+    row_number met first."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "ties"))
+    dup = spark.createDataFrame(
+        [("k1", "a"), ("k1", "b"), ("k1", "c"), ("k2", "x"), ("k2", "y")],
+        "k string, v string",
+    )
+    t.commit(dup.repartition(4))
+    first = {r["k"]: r["v"] for r in t.read_merged("k").collect()}
+    for _ in range(3):
+        again = {r["k"]: r["v"] for r in t.read_merged("k").collect()}
+        assert again == first
+    # the same duplicates arriving via append_delta resolve identically
+    t2 = SnapshotTable(spark, str(tmp_path / "ties2"))
+    t2.commit(spark.createDataFrame([("k0", "z")], "k string, v string"))
+    t2.append_delta(dup.repartition(4))
+    merged = {r["k"]: r["v"] for r in t2.read_merged("k").collect()}
+    assert merged["k1"] == first["k1"] and merged["k2"] == first["k2"]
+
+
+def test_cow_append_preserves_delta_chain_provenance(spark, tmp_path):
+    """r5 advisor: COW append() on a table with a delta chain used to
+    flatten the chain through read(), dropping __commit_v — after which
+    read_merged resolved previously-ordered duplicates arbitrarily. The
+    append must keep provenance: earlier upserts stay ordered, and the
+    appended rows rank newest."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "cowprov"))
+    t.commit(
+        spark.createDataFrame(
+            [("t1", "pending"), ("t2", "pending")], "task_id string, status string"
+        )
+    )
+    t.append_delta(
+        spark.createDataFrame([("t1", "claimed")], "task_id string, status string")
+    )
+    # COW append of a fresh row on top of the chain
+    t.append(
+        spark.createDataFrame([("t3", "pending")], "task_id string, status string")
+    )
+    got = {r["task_id"]: r["status"] for r in t.read_merged("task_id").collect()}
+    assert got == {"t1": "claimed", "t2": "pending", "t3": "pending"}
+    # appended rows are the NEWEST commit: re-upserting t1 via append wins
+    t.append(
+        spark.createDataFrame([("t1", "completed")], "task_id string, status string")
+    )
+    got = {r["task_id"]: r["status"] for r in t.read_merged("task_id").collect()}
+    assert got["t1"] == "completed"
+    # public read() still never exposes the internal column
+    assert "__commit_v" not in t.read().columns
+
+
 def test_snapshot_delta_model_based_random_ops(spark, tmp_path):
     """Model-based check of the versioned-table state machine: replay 12
     seeded-random operation sequences (full commit / delta append /
