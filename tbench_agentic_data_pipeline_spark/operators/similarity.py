@@ -212,7 +212,7 @@ def brute_force_topk_arrow(
     # LIMIT probe instead of count(): one extra row decides, the full
     # query-side cardinality is never materialized just to fail.
     probe = queries.select(query_key).limit(max_queries + 1)
-    if len(probe.collect()) > max_queries:
+    if probe.count() > max_queries:
         raise ValueError(
             f"brute_force_topk_arrow collects the query side to the driver "
             f"and ships it inside the mapInPandas closure; more than "
@@ -613,6 +613,7 @@ def ivf_search_topk(
     corpus_vec: str = "emb",
     query_key: str = "q_id",
     query_vec: str = "q_emb",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF search with a learned quantizer and multi-cell probing.
 
@@ -630,9 +631,26 @@ def ivf_search_topk(
     candidate rows. ``nprobe`` is the recall/latency dial — measured
     recall@k vs nprobe on the ~sf1 fixture is recorded in SCALING.md,
     and recall is monotone in ``nprobe`` by construction (cells are
-    probed in increasing centroid distance; pinned in tests)."""
+    probed in increasing centroid distance; pinned in tests).
+
+    The queries×nprobe probe table is BROADCAST (so the corpus side
+    never shuffles) — which makes the query side driver-bound, the same
+    contract :func:`brute_force_topk_arrow` enforces. ``max_queries``
+    enforces it here too: past the threshold the call raises instead of
+    silently collecting an unbounded query set for broadcast; route
+    large query sets to :func:`knn_join`, which never collects either
+    side."""
     from tbench_agentic_data_pipeline_spark.operators.clustering import _l2_sq
 
+    qprobe = queries.select(query_key).limit(max_queries + 1)
+    if qprobe.count() > max_queries:
+        raise ValueError(
+            f"ivf_search_topk broadcasts the queries × nprobe probe table; "
+            f"more than {max_queries} query vectors risks driver/executor "
+            f"OOM on the broadcast build. Use knn_join (bucketed, fully "
+            f"distributed) for large query sets, or raise max_queries "
+            f"explicitly if the vectors are small."
+        )
     probes = (
         queries.crossJoin(
             F.broadcast(
@@ -1154,7 +1172,11 @@ def knn_join(
     accounting itself:
 
     1. one per-bucket count aggregate (bucket-cardinality-sized — the
-       same row-count reduction every ``lsh_bucket_stats`` call does);
+       same row-count reduction every ``lsh_bucket_stats`` call does),
+       collected once: the counts feed both the routing decision and the
+       broadcast tag join, and the driver-side copy is exactly the rows
+       the broadcast ships anyway (the design already requires the
+       bucket-count table to be broadcast-small);
     2. rows in buckets ≤ ``max_bucket_rows`` take the one-task GEMM,
        rows in dense buckets take the blocked path, results unioned —
        buckets are independent, so the split changes nothing semantically
@@ -1168,16 +1190,19 @@ def knn_join(
     The count-join is null-safe on the bucket key, matching both
     underlying paths' keep-NULL-bucket semantics.
     """
-    # The count table is bucket-cardinality-sized — persist it so the
-    # routing decision (one driver probe over COUNTS, not over the
-    # joined corpus) and the broadcast build share one aggregation pass
-    # instead of each re-scanning the corpus.
-    counts = emb.groupBy(F.col(bucket_col).alias("__cb_key")).agg(
+    # The count table is bucket-cardinality-sized and is about to be
+    # BROADCAST anyway — so collect it once and rebuild it driver-side:
+    # the routing decision and the broadcast build share one aggregation
+    # pass, the driver holds exactly the rows the broadcast would ship,
+    # and nothing is left persisted behind (the r5 advisor's leak: a
+    # .persist() here survived every dispatcher call until the JVM
+    # ContextCleaner got around to it).
+    counts_plan = emb.groupBy(F.col(bucket_col).alias("__cb_key")).agg(
         F.count(F.lit(1)).alias("__bucket_n")
-    ).persist()
-    has_dense = bool(
-        counts.where(F.col("__bucket_n") > max_bucket_rows).limit(1).collect()
     )
+    count_rows = counts_plan.collect()
+    has_dense = any(r["__bucket_n"] > max_bucket_rows for r in count_rows)
+    counts = emb.sparkSession.createDataFrame(count_rows, counts_plan.schema)
     tagged = emb.join(
         F.broadcast(counts),
         F.col(bucket_col).eqNullSafe(F.col("__cb_key")),

@@ -481,6 +481,50 @@ def test_knn_join_dispatcher_routes_dense_buckets(spark):
     assert len(counts) == 120 and all(r["count"] == 2 for r in counts)
 
 
+def test_knn_join_dispatcher_leaves_no_persisted_tables(spark):
+    """r5 advisor: the dispatcher used to .persist() the per-bucket count
+    table and never unpersist it — each call leaked a cached table until
+    the JVM ContextCleaner collected it. The counts are now collected
+    once (they are broadcast-small by design) so no cache entry should
+    survive the call."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import knn_join
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    emb = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).alias("label"),
+        F.array(
+            F.cos(F.col("id").cast("double")),
+            F.sin(F.col("id").cast("double")),
+        ).alias("emb"),
+    )
+    assert knn_join(emb, 2, max_bucket_rows=10).count() > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, f"knn_join leaked {after - before} persisted RDD(s)"
+
+
+def test_ivf_search_refuses_oversized_query_side(spark):
+    """r5 advisor: ivf_search_topk broadcasts the queries × nprobe probe
+    table; the same LIMIT-probe guard brute_force_topk_arrow grew must
+    refuse an oversized query set instead of silently collecting it."""
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        ivf_search_topk,
+    )
+
+    emb = _corpus(spark)
+    cents = kmeans_fit(emb, "vec_id", "emb", k=4, dim=DIM, iters=1)
+    assigned = assign_clusters(emb, "vec_id", "emb", cents)
+    queries = emb.limit(30).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    with pytest.raises(ValueError, match="knn_join"):
+        ivf_search_topk(assigned, queries, cents, K, max_queries=29)
+    # at/below the ceiling the same frame executes
+    assert ivf_search_topk(assigned, queries, cents, K, max_queries=30).count() > 0
+
+
 def test_ivf_search_recall_monotone_in_nprobe(spark):
     """The search half of IVF (learned quantizer + nprobe cell probing):
     recall@k must be monotone in nprobe, exact when every cell is probed,

@@ -67,7 +67,10 @@ _PINS = {
     # from ~0.6 s to ~0.3 s at sf0.1; the formatted plan now REPEATS the
     # cached aggregate's exchange inside each InMemoryRelation subtree
     # (textual count 6, executed once) — the pin tracks the text.
-    "sim_knn_join_auto": 6,
+    # r6: counts collected once (broadcast-small by design) instead of
+    # persisted — the duplicated count-aggregate subplans left the final
+    # plan entirely, 6 → 2
+    "sim_knn_join_auto": 2,
 }
 
 
