@@ -425,3 +425,61 @@ def test_minhash_index_snapshot_lifecycle(spark, tmp_path):
     v2 = table.commit(minhash_index(docs), operation="minhash_index")
     assert v2 == 2
     assert table.read(version=1).count() < table.read().count()
+
+
+def test_cms_in_plan_estimate_never_undercounts(spark, tmp_path):
+    """The in-plan CMS (r6 rewrite of a_heavy_hitters_cms — no
+    sparkContext._jvm): counters are bucket sums of exact term counts,
+    so every point estimate must be ≥ the exact count (the one-sided
+    CMS guarantee) and the query's contract band must hold on a corpus
+    with forced collisions."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tbench_agentic_data_pipeline_spark.operators.aggregates import (
+        a_heavy_hitters_cms,
+    )
+
+    # skewed synthetic corpus written as a documents.parquet fixture
+    rows = [("d%d" % i, " ".join(["hot"] * 50 + ["t%d" % (i % 97), "cold%d" % i]))
+            for i in range(200)]
+    (
+        spark.createDataFrame(rows, "doc_id string, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    out = a_heavy_hitters_cms(spark, str(tmp_path)).collect()
+    assert [r["term"] for r in out][0] == "hot"
+    assert all(r["within_contract"] for r in out)
+    # exact counts agree with a direct groupBy
+    assert out[0]["exact_count"] == 200 * 50
+
+    # one-sided guarantee, checked for EVERY term via the same counter
+    # construction the query uses
+    eps, delta = 0.001, 0.01
+    w, d = math.ceil(math.e / eps), math.ceil(math.log(1 / delta))
+    toks = (
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    depths = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i")
+    bucket = F.pmod(F.xxhash64(F.col("term"), F.col("i")), F.lit(w)).alias("bucket")
+    counters = (
+        tc.select("exact_count", "term", depths).select("i", bucket, "exact_count")
+        .groupBy("i", "bucket").agg(F.sum("exact_count").alias("counter"))
+    )
+    probes = tc.select("term", "exact_count", depths).select(
+        "term", "exact_count", "i", bucket
+    )
+    under = (
+        probes.join(counters, ["i", "bucket"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("counter").alias("est"))
+        .where(F.col("est") < F.col("exact_count"))
+        .count()
+    )
+    assert under == 0
