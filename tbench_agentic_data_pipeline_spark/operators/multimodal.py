@@ -7,17 +7,20 @@ frame-sampling run as Arrow-batched ``mapInPandas`` stages. Two decode
 backends exist:
 
 - :func:`decode_image_features` — REAL pure-Python codecs: binary PPM
-  and uncompressed 24-bit BMP (header + pixel parsing), and GIF87a/89a
+  and uncompressed 24-bit BMP (header + pixel parsing), GIF87a/89a
   including full LZW decompression (:func:`_lzw_decode` — variable-width
   codes, clear/EOI, the KwKwK case; round-trip-pinned against an
-  independent encoder). Malformed payloads quarantine via a status
-  column.
+  independent encoder), and baseline JPEG (:func:`_decode_jpeg` —
+  marker/DQT/DHT parsing, canonical Huffman entropy decoding with byte
+  unstuffing and restart intervals, dequantize + IDCT, chroma
+  upsampling; round-trip-pinned against :func:`_encode_jpeg_baseline`).
+  Malformed payloads quarantine via a status column.
 - :func:`decode_features` — a clearly-marked deterministic fake standing
   in for the formats that genuinely need libraries this container lacks
-  (JPEG/PNG entropy coding, audio/video). Every Spark-side piece around
-  it is real and tested: the schema contract, the batch iterator shape,
-  partition sizing, and the pandas-UDF signature; swapping
-  ``_fake_decode`` for PIL/ffmpeg is a one-function change.
+  (PNG's DEFLATE, video). Every Spark-side piece around it is real and
+  tested: the schema contract, the batch iterator shape, partition
+  sizing, and the pandas-UDF signature; swapping ``_fake_decode`` for
+  PIL/ffmpeg is a one-function change.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` moderate and repartition before the
@@ -110,8 +113,9 @@ def decode_features(media: DataFrame, partitions: int | None = None) -> DataFram
 # both are header + raw pixel bytes. This backend parses ACTUAL image
 # bytes — width/height from the header, per-channel means from the pixel
 # array — so the decode stage validates real byte layouts, not arithmetic
-# stand-ins. Compressed formats (JPEG/PNG) remain the declared stub
-# territory; a real deployment swaps _decode_image's dispatch for PIL.
+# stand-ins. GIF (LZW) and baseline JPEG (Huffman + IDCT) are decoded by
+# pure-Python/numpy codecs below; PNG (DEFLATE) remains the declared stub
+# territory — a real deployment swaps _decode_image's dispatch for PIL.
 
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
@@ -356,6 +360,505 @@ def _parse_gif(buf: bytes) -> tuple[str, int, int, float, float, float]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real baseline-JPEG codec (pure Python + numpy — no imaging libraries)
+# ---------------------------------------------------------------------------
+# ITU T.81 baseline sequential DCT, both directions: the encoder is the
+# fixture generator (and the proof the decoder reads real entropy-coded
+# bytes, not our own intermediate arrays); the decoder handles grayscale
+# and 3-component YCbCr, arbitrary 1-2x sampling factors (4:4:4 / 4:2:2 /
+# 4:2:0), multiple DQT/DHT segments, 16-bit quant tables, byte stuffing,
+# and DRI/RSTn restart intervals. Progressive (SOF2) and arithmetic
+# coding are out of scope and raise cleanly into the status column.
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K example quantization tables (natural row-major order).
+_JPEG_STD_LUMA_Q = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_STD_CHROMA_Q = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# Annex K luminance Huffman tables. The encoder uses them for every
+# component (legal — components may share table ids), halving the
+# transcription surface; the decoder builds whatever DHT declares.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_huffman_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 Annex C): symbol → (length,
+    code). Raises if the counts don't cover the value list — a malformed
+    table must fail loudly, not mis-decode."""
+    if sum(bits) != len(vals):
+        raise ValueError("DHT counts do not match value list")
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix D: F = D·f·Dᵀ is exactly the
+    T.81 FDCT (and Dᵀ·F·D the IDCT, since D is orthogonal)."""
+    import math
+
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    d = np.cos((2 * x + 1) * u * math.pi / 16) / 2.0
+    d[0, :] /= math.sqrt(2)
+    return d
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)  # pad with 1-bits to the byte boundary
+
+
+def _jpeg_category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _encode_jpeg_baseline(
+    w: int,
+    h: int,
+    px: bytes,
+    *,
+    grayscale: bool = False,
+    sampling: tuple[tuple[int, int], ...] | None = None,
+    qluma=None,
+    qchroma=None,
+) -> bytes:
+    """Baseline sequential JPEG encoder: level shift → (optional chroma
+    box-downsample per ``sampling``) → 8×8 FDCT → quantize → zigzag →
+    DC-differential + AC run-length Huffman coding, interleaved MCUs.
+    ``px`` is raw RGB (or luma when ``grayscale``), row-major. Default
+    sampling is 4:4:4; pass ``((2, 2), (1, 1), (1, 1))`` for 4:2:0."""
+    import numpy as np
+
+    qluma = np.array(qluma if qluma is not None else _JPEG_STD_LUMA_Q,
+                     dtype=np.float64).reshape(8, 8)
+    qchroma = np.array(qchroma if qchroma is not None else _JPEG_STD_CHROMA_Q,
+                       dtype=np.float64).reshape(8, 8)
+    if grayscale:
+        planes = [
+            np.frombuffer(bytes(px), dtype=np.uint8)
+            .reshape(h, w).astype(np.float64)
+        ]
+        quants, qids, samp = [qluma], [0], [(1, 1)]
+    else:
+        rgb = (
+            np.frombuffer(bytes(px), dtype=np.uint8)
+            .reshape(h, w, 3).astype(np.float64)
+        )
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        quants, qids = [qluma, qchroma, qchroma], [0, 1, 1]
+        samp = list(sampling or ((1, 1), (1, 1), (1, 1)))
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def pad_to(a, rows, cols):
+        return np.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])),
+                      mode="edge") if a.shape != (rows, cols) else a
+
+    comp_planes = []
+    for (hi, vi), plane in zip(samp, planes):
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # box-filter downsample
+            p = pad_to(plane, -(-h // fy) * fy, -(-w // fx) * fx)
+            plane = p.reshape(p.shape[0] // fy, fy,
+                              p.shape[1] // fx, fx).mean(axis=(1, 3))
+        comp_planes.append(pad_to(plane, mcuy * vi * 8, mcux * hi * 8))
+
+    d = _jpeg_dct_matrix()
+    dc_codes = _jpeg_huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = [0] * len(planes)
+    zz = list(_JPEG_ZIGZAG)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        block = comp_planes[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = d @ block @ d.T
+                        q = np.rint(coef / quants[ci]).astype(np.int64)
+                        flat = q.reshape(64)[zz]
+                        diff = int(flat[0]) - prev_dc[ci]
+                        prev_dc[ci] = int(flat[0])
+                        s = _jpeg_category(diff)
+                        ln, code = dc_codes[s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(flat[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_codes[0xF0]  # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            s = _jpeg_category(v)
+                            ln, code = ac_codes[(run << 4) | s]
+                            bw.write(code, ln)
+                            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            ln, code = ac_codes[0x00]  # EOB
+                            bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qz = np.array(quants[0]).reshape(64)[zz].astype(np.uint8)
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qz))
+    if not grayscale:
+        cz = np.array(qchroma).reshape(64)[zz].astype(np.uint8)
+        out += seg(0xDB, bytes([0x01]) + bytes(int(v) for v in cz))
+    ncomp = len(planes)
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+               + bytes(_JPEG_AC_VALS))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first reader over the entropy segment: unstuffs 0xFF00, stops
+    (raises) at any real marker so a truncated stream can't loop."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream truncated")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) \
+                    else None
+                if nxt != 0x00:
+                    raise ValueError("marker inside entropy-coded segment")
+                self.pos += 2
+            else:
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> int:
+        """Byte-align and consume an RSTn marker; returns n (0-7)."""
+        self._n = 0
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        n = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
+
+
+def _jpeg_decode_symbol(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
+    """Baseline JPEG → (width, height, raw RGB raster). Grayscale output
+    is replicated across channels."""
+    import numpy as np
+
+    data = bytes(buf)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        ln = int.from_bytes(data[pos:pos + 2], "big")
+        seg = data[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    vals = [int.from_bytes(seg[i + 2 * k:i + 2 * k + 2], "big")
+                            for k in range(64)]
+                    i += 128
+                else:
+                    vals = list(seg[i:i + 64])
+                    i += 64
+                if len(vals) != 64:
+                    raise ValueError("truncated DQT segment")
+                nat = np.zeros(64, dtype=np.float64)
+                nat[list(_JPEG_ZIGZAG)] = vals
+                qt[tq] = nat.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (extended seq ok)
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": int.from_bytes(seg[1:3], "big"),
+                     "w": int.from_bytes(seg[3:5], "big"), "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode (progressive/arithmetic)")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = tuple(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = tuple(seg[i + 17:i + 17 + nv])
+                fwd = _jpeg_huffman_codes(bits, vals)
+                huff[(tc, th)] = {lc: sym for sym, lc in fwd.items()}
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS: selectors then entropy data
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cid] = (tabs >> 4, tabs & 15)
+            scan = (sel, pos + ln)
+            break
+        pos += ln
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    sel, entropy_pos = scan
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("empty frame")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    d = _jpeg_dct_matrix()
+    br = _JpegBitReader(data, entropy_pos)
+    prev_dc = [0] * len(comps)
+    zz = list(_JPEG_ZIGZAG)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            br.restart()
+            prev_dc = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            dc_tab = huff[(0, sel[c["id"]][0])]
+            ac_tab = huff[(1, sel[c["id"]][1])]
+            quant = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    s = _jpeg_decode_symbol(br, dc_tab)
+                    diff = _jpeg_extend(br.read_bits(s), s) if s else 0
+                    prev_dc[ci] += diff
+                    flat = np.zeros(64, dtype=np.float64)
+                    flat[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_symbol(br, ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        flat[k] = _jpeg_extend(br.read_bits(s), s)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[zz] = flat
+                    block = d.T @ (coef.reshape(8, 8) * quant) @ d + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+    full = []
+    for ci, c in enumerate(comps):
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        p = planes[ci]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        rgb = np.repeat(
+            np.clip(np.rint(full[0]), 0, 255)[..., None], 3, axis=2
+        )
+    elif len(full) == 3:
+        y, cb, cr = full
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+        rgb = np.clip(np.rint(rgb), 0, 255)
+    else:
+        raise ValueError(f"unsupported component count {len(full)}")
+    return w, h, rgb.astype(np.uint8).tobytes()
+
+
+def _parse_jpeg(buf: bytes) -> tuple[str, int, int, float, float, float]:
+    """JPEG feature extraction: dims + per-channel means of the decoded
+    raster."""
+    import numpy as np
+
+    w, h, px = _decode_jpeg(buf)
+    if w * h == 0:
+        return "jpeg", w, h, 0.0, 0.0, 0.0
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h * w, 3)
+    sums = a.astype(np.float64).sum(axis=0)
+    return ("jpeg", w, h, sums[0] / (w * h), sums[1] / (w * h),
+            sums[2] / (w * h))
+
+
 def _decode_image(payload: bytes) -> dict:
     """Dispatch on magic bytes; failures become a status value, never an
     exception — a 100 TB scan must quarantine bad payloads, not die on
@@ -368,6 +871,8 @@ def _decode_image(payload: bytes) -> dict:
             fmt, w, h, r, g, b = _parse_bmp(p)
         elif p[:4] == b"GIF8":
             fmt, w, h, r, g, b = _parse_gif(p)
+        elif p[:2] == b"\xff\xd8":
+            fmt, w, h, r, g, b = _parse_jpeg(p)
         else:
             return {
                 "format": "unknown", "width": 0, "height": 0,
@@ -406,6 +911,43 @@ def decode_image_features(media: DataFrame, partitions: int | None = None) -> Da
     return media.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
+def _encode_fixture_payloads(
+    it: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Fixture-encode stage for :func:`mm_image_codec`: odd doc_ids get
+    a binary PPM of the 48 raw bytes; even doc_ids get a REAL baseline
+    JPEG — 16×16 grayscale, four constant 8×8 blocks whose values are
+    the first four bytes, quantized with DC step 8 so the DCT round
+    trip is bit-exact (DC of a constant block is 8·(v−128); step 8
+    divides it, every AC is zero) and the oracle can state the decoded
+    means in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    q = list(_JPEG_STD_LUMA_Q)
+    q[0] = 8
+    for pdf in it:
+        payloads = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
+            b = bytes(raw)
+            if int(doc_id) % 2 == 0:
+                px = np.zeros((16, 16), dtype=np.uint8)
+                px[:8, :8] = b[0]
+                px[:8, 8:] = b[1]
+                px[8:, :8] = b[2]
+                px[8:, 8:] = b[3]
+                payloads.append(
+                    _encode_jpeg_baseline(
+                        16, 16, px.tobytes(), grayscale=True, qluma=q
+                    )
+                )
+            else:
+                payloads.append(_encode_ppm(4, 4, b))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
 @query(
     "mm_image_codec",
     survey="X4,X5,S4",
@@ -423,37 +965,66 @@ def decode_image_features(media: DataFrame, partitions: int | None = None) -> Da
                    ord(substr(d.bytes, CAST(3 + 3 * t.i AS INT), 1)) AS b
             FROM raster d
             CROSS JOIN range(16) AS t(i)
+            WHERE d.doc_id % 2 <> 0
+        ),
+        ppm AS (
+            SELECT doc_id,
+                   'ppm'                 AS format,
+                   CAST(4 AS BIGINT)     AS width,
+                   CAST(4 AS BIGINT)     AS height,
+                   ROUND(AVG(r) * (1 + 5e-13), 4) AS mean_r,
+                   ROUND(AVG(g) * (1 + 5e-13), 4) AS mean_g,
+                   ROUND(AVG(b) * (1 + 5e-13), 4) AS mean_b,
+                   'ok'                  AS status
+            FROM px
+            GROUP BY doc_id
+        ),
+        jpg AS (
+            -- even doc_ids: 16x16 grayscale JPEG of four constant 8x8
+            -- blocks (bytes 1-4); constant-block DCT with DC step 8 is
+            -- lossless, so decoded mean == arithmetic mean of the bytes
+            SELECT doc_id,
+                   'jpeg'                AS format,
+                   CAST(16 AS BIGINT)    AS width,
+                   CAST(16 AS BIGINT)    AS height,
+                   ROUND(((ord(substr(bytes, 1, 1)) + ord(substr(bytes, 2, 1))
+                         + ord(substr(bytes, 3, 1)) + ord(substr(bytes, 4, 1)))
+                         / 4.0) * (1 + 5e-13), 4) AS mean_r,
+                   ROUND(((ord(substr(bytes, 1, 1)) + ord(substr(bytes, 2, 1))
+                         + ord(substr(bytes, 3, 1)) + ord(substr(bytes, 4, 1)))
+                         / 4.0) * (1 + 5e-13), 4) AS mean_g,
+                   ROUND(((ord(substr(bytes, 1, 1)) + ord(substr(bytes, 2, 1))
+                         + ord(substr(bytes, 3, 1)) + ord(substr(bytes, 4, 1)))
+                         / 4.0) * (1 + 5e-13), 4) AS mean_b,
+                   'ok'                  AS status
+            FROM raster
+            WHERE doc_id % 2 = 0
         )
-        SELECT doc_id,
-               'ppm'                 AS format,
-               CAST(4 AS BIGINT)     AS width,
-               CAST(4 AS BIGINT)     AS height,
-               ROUND(AVG(r) * (1 + 5e-13), 4) AS mean_r,
-               ROUND(AVG(g) * (1 + 5e-13), 4) AS mean_g,
-               ROUND(AVG(b) * (1 + 5e-13), 4) AS mean_b,
-               'ok'                  AS status
-        FROM px
-        GROUP BY doc_id
+        SELECT * FROM ppm
+        UNION ALL
+        SELECT * FROM jpg
     """,
 )
 def mm_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-codec decode end-to-end: encode each document's first 48
-    bytes (space-padded — sub-48-char docs exist at sf0.1) as a genuine
-    binary-PPM payload (header + raw RGB raster,
-    4×4) JVM-side, then run the actual PPM parser through the Arrow
-    ``mapInPandas`` decode stage. The oracle recomputes width/height and
-    per-channel byte means from the SAME text bytes with SQL string ops
-    (ASCII corpus: chars == bytes), so a green row proves the Python
-    stage parsed real encoded bytes — header offsets, channel
-    interleave, raster length — not stand-in arithmetic. Reference
-    parity: SURVEY §2.9 X4/X5 external-action shape with the side-effect
-    replaced by a pure codec."""
+    """Real-codec decode end-to-end, two formats per corpus: odd doc_ids
+    carry a genuine binary-PPM payload (header + raw 4×4 RGB raster)
+    of the document's first 48 bytes (space-padded — sub-48-char docs
+    exist at sf0.1); even doc_ids carry a REAL baseline JPEG (r6:
+    SOI/DQT/SOF0/DHT/SOS, Huffman-coded DC/AC, byte stuffing) encoding
+    four constant 8×8 blocks of bytes 1-4, DC-quantizer step 8 so the
+    round trip is bit-exact. Both run through the actual codec dispatch
+    in the Arrow ``mapInPandas`` decode stage. The oracle recomputes
+    width/height and channel means from the SAME text bytes with SQL
+    string ops (ASCII corpus: chars == bytes), so a green row proves
+    the Python stage parsed real encoded bytes — marker structure,
+    Huffman stream, quantization, IDCT — not stand-in arithmetic.
+    Reference parity: SURVEY §2.9 X4/X5 external-action shape with the
+    side-effect replaced by a pure codec."""
     docs = load_table(spark, sf_dir, "documents")
-    payload = F.concat(
-        F.lit(b"P6\n4 4\n255\n"),
-        F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "UTF-8"),
+    raw = F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "UTF-8")
+    media = docs.select("doc_id", raw.alias("raw")).mapInPandas(
+        _encode_fixture_payloads, "doc_id long, payload binary"
     )
-    media = docs.select("doc_id", payload.alias("payload"))
     feats = decode_image_features(media)
     return feats.select(
         "doc_id",
