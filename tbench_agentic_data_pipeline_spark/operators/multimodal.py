@@ -13,14 +13,17 @@ backends exist:
   independent encoder), and baseline JPEG (:func:`_decode_jpeg` —
   marker/DQT/DHT parsing, canonical Huffman entropy decoding with byte
   unstuffing and restart intervals, dequantize + IDCT, chroma
-  upsampling; round-trip-pinned against :func:`_encode_jpeg_baseline`).
+  upsampling; round-trip-pinned against :func:`_encode_jpeg_baseline`),
+  and PNG (:func:`_decode_png` — CRC-verified chunk framing, DEFLATE via
+  the stdlib zlib module, all five scanline filters, gray/RGB/palette/
+  alpha color types; byte-exact round trips against :func:`_encode_png`).
   Malformed payloads quarantine via a status column.
 - :func:`decode_features` — a clearly-marked deterministic fake standing
   in for the formats that genuinely need libraries this container lacks
-  (PNG's DEFLATE, video). Every Spark-side piece around it is real and
-  tested: the schema contract, the batch iterator shape, partition
-  sizing, and the pandas-UDF signature; swapping ``_fake_decode`` for
-  PIL/ffmpeg is a one-function change.
+  (video codecs). Every Spark-side piece around it is real and tested:
+  the schema contract, the batch iterator shape, partition sizing, and
+  the pandas-UDF signature; swapping ``_fake_decode`` for PIL/ffmpeg is
+  a one-function change.
 
 Scale notes: binary payloads make wide rows — keep
 ``spark.sql.files.maxPartitionBytes`` moderate and repartition before the
@@ -113,9 +116,10 @@ def decode_features(media: DataFrame, partitions: int | None = None) -> DataFram
 # both are header + raw pixel bytes. This backend parses ACTUAL image
 # bytes — width/height from the header, per-channel means from the pixel
 # array — so the decode stage validates real byte layouts, not arithmetic
-# stand-ins. GIF (LZW) and baseline JPEG (Huffman + IDCT) are decoded by
-# pure-Python/numpy codecs below; PNG (DEFLATE) remains the declared stub
-# territory — a real deployment swaps _decode_image's dispatch for PIL.
+# stand-ins. GIF (LZW), baseline JPEG (Huffman + IDCT) and PNG (DEFLATE
+# via stdlib zlib) are decoded by pure-Python/numpy codecs below — every
+# image format the engine claims is decoded from real bytes; video stays
+# with the declared-fake backend.
 
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
@@ -859,6 +863,174 @@ def _parse_jpeg(buf: bytes) -> tuple[str, int, int, float, float, float]:
             sums[2] / (w * h))
 
 
+# ---------------------------------------------------------------------------
+# Real PNG codec (pure Python + stdlib zlib — no imaging libraries)
+# ---------------------------------------------------------------------------
+# RFC 2083 / ISO 15948: chunk framing with CRC32 verification, IDAT
+# DEFLATE via the stdlib zlib module, all five scanline filters
+# (None/Sub/Up/Average/Paeth), bit depth 8 in grayscale / RGB / palette /
+# gray+alpha / RGBA. Adam7 interlace and sub-byte depths raise cleanly
+# into the quarantine status column. PNG is lossless, so round trips are
+# byte-exact — which lets mm_image_codec state decoded means in SQL.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _encode_png(w: int, h: int, px: bytes, *, grayscale: bool = False) -> bytes:
+    """Minimal real PNG encoder (fixture generator + round-trip proof):
+    8-bit RGB or grayscale, filter 0 scanlines, one zlib IDAT."""
+    import zlib
+
+    ch = 1 if grayscale else 3
+    color_type = 0 if grayscale else 2
+    raw = bytes(px)
+    if len(raw) != w * h * ch:
+        raise ValueError(f"raster is {len(raw)} bytes, need {w * h * ch}")
+    stride = w * ch
+    scan = b"".join(
+        b"\x00" + raw[y * stride:(y + 1) * stride] for y in range(h)
+    )
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
+    """PNG → (width, height, raw RGB raster). Alpha is dropped (feature
+    extraction reads color channels); palette indices resolve through
+    PLTE; grayscale replicates across channels."""
+    import zlib
+
+    data = bytes(buf)
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        if len(chunk) != ln or pos + 12 + ln > len(data):
+            raise ValueError("truncated chunk")
+        crc = int.from_bytes(data[pos + 8 + ln:pos + 12 + ln], "big")
+        if (zlib.crc32(ctype + chunk) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"CRC mismatch in {ctype.decode('latin1')}")
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if interlace:
+        raise ValueError("unsupported PNG interlacing (Adam7)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if w == 0 or h == 0:
+        raise ValueError("empty PNG frame")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"decompressed scanlines are {len(raw)} bytes, "
+            f"need {h * (stride + 1)}"
+        )
+    bpp = channels  # bytes per pixel at depth 8
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _png_paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    rgb = bytearray(w * h * 3)
+    if color_type == 2:
+        rgb = out[: w * h * 3]
+    elif color_type == 6:  # RGBA → drop alpha
+        for p in range(w * h):
+            rgb[3 * p:3 * p + 3] = out[4 * p:4 * p + 3]
+    elif color_type in (0, 4):  # gray / gray+alpha → replicate
+        step = channels
+        for p in range(w * h):
+            g = out[step * p]
+            rgb[3 * p] = rgb[3 * p + 1] = rgb[3 * p + 2] = g
+    else:  # palette
+        if not plte:
+            raise ValueError("palette image without PLTE")
+        for p in range(w * h):
+            idx = out[p] * 3
+            if idx + 3 > len(plte):
+                raise ValueError("palette index out of range")
+            rgb[3 * p:3 * p + 3] = plte[idx:idx + 3]
+    return w, h, bytes(rgb)
+
+
+def _parse_png(buf: bytes) -> tuple[str, int, int, float, float, float]:
+    """PNG feature extraction: dims + per-channel means of the decoded
+    raster."""
+    w, h, px = _decode_png(buf)
+    n = w * h
+    sums = [0, 0, 0]
+    for c in range(3):
+        sums[c] = sum(px[c::3])
+    return "png", w, h, sums[0] / n, sums[1] / n, sums[2] / n
+
+
 def _decode_image(payload: bytes) -> dict:
     """Dispatch on magic bytes; failures become a status value, never an
     exception — a 100 TB scan must quarantine bad payloads, not die on
@@ -873,6 +1045,8 @@ def _decode_image(payload: bytes) -> dict:
             fmt, w, h, r, g, b = _parse_gif(p)
         elif p[:2] == b"\xff\xd8":
             fmt, w, h, r, g, b = _parse_jpeg(p)
+        elif p[:8] == _PNG_SIG:
+            fmt, w, h, r, g, b = _parse_png(p)
         else:
             return {
                 "format": "unknown", "width": 0, "height": 0,
@@ -914,13 +1088,18 @@ def decode_image_features(media: DataFrame, partitions: int | None = None) -> Da
 def _encode_fixture_payloads(
     it: Iterator["pd.DataFrame"],
 ) -> Iterator["pd.DataFrame"]:
-    """Fixture-encode stage for :func:`mm_image_codec`: odd doc_ids get
-    a binary PPM of the 48 raw bytes; even doc_ids get a REAL baseline
-    JPEG — 16×16 grayscale, four constant 8×8 blocks whose values are
-    the first four bytes, quantized with DC step 8 so the DCT round
-    trip is bit-exact (DC of a constant block is 8·(v−128); step 8
-    divides it, every AC is zero) and the oracle can state the decoded
-    means in SQL."""
+    """Fixture-encode stage for :func:`mm_image_codec`, one real codec
+    per ``doc_id mod 3``:
+
+    - 0 → PNG: 4×4 RGB of the 48 raw bytes (DEFLATE IDAT, CRC-framed
+      chunks) — lossless, decoded means equal the byte means exactly;
+    - 1 → binary PPM of the same 48 bytes;
+    - 2 → baseline JPEG: 16×16 grayscale, four constant 8×8 blocks
+      whose values are the first four bytes, quantized with DC step 8
+      so the DCT round trip is bit-exact (DC of a constant block is
+      8·(v−128); step 8 divides it, every AC is zero).
+
+    All three let the oracle state the decoded means in SQL."""
     import numpy as np
     import pandas as pd
 
@@ -930,7 +1109,12 @@ def _encode_fixture_payloads(
         payloads = []
         for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
             b = bytes(raw)
-            if int(doc_id) % 2 == 0:
+            mod = int(doc_id) % 3
+            if mod == 0:
+                payloads.append(_encode_png(4, 4, b))
+            elif mod == 1:
+                payloads.append(_encode_ppm(4, 4, b))
+            else:
                 px = np.zeros((16, 16), dtype=np.uint8)
                 px[:8, :8] = b[0]
                 px[:8, 8:] = b[1]
@@ -941,8 +1125,6 @@ def _encode_fixture_payloads(
                         16, 16, px.tobytes(), grayscale=True, qluma=q
                     )
                 )
-            else:
-                payloads.append(_encode_ppm(4, 4, b))
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
         )
@@ -959,28 +1141,30 @@ def _encode_fixture_payloads(
             FROM documents
         ),
         px AS (
+            -- PNG (lossless) and PPM rows share the raw 4x4 RGB raster
             SELECT d.doc_id,
                    ord(substr(d.bytes, CAST(1 + 3 * t.i AS INT), 1)) AS r,
                    ord(substr(d.bytes, CAST(2 + 3 * t.i AS INT), 1)) AS g,
                    ord(substr(d.bytes, CAST(3 + 3 * t.i AS INT), 1)) AS b
             FROM raster d
             CROSS JOIN range(16) AS t(i)
-            WHERE d.doc_id % 2 <> 0
+            WHERE d.doc_id % 3 <> 2
         ),
-        ppm AS (
-            SELECT doc_id,
-                   'ppm'                 AS format,
+        rasterfmt AS (
+            SELECT p.doc_id,
+                   CASE WHEN p.doc_id % 3 = 0 THEN 'png' ELSE 'ppm' END
+                                         AS format,
                    CAST(4 AS BIGINT)     AS width,
                    CAST(4 AS BIGINT)     AS height,
                    ROUND(AVG(r) * (1 + 5e-13), 4) AS mean_r,
                    ROUND(AVG(g) * (1 + 5e-13), 4) AS mean_g,
                    ROUND(AVG(b) * (1 + 5e-13), 4) AS mean_b,
                    'ok'                  AS status
-            FROM px
-            GROUP BY doc_id
+            FROM px p
+            GROUP BY p.doc_id
         ),
         jpg AS (
-            -- even doc_ids: 16x16 grayscale JPEG of four constant 8x8
+            -- doc_id % 3 = 2: 16x16 grayscale JPEG of four constant 8x8
             -- blocks (bytes 1-4); constant-block DCT with DC step 8 is
             -- lossless, so decoded mean == arithmetic mean of the bytes
             SELECT doc_id,
@@ -998,28 +1182,29 @@ def _encode_fixture_payloads(
                          / 4.0) * (1 + 5e-13), 4) AS mean_b,
                    'ok'                  AS status
             FROM raster
-            WHERE doc_id % 2 = 0
+            WHERE doc_id % 3 = 2
         )
-        SELECT * FROM ppm
+        SELECT * FROM rasterfmt
         UNION ALL
         SELECT * FROM jpg
     """,
 )
 def mm_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-codec decode end-to-end, two formats per corpus: odd doc_ids
-    carry a genuine binary-PPM payload (header + raw 4×4 RGB raster)
-    of the document's first 48 bytes (space-padded — sub-48-char docs
-    exist at sf0.1); even doc_ids carry a REAL baseline JPEG (r6:
-    SOI/DQT/SOF0/DHT/SOS, Huffman-coded DC/AC, byte stuffing) encoding
-    four constant 8×8 blocks of bytes 1-4, DC-quantizer step 8 so the
-    round trip is bit-exact. Both run through the actual codec dispatch
-    in the Arrow ``mapInPandas`` decode stage. The oracle recomputes
-    width/height and channel means from the SAME text bytes with SQL
-    string ops (ASCII corpus: chars == bytes), so a green row proves
-    the Python stage parsed real encoded bytes — marker structure,
-    Huffman stream, quantization, IDCT — not stand-in arithmetic.
-    Reference parity: SURVEY §2.9 X4/X5 external-action shape with the
-    side-effect replaced by a pure codec."""
+    """Real-codec decode end-to-end, three formats per corpus keyed by
+    ``doc_id mod 3``: PNG (r6 — DEFLATE IDAT via stdlib zlib, CRC-framed
+    chunks, filtered scanlines) and binary PPM both carry the document's
+    first 48 bytes (space-padded — sub-48-char docs exist at sf0.1) as a
+    4×4 RGB raster; JPEG rows (r6 — SOI/DQT/SOF0/DHT/SOS, Huffman-coded
+    DC/AC, byte stuffing) encode four constant 8×8 blocks of bytes 1-4
+    with DC-quantizer step 8 so the DCT round trip is bit-exact. All
+    three run through the actual codec dispatch in the Arrow
+    ``mapInPandas`` decode stage. The oracle recomputes width/height and
+    channel means from the SAME text bytes with SQL string ops (ASCII
+    corpus: chars == bytes), so a green row proves the Python stage
+    parsed real encoded bytes — chunk CRCs, DEFLATE streams, Huffman
+    streams, quantization, IDCT — not stand-in arithmetic. Reference
+    parity: SURVEY §2.9 X4/X5 external-action shape with the side-effect
+    replaced by a pure codec."""
     docs = load_table(spark, sf_dir, "documents")
     raw = F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "UTF-8")
     media = docs.select("doc_id", raw.alias("raw")).mapInPandas(

@@ -793,3 +793,174 @@ def test_jpeg_decoder_reads_its_own_dht_not_the_constants(spark=None):
     # std luminance q00=16: 8*(200-128)=576 -> 576/16=36 exact, so even
     # without the custom table this constant survives exactly
     assert (out[..., 0] == 200).all()
+
+
+# ---------------------------------------------------------------------------
+# PNG (r6): CRC-framed chunks + stdlib-zlib DEFLATE + scanline filters
+# ---------------------------------------------------------------------------
+
+
+def _png_filter_encode(img, filters):
+    """Reference-side scanline filtering (the encoder only emits filter
+    0): apply the given per-row filter types so the decoder's
+    Sub/Up/Average/Paeth reconstruction is exercised against ground
+    truth."""
+    import zlib
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_paeth,
+    )
+
+    hh, ww, _ = img.shape
+    ch, stride = 3, ww * 3
+    raw = img.tobytes()
+    scan, prev = b"", bytes(stride)
+    for y in range(hh):
+        line = raw[y * stride:(y + 1) * stride]
+        ft = filters[y % len(filters)]
+        o = bytearray(line)
+        if ft == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                o[i] = (line[i] - line[i - ch]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                o[i] = (line[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                o[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                o[i] = (line[i] - _png_paeth(a, prev[i], c)) & 0xFF
+        scan += bytes([ft]) + bytes(o)
+        prev = line
+    ihdr = ww.to_bytes(4, "big") + hh.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_rgb_roundtrip_byte_exact():
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    hh, ww = 13, 21
+    y, x = np.mgrid[0:hh, 0:ww]
+    img = np.stack(
+        [(x * 17) % 256, (y * 29) % 256, (x + y * 7) % 256], axis=2
+    ).astype(np.uint8)
+    w, h, rgb = _decode_png(_encode_png(ww, hh, img.tobytes()))
+    assert (w, h) == (ww, hh) and rgb == img.tobytes()
+    # grayscale replicates channels
+    g = ((x * 5 + y * 3) % 256).astype(np.uint8)
+    w, h, rgb = _decode_png(_encode_png(ww, hh, g.tobytes(), grayscale=True))
+    out = np.frombuffer(rgb, np.uint8).reshape(hh, ww, 3)
+    assert (out == g[..., None]).all()
+
+
+def test_png_all_five_filters_reconstruct_exactly():
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    hh, ww = 11, 9
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(hh, ww, 3)).astype(np.uint8)
+    enc = _png_filter_encode(img, [0, 1, 2, 3, 4])
+    w, h, rgb = _decode_png(enc)
+    assert rgb == img.tobytes()
+
+
+def test_png_palette_and_rgba_color_types():
+    import zlib
+
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        _png_chunk,
+    )
+
+    hh, ww = 6, 8
+    y, x = np.mgrid[0:hh, 0:ww]
+    plte = bytes(range(48))  # 16 colors
+    idx = ((x + y) % 16).astype(np.uint8)
+    scan = b"".join(b"\x00" + idx[r].tobytes() for r in range(hh))
+    ihdr = ww.to_bytes(4, "big") + hh.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    f = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(scan)) + _png_chunk(b"IEND", b"")
+    )
+    w, h, rgb = _decode_png(f)
+    exp = bytes(
+        b for r in range(hh) for c in range(ww)
+        for b in plte[idx[r, c] * 3:idx[r, c] * 3 + 3]
+    )
+    assert rgb == exp
+    # RGBA: alpha dropped, color channels exact
+    img = np.stack(
+        [(x * 9) % 256, (y * 11) % 256, (x * y) % 256], axis=2
+    ).astype(np.uint8)
+    rgba = np.dstack([img, ((x + 3 * y) % 256).astype(np.uint8)])
+    scan = b"".join(b"\x00" + rgba[r].tobytes() for r in range(hh))
+    ihdr = ww.to_bytes(4, "big") + hh.to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    f = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan)) + _png_chunk(b"IEND", b"")
+    )
+    w, h, rgb = _decode_png(f)
+    assert rgb == img.tobytes()
+
+
+def test_png_malformed_variants_quarantine(spark):
+    """Bad CRC, truncation, interlacing and wrong depth all land in the
+    status column through the decode stage."""
+    import numpy as np
+    import zlib
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _encode_png,
+        _png_chunk,
+        decode_image_features,
+    )
+
+    good = _encode_png(4, 4, np.full((4, 4, 3), 9, np.uint8).tobytes())
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF  # flip a byte inside IHDR payload
+    interlaced = (
+        _PNG_SIG
+        + _png_chunk(
+            b"IHDR",
+            (4).to_bytes(4, "big") + (4).to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 1]),
+        )
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+        + _png_chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(bytes(bad_crc))),
+        (3, bytearray(good[:30])),
+        (4, bytearray(interlaced)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["status"] for r in decode_image_features(df).collect()}
+    assert got[1] == "ok"
+    assert "CRC" in got[2]
+    assert got[3].startswith("error:")
+    assert "interlacing" in got[4]

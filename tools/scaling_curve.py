@@ -118,7 +118,21 @@ def build_sf1(spark) -> None:
 
 # Curved but not benched: multi-shuffle plans the r4 verdict wanted a
 # scale reading on without growing the per-round bench set.
-EXTRA_CURVE = ["a_retention_cohorts", "text_mixture_weights"]
+EXTRA_CURVE = [
+    "a_retention_cohorts",
+    "text_mixture_weights",
+    # r6 (VERDICT r5 #7): the un-curved >=3-exchange registry tail, plus
+    # the CC-bearing corpus build and the new merge-on-read query
+    "a_conditional_distinct",
+    "corpus_leakage_safe_split",
+    "q18_large_orders",
+    "q22_dormant_customers",
+    "sim_ivf_probe",
+    "sim_quantized_topk",
+    "sim_topk_cosine",
+    "pipeline_corpus_build",
+    "snap_merge_on_read",
+]
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
