@@ -69,6 +69,14 @@ HEADLINE = [
     # the kNN entry point users actually call: dispatcher overhead
     # (bucket accounting + routing) measured against sim_knn_join_arrow
     "sim_knn_join_auto",
+    # round-6 additions, benched from birth: the in-plan CMS (its real
+    # 6-exchange plan replaced the old driver-side sketch read), the
+    # snapshot write path (commit + delta chain + compact + merge-on-read
+    # — the only write-bound bench entry, noisier by nature), and the
+    # AVI/MJPG video decode stage
+    "a_heavy_hitters_cms",
+    "snap_merge_on_read",
+    "mm_video_codec",
 ]
 
 

@@ -1494,6 +1494,280 @@ def frame_sample_gif(media: DataFrame, stride: int = 1) -> DataFrame:
     return media.mapInPandas(batches, GIF_FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real video container: AVI / Motion-JPEG (pure Python, frames via the
+# baseline-JPEG codec above)
+# ---------------------------------------------------------------------------
+# RIFF chunk walking (word-aligned sizes), hdrl validation (vids/MJPG
+# stream), movi traversal; every 00dc/00db chunk is a complete baseline
+# JPEG decoded by _decode_jpeg. This makes the video rung real end-to-end
+# with zero dependencies: container parsing + per-frame entropy decode.
+# Inter-frame codecs (H.264 etc.) are the remaining declared-fake
+# territory — they genuinely need ffmpeg-class libraries.
+
+
+def _avi_riff_chunks(data: bytes, pos: int, end: int):
+    """Iterate (fourcc, payload_start, payload_size) with RIFF word
+    alignment; bounds-checked so truncation raises instead of looping."""
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if pos + 8 + size > end:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _encode_avi_mjpg(
+    frames: list[bytes], w: int, h: int, fps: int = 10
+) -> bytes:
+    """Minimal real AVI writer: RIFF('AVI ') → LIST hdrl (avih + one
+    vids/MJPG strl) + LIST movi of 00dc chunks, one complete JPEG per
+    frame. Fixture generator and round-trip proof for the reader."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    n = len(frames)
+    buf_size = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, buf_size, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n,
+        buf_size, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _avi_frames(buf: bytes):
+    """Iterate an AVI's video frames, yielding (w, h, rgb_raster) per
+    00dc/00db chunk via the baseline-JPEG decoder. Validates the RIFF
+    form, requires a vids stream, and rejects non-MJPG compression with
+    a clear error (inter-frame codecs need real libraries)."""
+    data = bytes(buf)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    end = min(8 + int.from_bytes(data[4:8], "little"), len(data))
+    movi_span = None
+    handler = None
+    for fourcc, start, size in _avi_riff_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        kind = data[start:start + 4]
+        if kind == b"hdrl":
+            for fc2, s2, z2 in _avi_riff_chunks(data, start + 4, start + size):
+                if fc2 == b"LIST" and data[s2:s2 + 4] == b"strl":
+                    for fc3, s3, z3 in _avi_riff_chunks(data, s2 + 4, s2 + z2):
+                        if fc3 == b"strh" and data[s3:s3 + 4] == b"vids":
+                            handler = data[s3 + 4:s3 + 8]
+        elif kind == b"movi":
+            movi_span = (start + 4, start + size)
+    if movi_span is None:
+        raise ValueError("missing movi list")
+    if handler is None:
+        raise ValueError("no video (vids) stream")
+    if handler not in (b"MJPG", b"mjpg"):
+        raise ValueError(
+            f"unsupported video codec {handler!r} (only Motion-JPEG)"
+        )
+    for fourcc, start, size in _avi_riff_chunks(data, *movi_span):
+        if fourcc[2:4] in (b"dc", b"db"):
+            yield _decode_jpeg(data[start:start + size])
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def decode_video_features(media: DataFrame, stride: int = 1) -> DataFrame:
+    """REAL video decode stage: every ``stride``-th AVI/MJPG frame is
+    entropy-decoded (full JPEG per frame) and reduced to per-channel
+    means — the 1→N keyframe-sampling explode with an actual decoder
+    behind it. Same quarantine contract as the image stage: a payload
+    that fails to parse yields ONE status row (frame_idx −1), never an
+    exception."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k.name: [] for k in VIDEO_FEATURE_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = b"" if payload is None else bytes(payload)
+                try:
+                    for i, (w, h, rgb) in enumerate(_avi_frames(p)):
+                        if i % stride:
+                            continue
+                        a = np.frombuffer(rgb, np.uint8).reshape(w * h, 3)
+                        means = a.astype(np.float64).mean(axis=0)
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_idx"].append(i)
+                        out["format"].append("avi-mjpg")
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["mean_r"].append(float(means[0]))
+                        out["mean_g"].append(float(means[1]))
+                        out["mean_b"].append(float(means[2]))
+                        out["status"].append("ok")
+                except Exception as e:  # noqa: BLE001 — quarantine row
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(-1)
+                    out["format"].append("unknown")
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["mean_r"].append(0.0)
+                    out["mean_g"].append(0.0)
+                    out["mean_b"].append(0.0)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, VIDEO_FEATURE_SCHEMA)
+
+
+def frame_sample_avi(media: DataFrame, stride: int = 1) -> DataFrame:
+    """Frame sampling for AVI/MJPG payloads, emitting each kept frame
+    re-encoded as a binary PPM — the video twin of
+    :func:`frame_sample_gif`, sharing its schema and quarantine
+    contract."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame": [],
+                   "width": [], "height": [], "status": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = b"" if payload is None else bytes(payload)
+                try:
+                    for i, (w, h, rgb) in enumerate(_avi_frames(p)):
+                        if i % stride:
+                            continue
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_idx"].append(i)
+                        out["frame"].append(_encode_ppm(w, h, rgb))
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["status"].append("ok")
+                except Exception as e:  # noqa: BLE001 — quarantine row
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(-1)
+                    out["frame"].append(p)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["status"].append(f"error:{e}")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, GIF_FRAME_SCHEMA)
+
+
+def _encode_video_payloads(
+    it: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Fixture-encode stage for :func:`mm_video_codec`: a 4-frame
+    AVI/MJPG per document, each frame an 8×8 constant-gray baseline
+    JPEG of one of the first four bytes (DC step 8 → bit-exact decode,
+    see :func:`_encode_fixture_payloads`)."""
+    import pandas as pd
+
+    q = list(_JPEG_STD_LUMA_Q)
+    q[0] = 8
+    for pdf in it:
+        payloads = []
+        for raw in pdf["raw"]:
+            b = bytes(raw)
+            frames = [
+                _encode_jpeg_baseline(
+                    8, 8, bytes([b[i]]) * 64, grayscale=True, qluma=q
+                )
+                for i in range(4)
+            ]
+            payloads.append(_encode_avi_mjpg(frames, 8, 8))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "mm_video_codec",
+    survey="X4,X5,S4",
+    oracle="""
+        WITH raster AS (
+            SELECT doc_id, rpad(substr(text, 1, 4), 4, ' ') AS bytes
+            FROM documents
+        ),
+        f AS (
+            -- stride-2 sampling of 4 frames keeps frames 0 and 2, whose
+            -- constant gray values are bytes 1 and 3
+            SELECT doc_id, 0 AS frame_idx, ord(substr(bytes, 1, 1)) AS v
+            FROM raster
+            UNION ALL
+            SELECT doc_id, 2 AS frame_idx, ord(substr(bytes, 3, 1)) AS v
+            FROM raster
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               'avi-mjpg'                AS format,
+               CAST(8 AS BIGINT)         AS width,
+               CAST(8 AS BIGINT)         AS height,
+               ROUND(v * (1 + 5e-13), 4) AS mean_luma
+        FROM f
+    """,
+)
+def mm_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real VIDEO decode end-to-end (r6): each document becomes a
+    4-frame AVI/Motion-JPEG — RIFF container written by
+    :func:`_encode_avi_mjpg`, every frame a complete baseline JPEG — and the
+    decode stage samples every second frame, entropy-decoding each
+    sampled frame (RIFF walk → 00dc chunk → Huffman + IDCT) down to its
+    mean gray level. Constant 8×8 frames with DC-quantizer step 8 make
+    the lossy pipeline bit-exact, so the oracle states the decoded
+    means from the SAME text bytes in SQL. This is the keyframe-sample
+    shape of a training-data video pipeline (reference parity: SURVEY
+    §2.9 X4/X5 external-action boundary) with a real container parser
+    and a real image codec behind it; inter-frame codecs remain the
+    documented library seam."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.encode(F.rpad(F.substring("text", 1, 4), 4, " "), "UTF-8")
+    media = docs.select("doc_id", raw.alias("raw")).mapInPandas(
+        _encode_video_payloads, "doc_id long, payload binary"
+    )
+    feats = decode_video_features(media, stride=2)
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "format",
+        "width",
+        "height",
+        F.round(F.col("mean_r") * (1 + F.lit(5e-13)), 4).alias("mean_luma"),
+    )
+
+
 def frame_sample_stub(media: DataFrame, stride: int, frame_bytes: int = 64) -> DataFrame:
     """Frame-sampling stage (STUB backend): emit every ``stride``-th
     ``frame_bytes`` window of the payload as one frame row — the 1→N

@@ -158,6 +158,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "x_fail_first_policy",
     # -- round-6 additions / changed semantics: window-mandatory ------------
     "snap_merge_on_read",
+    "mm_video_codec",
     "mm_image_codec",
     # -- round-4 greens rotating back in (churned files / module spread) ----
     "sim_knn_join",
@@ -177,7 +178,6 @@ _FRONT_ORDER: tuple[str, ...] = (
     "corpus_leakage_safe_split",
     "flagship_pricing_summary",
     "events_funnel",
-    "j_asof_last_view",
 )
 
 

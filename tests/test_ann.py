@@ -559,3 +559,54 @@ def test_ivf_search_recall_monotone_in_nprobe(spark):
     # at ~sf1.
     assert recalls[4] >= 0.55, recalls
     assert recalls[8] >= 0.75, recalls
+
+
+def test_int8_pack_unpack_roundtrip_and_size(spark):
+    """pack_int8 realizes the 1-byte-per-dim storage the quantize_int8
+    docstring promises: binary length == dims, round trip is exact for
+    every quantized vector (including nulls), and cosine over unpacked
+    vectors equals cosine over the originals bit-for-bit (integer
+    arithmetic throughout)."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        cosine_quantized,
+        pack_int8,
+        quantize_int8,
+        unpack_int8,
+    )
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") == 7, F.lit(None).cast("array<double>")
+        ).otherwise(
+            F.array(
+                F.cos(F.col("id").cast("double")),
+                F.sin(F.col("id").cast("double")) * 3.5,
+                F.lit(-1.0) * F.col("id").cast("double") / 7,
+            )
+        ).alias("emb"),
+    )
+    q = emb.withColumn("qv", quantize_int8(F.col("emb")))
+    packed = q.withColumn("blob", pack_int8(F.col("qv")))
+    back = packed.withColumn("qv2", unpack_int8(F.col("blob")))
+    rows = back.select(
+        "vec_id", "qv", "qv2", F.length("blob").alias("nbytes")
+    ).collect()
+    for r in rows:
+        if r["qv"] is None:
+            assert r["qv2"] is None and r["nbytes"] is None
+        else:
+            assert r["qv2"] == r["qv"]
+            assert r["nbytes"] == 3  # 1 byte per dim
+    # cosine through the packed representation is identical
+    pair = (
+        back.alias("a")
+        .crossJoin(back.alias("b"))
+        .where((F.col("a.vec_id") == 3) & (F.col("b.vec_id") == 11))
+        .select(
+            cosine_quantized(F.col("a.qv"), F.col("b.qv")).alias("c1"),
+            cosine_quantized(F.col("a.qv2"), F.col("b.qv2")).alias("c2"),
+        )
+        .collect()[0]
+    )
+    assert pair["c1"] == pair["c2"]

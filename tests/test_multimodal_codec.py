@@ -964,3 +964,97 @@ def test_png_malformed_variants_quarantine(spark):
     assert "CRC" in got[2]
     assert got[3].startswith("error:")
     assert "interlacing" in got[4]
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG (r6): real RIFF container + per-frame JPEG decode
+# ---------------------------------------------------------------------------
+
+
+def _mjpg_fixture(vals):
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _JPEG_STD_LUMA_Q,
+        _encode_avi_mjpg,
+        _encode_jpeg_baseline,
+    )
+
+    q = list(_JPEG_STD_LUMA_Q)
+    q[0] = 8
+    frames = [
+        _encode_jpeg_baseline(8, 8, bytes([v]) * 64, grayscale=True, qluma=q)
+        for v in vals
+    ]
+    return _encode_avi_mjpg(frames, 8, 8)
+
+
+def test_avi_mjpg_roundtrip_every_frame_exact():
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _avi_frames,
+    )
+
+    vals = [10, 99, 200, 31, 0, 255]
+    got = list(_avi_frames(_mjpg_fixture(vals)))
+    assert len(got) == len(vals)
+    for v, (w, h, rgb) in zip(vals, got):
+        assert (w, h) == (8, 8)
+        assert (np.frombuffer(rgb, np.uint8) == v).all()
+
+
+def test_avi_malformed_variants_raise():
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _avi_frames,
+    )
+
+    avi = _mjpg_fixture([50, 60])
+    with pytest.raises(ValueError, match="codec"):
+        list(_avi_frames(avi.replace(b"MJPG", b"H264")))
+    with pytest.raises(ValueError, match="truncated"):
+        list(_avi_frames(avi[:60]))
+    with pytest.raises(ValueError, match="not an AVI"):
+        list(_avi_frames(b"RIFF\x04\x00\x00\x00WAVE"))
+
+
+def test_decode_video_features_stage_and_stride(spark):
+    """The Spark stage: stride-2 sampling keeps frames 0/2/4..., means
+    are exact for the constant-block fixture, and a garbage payload
+    quarantines as one frame_idx=-1 row."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        decode_video_features,
+    )
+
+    rows = [
+        (1, bytearray(_mjpg_fixture([11, 22, 33, 44]))),
+        (2, bytearray(b"not a video")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = decode_video_features(media, stride=2).collect()
+    ok = sorted(
+        [(r["frame_idx"], r["mean_r"]) for r in got if r["doc_id"] == 1]
+    )
+    assert ok == [(0, 11.0), (2, 33.0)]
+    bad = [r for r in got if r["doc_id"] == 2]
+    assert len(bad) == 1 and bad[0]["frame_idx"] == -1
+    assert bad[0]["status"].startswith("error:")
+
+
+def test_frame_sample_avi_emits_ppm_frames(spark):
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _parse_ppm,
+        frame_sample_avi,
+    )
+
+    media = spark.createDataFrame(
+        [(7, bytearray(_mjpg_fixture([5, 100, 250])))],
+        "doc_id long, payload binary",
+    )
+    got = sorted(frame_sample_avi(media).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in got] == [0, 1, 2]
+    for r, v in zip(got, [5, 100, 250]):
+        fmt, w, h, mr, mg, mb = _parse_ppm(bytes(r["frame"]))
+        assert (w, h, mr) == (8, 8, float(v))

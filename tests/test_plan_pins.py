@@ -61,16 +61,21 @@ _PINS = {
     # rollup + ordered output — the decorrelated form of the oracle's
     # per-purchase correlated subquery
     "events_attribution": 3,
-    # dispatcher: arrow path + per-bucket count accounting. The count
-    # table is persisted (routing probe + broadcast build share one
-    # aggregation), which cut measured overhead vs sim_knn_join_arrow
-    # from ~0.6 s to ~0.3 s at sf0.1; the formatted plan now REPEATS the
-    # cached aggregate's exchange inside each InMemoryRelation subtree
-    # (textual count 6, executed once) — the pin tracks the text.
-    # r6: counts collected once (broadcast-small by design) instead of
-    # persisted — the duplicated count-aggregate subplans left the final
-    # plan entirely, 6 → 2
+    # dispatcher: arrow path + per-bucket count accounting. r6: the
+    # count table is collected once (it is broadcast-small by design)
+    # and rebuilt driver-side for the broadcast tag join — the old
+    # persisted-aggregate subplans (textual count 6) left the final
+    # plan entirely, 6 → 2, and no cache outlives the call.
     "sim_knn_join_auto": 2,
+    # r6 additions. a_heavy_hitters_cms is the in-plan CMS: term-count
+    # agg + counter agg + top-5 + probe-join + final min + the single-row
+    # N broadcast. snap_merge_on_read's plan is the read side only (the
+    # chain writes happen eagerly inside the fn): window over the
+    # compacted commit + final groupBy + order. mm_video_codec is scan →
+    # two Arrow stages, shuffle-free.
+    "a_heavy_hitters_cms": 6,
+    "snap_merge_on_read": 3,
+    "mm_video_codec": 0,
 }
 
 
