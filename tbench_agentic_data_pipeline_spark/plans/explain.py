@@ -10,15 +10,23 @@ give tests something to pin.
 
 from __future__ import annotations
 
+import contextlib
+import io
 import re
 
 from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
-    )
+    """``explain('formatted')`` output as a string. Captured from the
+    public ``DataFrame.explain`` (it only prints) instead of reaching
+    into ``_jvm`` — r6: the package now uses NO private JVM APIs
+    anywhere (guarded by ``tests/test_plans.py``), so every code path,
+    including these diagnostics, works under Spark Connect."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
