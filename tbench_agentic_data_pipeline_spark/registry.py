@@ -104,80 +104,80 @@ def query(
 # max-staleness invariant in tests/test_registry_meta.py, derived from
 # the CORRECTNESS_r*.json files themselves: any query whose newest green
 # row is >2 rounds old MUST be in this window.
-# Round-6 rotation (the red staleness test at r5-close printed exactly
+# Round-7 rotation (the red staleness test at r6-close printed exactly
 # this mandatory block):
-# - the 30 queries whose newest external row is round 3 (filters p1–p8,
-#   mutation transitions u2–u8, j2/j3/j4, w2/w4/w5/w6, so2/so3, the
-#   stats/salted/percentile aggregates, claim assignment, validation
-#   pipeline + fail-first policy, pytest-summary parse, distinct-users)
-#   — staleness ceiling, non-negotiable;
-# - the round-6 additions / changed-semantics queries: the merge-on-read
-#   delta-chain upsert (the r5 storage work's first external row) and
-#   mm_image_codec, whose result set now includes real-JPEG-decoded rows
-#   — a changed query needs a fresh external row;
-# - 18 round-4 greens, preferring files that churn this round
-#   (similarity.py: persist-leak + broadcast-guard fixes; dedup.py;
-#   multimodal.py: JPEG decoder) and module spread; the 32 r4-greens
-#   left over hit the staleness ceiling NEXT round and are r7's
-#   mandatory block (32 < 50: the schedule stays feasible).
+# - the 33 queries whose newest external row is round 4 (the TPC-H
+#   q2/q4/q6-q9/q11-q17/q19-q22 block, the five f_* gauntlets, so4/so5,
+#   w7/w8, j_asof/j_range, the three st_* streaming twins,
+#   a_conditional_distinct, a_cube_priority_status) — staleness
+#   ceiling, non-negotiable;
+# - changed-semantics / first-oracle queries: dedup_minhash_fast (gets
+#   its first value oracle this round — the in-plan recall contract)
+#   and mm_video_codec (fixture resized so one polyfill codec stops
+#   dominating the headline);
+# - 15 round-5 greens, preferring files that churn this round
+#   (snapshot.py: COW-append provenance + map-safe tiebreak; dedup.py;
+#   similarity.py guard rework; multimodal.py backend seam) and module
+#   spread. The 33 r5-greens left over hit the staleness ceiling NEXT
+#   round and are r8's mandatory block (33 < 50: feasible).
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r3: staleness ceiling forces these 30 ----------------
-    "a8_distinct_users_per_type",
-    "a8_pytest_summary_parse",
-    "a_percentiles",
-    "a_salted_sum",
-    "a_stats_gauntlet",
-    "j2_anti_join_customers_without_orders",
-    "j3_full_outer_reconciliation",
-    "j4_parent_child_counts",
-    "p1_point_lookup",
-    "p2_filter_project",
-    "p3_first_match_claim",
-    "p4_existence_guard",
-    "p5_stage_predicate",
-    "p6_timeout_predicate",
-    "p7_ownership_predicate",
-    "p8_prefix_projection",
-    "so2_delete_by_key",
-    "so3_key_set_difference",
-    "st1_claim_assignment",
-    "u2_map_mutation",
-    "u3_claim_transition",
-    "u4_complete_transition",
-    "u6_timeout_release",
-    "u8_production_derivation",
-    "w2_global_topn",
-    "w4_fifo_claim_order",
-    "w5_running_total",
-    "w6_lag_gap_seconds",
-    "x7_validation_pipeline",
-    "x_fail_first_policy",
-    # -- round-6 additions / changed semantics: window-mandatory ------------
-    "snap_merge_on_read",
+    # -- newest row is r4: staleness ceiling forces these 33 ----------------
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q11_important_part_value",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "f_string_gauntlet",
+    "f_json_gauntlet",
+    "f_datetime_gauntlet",
+    "f_array_gauntlet",
+    "f_map_gauntlet",
+    "so4_array_difference",
+    "so5_intersect_nations",
+    "w7_ntile_quartiles",
+    "w8_trailing_week_activity",
+    "j_asof_last_view",
+    "j_range_incident_window",
+    "st_tumbling_window",
+    "st_session_windows",
+    "st_dedup_watermark",
+    "a_conditional_distinct",
+    "a_cube_priority_status",
+    # -- changed semantics / first oracle: window-mandatory -----------------
+    "dedup_minhash_fast",
     "mm_video_codec",
-    "mm_image_codec",
-    # -- round-4 greens rotating back in (churned files / module spread) ----
-    "sim_knn_join",
-    "sim_ivf_probe",
-    "sim_lsh_buckets",
-    "sim_topk_cosine",
-    "sim_quantized_topk",
-    "dedup_cluster_components",
-    "dedup_threshold_sweep",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_tfidf_topk",
-    "text_contamination",
-    "text_zipf_fluency",
-    "pipeline_corpus_build",
-    "corpus_leakage_safe_split",
-    "flagship_pricing_summary",
-    "events_funnel",
+    # -- round-5 greens rotating back in (churned files / module spread) ----
+    "u1_keyed_patch",
+    "mm_decode_features",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_bands",
+    "dedup_resolve_survivors",
+    "sim_centroid_outliers",
+    "a_heavy_hitters_cms",
+    "text_bm25_topk",
+    "w3_pergroup_topn",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "events_attribution",
 )
 
 
