@@ -708,6 +708,10 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may pad the space
+        # before a marker code — real encoders emit them.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS

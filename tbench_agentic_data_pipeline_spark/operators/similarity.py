@@ -45,6 +45,24 @@ from tbench_agentic_data_pipeline_spark.registry import query
 # an OOM surprise.
 _MAX_BRUTE_FORCE_QUERIES = 32768
 
+
+def _take_bounded(df: DataFrame, max_rows: int, caller: str, route: str) -> list:
+    """One-evaluation driver-size guard shared by every broadcast-the-
+    query-side path (r6 advisor: the previous separate ``.count()`` job
+    evaluated the plan twice per call, and a nondeterministic or
+    expensive query-side plan could pass the guard yet broadcast a
+    *different* row set). Collecting ``limit(max_rows+1)`` once means
+    the guard binds the exact rows the caller goes on to ship — and the
+    driver never materializes more than one row past the bound."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{caller} collects/broadcasts the query side; more than "
+            f"{max_rows} rows risks driver OOM. {route}"
+        )
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # Reusable operator API
 # ---------------------------------------------------------------------------
@@ -209,18 +227,19 @@ def brute_force_topk_arrow(
     c_type = corpus.schema[corpus_key].dataType.simpleString()
     out_schema = f"{query_key} {q_type}, {corpus_key} {c_type}, cos double"
 
-    # LIMIT probe instead of count(): one extra row decides, the full
-    # query-side cardinality is never materialized just to fail.
-    probe = queries.select(query_key).limit(max_queries + 1)
-    if probe.count() > max_queries:
-        raise ValueError(
-            f"brute_force_topk_arrow collects the query side to the driver "
-            f"and ships it inside the mapInPandas closure; more than "
-            f"{max_queries} query vectors risks driver OOM. "
-            f"Use knn_join (bucketed, fully distributed) for large query "
-            f"sets."
-        )
-    qpd = queries.select(query_key, query_vec).toPandas()
+    # One bounded collect: the guard and the shipped closure see the
+    # same rows, and the query plan runs once, not twice.
+    qrows = _take_bounded(
+        queries.select(query_key, query_vec), max_queries,
+        "brute_force_topk_arrow",
+        "Use knn_join (bucketed, fully distributed) for large query sets.",
+    )
+    qpd = pd.DataFrame(
+        {
+            query_key: [r[query_key] for r in qrows],
+            query_vec: [r[query_vec] for r in qrows],
+        }
+    )
     if not len(qpd):
         # fold twin returns empty on empty queries; match it
         return (
@@ -642,17 +661,19 @@ def ivf_search_topk(
     side."""
     from tbench_agentic_data_pipeline_spark.operators.clustering import _l2_sq
 
-    qprobe = queries.select(query_key).limit(max_queries + 1)
-    if qprobe.count() > max_queries:
-        raise ValueError(
-            f"ivf_search_topk broadcasts the queries × nprobe probe table; "
-            f"more than {max_queries} query vectors risks driver/executor "
-            f"OOM on the broadcast build. Use knn_join (bucketed, fully "
-            f"distributed) for large query sets, or raise max_queries "
-            f"explicitly if the vectors are small."
-        )
+    # The probe table is about to be broadcast — i.e. driver-collected
+    # anyway — so one bounded collect both enforces the size contract
+    # and pins the exact rows that get broadcast (no second evaluation
+    # of a possibly nondeterministic query-side plan).
+    qplan = queries.select(query_key, query_vec)
+    qrows = _take_bounded(
+        qplan, max_queries, "ivf_search_topk",
+        "Use knn_join (bucketed, fully distributed) for large query "
+        "sets, or raise max_queries explicitly if the vectors are small.",
+    )
+    qdf = queries.sparkSession.createDataFrame(qrows, qplan.schema)
     probes = (
-        queries.crossJoin(
+        qdf.crossJoin(
             F.broadcast(
                 centroids.select(
                     F.col("cluster").alias("__pc"),
@@ -1206,6 +1227,7 @@ def knn_join(
     key_col: str = "vec_id", vec_col: str = "emb", bucket_col: str = "label",
     max_bucket_rows: int = 100_000,
     task_memory_bytes: int = 512 << 20,
+    max_broadcast_buckets: int = 200_000,
 ) -> DataFrame:
     """Bucketed kNN join, auto-dispatching entry point.
 
@@ -1220,10 +1242,13 @@ def knn_join(
 
     1. one per-bucket count aggregate (bucket-cardinality-sized — the
        same row-count reduction every ``lsh_bucket_stats`` call does),
-       collected once: the counts feed both the routing decision and the
-       broadcast tag join, and the driver-side copy is exactly the rows
-       the broadcast ships anyway (the design already requires the
-       bucket-count table to be broadcast-small);
+       collected once UP TO ``max_broadcast_buckets``: within the cap
+       the counts feed both the routing decision and the broadcast tag
+       join, and the driver-side copy is exactly the rows the broadcast
+       ships anyway; past the cap (bucketings approaching one bucket
+       per row) the tag join runs against the aggregation plan itself —
+       a shuffle join, correct at any cardinality — and the routing
+       flag reduces to one MAX scalar;
     2. rows in buckets ≤ ``max_bucket_rows`` take the one-task GEMM,
        rows in dense buckets take the blocked path, results unioned —
        buckets are independent, so the split changes nothing semantically
@@ -1247,11 +1272,28 @@ def knn_join(
     counts_plan = emb.groupBy(F.col(bucket_col).alias("__cb_key")).agg(
         F.count(F.lit(1)).alias("__bucket_n")
     )
-    count_rows = counts_plan.collect()
-    has_dense = any(r["__bucket_n"] > max_bucket_rows for r in count_rows)
-    counts = emb.sparkSession.createDataFrame(count_rows, counts_plan.schema)
+    # Bounded collect (r6 advisor): an LSH-signature bucketing can
+    # approach one bucket per row, making the count table itself big
+    # data — never collect it unboundedly. Within the cap, the
+    # driver-side copy is exactly the rows the broadcast ships anyway
+    # and feeds the routing decision for free; past it, fall back to
+    # joining the aggregation plan directly (a shuffle join — correct at
+    # any cardinality), with the dense-bucket flag reduced to ONE scalar
+    # instead of a row collect.
+    count_rows = counts_plan.limit(max_broadcast_buckets + 1).collect()
+    if len(count_rows) <= max_broadcast_buckets:
+        has_dense = any(r["__bucket_n"] > max_bucket_rows for r in count_rows)
+        counts = emb.sparkSession.createDataFrame(count_rows, counts_plan.schema)
+        counts = F.broadcast(counts)
+    else:
+        has_dense = (
+            counts_plan.agg(
+                F.max("__bucket_n").alias("mx")
+            ).collect()[0]["mx"] or 0
+        ) > max_bucket_rows
+        counts = counts_plan
     tagged = emb.join(
-        F.broadcast(counts),
+        counts,
         F.col(bucket_col).eqNullSafe(F.col("__cb_key")),
     ).drop("__cb_key")
     small = tagged.where(F.col("__bucket_n") <= max_bucket_rows).drop("__bucket_n")

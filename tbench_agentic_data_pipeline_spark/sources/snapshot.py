@@ -293,12 +293,19 @@ class SnapshotTable:
             os.path.join(self.root, f"v={chain[0]}")
         ).columns
         if len(chain) > 1 or "__commit_v" in base_cols:
-            merged = self._read_with_provenance(manifest, cur).unionByName(
-                rows.withColumn("__commit_v", F.lit(None).cast("long")),
-                allowMissingColumns=True,
-            )
+            existing = self._read_with_provenance(manifest, cur)
         else:
-            merged = self.read().unionByName(rows, allowMissingColumns=True)
+            # Plain single-commit table: tag existing rows with their
+            # originating commit too, or the flattened append would
+            # leave a later read_merged ranking base-vs-appended
+            # duplicate keys by row hash instead of recency.
+            existing = self.read().withColumn(
+                "__commit_v", F.lit(cur).cast("long")
+            )
+        merged = existing.unionByName(
+            rows.withColumn("__commit_v", F.lit(None).cast("long")),
+            allowMissingColumns=True,
+        )
         return self.commit(merged, operation="append")
 
     def append_delta(self, rows: DataFrame) -> int:
@@ -354,16 +361,35 @@ class SnapshotTable:
         ``row_number`` happened to meet first."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         manifest = self._read_manifest()
         v = version if version is not None else manifest["current"]
         if v is None:
             raise FileNotFoundError(f"snapshot table {self.root} has no versions")
         out = self._read_with_provenance(manifest, v)
-        data_cols = [c for c in out.columns if c != "__commit_v"]
-        w = Window.partitionBy(key_col).orderBy(
-            F.desc("__commit_v"), F.desc(F.xxhash64(*data_cols))
-        )
+
+        def _hashable(dt: T.DataType) -> bool:
+            # xxhash64 rejects MapType anywhere in the type tree
+            # (AnalysisException); maps sit out of the tie-break rather
+            # than crash tables that carry them.
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
+        tie_cols = [
+            f.name
+            for f in out.schema.fields
+            if f.name != "__commit_v" and _hashable(f.dataType)
+        ]
+        order = [F.desc("__commit_v")]
+        if tie_cols:
+            order.append(F.desc(F.xxhash64(*tie_cols)))
+        w = Window.partitionBy(key_col).orderBy(*order)
         return (
             out.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") == 1)

@@ -503,6 +503,39 @@ def test_knn_join_dispatcher_leaves_no_persisted_tables(spark):
     assert after == before, f"knn_join leaked {after - before} persisted RDD(s)"
 
 
+def test_knn_join_bucket_count_cap_falls_back_to_plan_join(spark):
+    """r6 advisor: the dispatcher collected the whole bucket-count table
+    unconditionally — unbounded for bucketings approaching one bucket
+    per row. Past max_broadcast_buckets it must fall back to joining the
+    aggregation plan (and reduce routing to one MAX scalar) with results
+    identical to the broadcast path, dense buckets included."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import knn_join
+
+    emb = spark.range(90).select(
+        F.col("id").alias("vec_id"),
+        # bucket 0 dense (45 rows), others small, plus NULL buckets
+        F.when(F.col("id") < 45, F.lit(0))
+        .when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id") % 4)
+        .alias("label"),
+        F.array(
+            F.cos(F.col("id").cast("double")),
+            F.sin(F.col("id").cast("double")),
+        ).alias("emb"),
+    )
+    broadcast_path = {
+        (r.vec_id, r.nbr_id): r.rk
+        for r in knn_join(emb, 3, max_bucket_rows=30).collect()
+    }
+    capped = {
+        (r.vec_id, r.nbr_id): r.rk
+        for r in knn_join(
+            emb, 3, max_bucket_rows=30, max_broadcast_buckets=2
+        ).collect()
+    }
+    assert capped == broadcast_path
+
+
 def test_ivf_search_refuses_oversized_query_side(spark):
     """r5 advisor: ivf_search_topk broadcasts the queries × nprobe probe
     table; the same LIMIT-probe guard brute_force_topk_arrow grew must

@@ -669,6 +669,47 @@ def test_jpeg_grayscale_constant_blocks_roundtrip_exact():
     assert (out[..., 1] == px).all() and (out[..., 2] == px).all()
 
 
+def test_jpeg_fill_bytes_before_markers_decode(spark=None):
+    """T.81 §B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker code; real encoders pad with them (r6 advisor). Inserting
+    fill bytes before every segment marker must not change the decode."""
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _JPEG_STD_LUMA_Q,
+        _decode_jpeg,
+        _encode_jpeg_baseline,
+    )
+
+    q = list(_JPEG_STD_LUMA_Q)
+    q[0] = 8
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8) // 8 * 30
+    enc = _encode_jpeg_baseline(8, 8, px.tobytes(), grayscale=True, qluma=q)
+    # re-emit with 1-3 fill bytes injected before each marker after SOI
+    padded = bytearray(enc[:2])
+    pos = 2
+    while pos < len(enc):
+        assert enc[pos] == 0xFF
+        marker = enc[pos + 1]
+        padded += b"\xff" * (1 + (marker % 3)) + enc[pos:pos + 2]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        ln = int.from_bytes(enc[pos:pos + 2], "big")
+        padded += enc[pos:pos + ln]
+        pos += ln
+        if marker == 0xDA:  # entropy data runs to EOI — copy verbatim
+            end = enc.rfind(b"\xff\xd9")
+            padded += enc[pos:end]
+            pos = end
+    w, h, rgb = _decode_jpeg(bytes(padded))
+    w0, h0, rgb0 = _decode_jpeg(enc)
+    assert (w, h) == (w0, h0) == (8, 8)
+    assert rgb == rgb0
+
+
 def test_jpeg_color_roundtrip_within_tolerance():
     """Real lossy round trip on a structured RGB image with odd
     dimensions (exercises edge-replication padding): 4:4:4 and 4:2:0

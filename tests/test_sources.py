@@ -514,6 +514,67 @@ def test_cow_append_preserves_delta_chain_provenance(spark, tmp_path):
     assert "__commit_v" not in t.read().columns
 
 
+def test_cow_append_on_plain_commit_gets_latest_wins(spark, tmp_path):
+    """r6 advisor (medium): append() on a plain single-commit table (no
+    chain, no persisted __commit_v) used to flatten old and new rows
+    into one commit with no provenance, so read_merged broke duplicate
+    keys by row hash instead of recency. Appended rows must win."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "cowplain"))
+    t.commit(
+        spark.createDataFrame(
+            [("t1", "pending"), ("t2", "pending")], "task_id string, status string"
+        )
+    )
+    # duplicate key straight on top of a plain commit — recency, not hash,
+    # must decide, for every possible hash ordering of the two rows
+    t.append(
+        spark.createDataFrame([("t1", "claimed")], "task_id string, status string")
+    )
+    got = {r["task_id"]: r["status"] for r in t.read_merged("task_id").collect()}
+    assert got == {"t1": "claimed", "t2": "pending"}
+    t.append(
+        spark.createDataFrame([("t1", "completed")], "task_id string, status string")
+    )
+    got = {r["task_id"]: r["status"] for r in t.read_merged("task_id").collect()}
+    assert got["t1"] == "completed"
+    assert "__commit_v" not in t.read().columns
+
+
+def test_read_merged_tolerates_map_columns(spark, tmp_path):
+    """r6 advisor: the deterministic tie-break hashes the data columns
+    with xxhash64, which rejects MapType — read_merged on a table
+    carrying a map column (the reference's metadata dicts are maps here)
+    must not raise, and commit recency must still order distinct
+    commits."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "mapcol"))
+    schema = "task_id string, status string, meta map<string,string>"
+    t.commit(
+        spark.createDataFrame(
+            [("t1", "pending", {"a": "1"}), ("t2", "pending", {})], schema
+        )
+    )
+    t.append_delta(
+        spark.createDataFrame([("t1", "claimed", {"a": "2"})], schema)
+    )
+    got = {r["task_id"]: (r["status"], dict(r["meta"])) for r in
+           t.read_merged("task_id").collect()}
+    assert got == {"t1": ("claimed", {"a": "2"}), "t2": ("pending", {})}
+    # within-commit duplicates on an all-map payload: no hashable
+    # tie-break columns besides the key — must still resolve, stably
+    t2 = SnapshotTable(spark, str(tmp_path / "maponly"))
+    t2.commit(
+        spark.createDataFrame(
+            [("k1", {"v": "a"}), ("k1", {"v": "b"})], "k string, m map<string,string>"
+        )
+    )
+    rows = t2.read_merged("k").collect()
+    assert len(rows) == 1
+
+
 def test_snapshot_delta_model_based_random_ops(spark, tmp_path):
     """Model-based check of the versioned-table state machine: replay 12
     seeded-random operation sequences (full commit / delta append /
