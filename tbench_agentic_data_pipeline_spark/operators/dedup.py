@@ -502,27 +502,133 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", simhash32("th").alias("simhash"))
 
 
-@query("dedup_minhash_fast", survey="P4,J1")
+@query(
+    "dedup_minhash_fast",
+    survey="P4,J1",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS shingles
+            FROM toks WHERE len(w) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   [list_min(list_transform(shingles,
+                        s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                    for h in range(0, 8)] AS mh
+            FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+            FROM sig, range(0, 4) r(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+                          AND a.doc_id < b2.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               (len(list_intersect(sa.shingles, sb.shingles)) * 1000)
+                   // (len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)))
+                   AS shingle_jaccard_milli,
+               TRUE AS found_by_production_lsh
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE (len(list_intersect(sa.shingles, sb.shingles)) * 1000)
+                  // (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))) >= 800
+    """,
+)
 def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production MinHash+LSH: identical pipeline to ``dedup_minhash_bands``
-    but signatures use seeded ``xxhash64`` (JVM-intrinsic, no hex-string
-    materialization) — the variant you run on 100 TB. Rows-only check:
-    DuckDB has no xxhash64, which is exactly why the md5 twin exists."""
+    """Production MinHash+LSH under a per-pair recall CONTRACT: signatures
+    use seeded ``xxhash64`` (JVM-intrinsic, no hex-string
+    materialization) — the variant you run on 100 TB. DuckDB has no
+    xxhash64, so the candidate set itself is not oracle-portable; what
+    IS portable (r6 verdict #3, the CMS/HLL tolerance-contract pattern)
+    is the claim LSH theory actually makes: pairs with high SHINGLE
+    Jaccard — the quantity minhash estimates — must be discovered. The
+    query verifies the md5 twin's candidates with exact shingle-set
+    Jaccard (integer thousandths) and emits the ≥0.8 pairs with
+    ``found_by_production_lsh`` computed IN-PLAN via a left join against
+    the xxhash64 candidates; the oracle states the same pairs with
+    literal TRUE, so one missed pair flips the driver's value hash.
+
+    The contract metric must be shingle (not token) Jaccard: the
+    synthetic corpus's tiny vocabulary gives some pairs token-Jaccard
+    0.9+ with shingle-Jaccard near 0.3, where NO correctly-random
+    family is obliged to band them together (observed: three such
+    misses). At shingle s ≥ 0.8 the production family's 8 bands × 2
+    rows miss with p = (1−s²)⁸ ≤ 2.8e-4 per pair — zero misses across
+    every shipped fixture SF, deterministic because the data and the
+    hash family are fixed.
+
+    The flag is ``arrays_overlap(xx_bands_a, xx_bands_b)`` — "the
+    production family co-buckets this pair", LSH's own discovery
+    predicate — computed per-row inside the existing verify join, so
+    the contract costs ZERO extra exchanges (a second full
+    explode→bucket→pair pipeline measured 8 shuffles, past the plan
+    budget). Scale shape: one banded LSH pass (never all-pairs), verify
+    join only over candidates, xx signatures per-row in projection."""
     docs = spread_for_compute(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         source_path=table_path(sf_dir, "documents"),
     )
     toks = F.split("text", " ")
-    shingled = (
+    sh = (
         docs.select("doc_id", toks.alias("w"))
         .where(F.size("w") >= 3)
         .select("doc_id", shingles(F.col("w"), 3, guard_short=False).alias("shingles"))
     )
-    with_bands = minhash_band_df(shingled, "doc_id", "shingles", 8, 4, 2)
-    pairs = lsh_candidate_pairs(with_bands, "doc_id", "bands", max_bucket=1000)
-    return pairs.select(
-        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    # Each side carries its shingle set AND its production xx band keys
+    # (16 hashes / 8 bands × 2 rows) — both per-row projections over the
+    # one materialized shingle column (CollapseProject keeps the
+    # expensive multiply-referenced shingle expression un-inlined).
+    xx_sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s: _salted_hash(s, h, "xxhash64"))
+            )
+            for h in range(16)
+        ]
+    )
+    enriched = sh.select(
+        "doc_id", "shingles", band_keys(xx_sig, 8, 2).alias("xb")
+    )
+    # md5 twin (dedup_minhash_bands' exact pipeline) generates the
+    # oracle-reproducible candidates; exact shingle Jaccard verifies.
+    md5_bands = minhash_band_df(sh, "doc_id", "shingles", 8, 4, 2, hash_fn="md5")
+    cand = lsh_candidate_pairs(md5_bands, "doc_id", "bands", max_bucket=1000)
+    sa = enriched.select(
+        F.col("doc_id").alias("key_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("xb").alias("xb_a"),
+    )
+    sb = enriched.select(
+        F.col("doc_id").alias("key_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("xb").alias("xb_b"),
+    )
+    return (
+        cand.join(sa, "key_a")
+        .join(sb, "key_b")
+        .withColumn(
+            "shingle_jaccard_milli", jaccard_milli(F.col("sh_a"), F.col("sh_b"))
+        )
+        .where(F.col("shingle_jaccard_milli") >= 800)
+        .select(
+            F.col("key_a").alias("doc_a"),
+            F.col("key_b").alias("doc_b"),
+            "shingle_jaccard_milli",
+            F.arrays_overlap("xb_a", "xb_b").alias("found_by_production_lsh"),
+        )
     )
 
 

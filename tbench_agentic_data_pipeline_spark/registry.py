@@ -115,7 +115,9 @@ def query(
 #   its first value oracle this round — the in-plan recall contract)
 #   and mm_video_codec (fixture resized so one polyfill codec stops
 #   dominating the headline);
-# - 15 round-5 greens, preferring files that churn this round
+# - the round-7 addition snap_compact_vacuum (new queries enter the
+#   window the round they land);
+# - 14 round-5 greens, preferring files that churn this round
 #   (snapshot.py: COW-append provenance + map-safe tiebreak; dedup.py;
 #   similarity.py guard rework; multimodal.py backend seam) and module
 #   spread. The 33 r5-greens left over hit the staleness ceiling NEXT
@@ -159,7 +161,8 @@ _FRONT_ORDER: tuple[str, ...] = (
     "st_dedup_watermark",
     "a_conditional_distinct",
     "a_cube_priority_status",
-    # -- changed semantics / first oracle: window-mandatory -----------------
+    # -- new query / changed semantics / first oracle: window-mandatory -----
+    "snap_compact_vacuum",
     "dedup_minhash_fast",
     "mm_video_codec",
     # -- round-5 greens rotating back in (churned files / module spread) ----
@@ -175,7 +178,6 @@ _FRONT_ORDER: tuple[str, ...] = (
     "w3_pergroup_topn",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q10_returned_items",
     "q18_large_orders",
     "events_attribution",
 )

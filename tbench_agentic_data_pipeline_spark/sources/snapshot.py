@@ -484,6 +484,108 @@ def snap_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snap_compact_vacuum",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price, 1 AS v
+  FROM orders
+), d1 AS (
+  SELECT o_orderkey, 'U' AS status, o_totalprice + 5 AS price, 2 AS v
+  FROM orders WHERE o_orderkey % 7 = 0
+), d2 AS (
+  SELECT o_orderkey, 'V' AS status, o_totalprice / 2 AS price, 3 AS v
+  FROM orders WHERE o_orderkey % 3 = 0
+), merged AS (
+  SELECT o_orderkey, status, price FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rk
+    FROM (
+      SELECT * FROM base
+      UNION ALL SELECT * FROM d1
+      UNION ALL SELECT * FROM d2
+    )
+  ) WHERE rk = 1
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(price), 2) AS total_price,
+       CAST(3 AS BIGINT) AS reclaimed_versions
+FROM merged GROUP BY status ORDER BY status
+""",
+    survey="S6,S7,S8",
+)
+def snap_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged compaction + vacuum end-to-end (r6 verdict #6: the
+    maintenance half of the snapshot layer — ``compact(merge_key=...)``
+    and ``vacuum()`` — externally proven, not just pytest-pinned).
+    Reference lineage: the backup-then-replace cycle
+    (``approve_datapoint.py:56-63``, ``patch_dp.py:157-172``)
+    industrialized the way Delta's OPTIMIZE + VACUUM do.
+
+    Commit ``orders`` as the base, ``append_delta`` two keyed patch
+    batches, then ``compact(merge_key=...)`` — latest-wins resolves
+    BEFORE the rewrite, physically reclaiming superseded rows — and
+    ``vacuum(keep_last=1)``, dropping the three pre-compaction
+    directories. The result reads the post-vacuum table with a PLAIN
+    ``read()`` (no merge window): if merged compaction had left
+    superseded duplicates, or vacuum had corrupted the surviving
+    version, the per-status counts would inflate or vanish and the
+    driver's hash would flip. ``reclaimed_versions`` pins vacuum's
+    contract (3 reclaimable dirs: base + two deltas; the compacted
+    commit has no delta parents) against a literal in the oracle.
+
+    Scale shape: each delta write is O(|batch|); the merged compact is
+    one latest-wins window + rewrite — the scheduled maintenance cost
+    that buys back per-file open overhead at 100 TB; vacuum is manifest
+    bookkeeping + directory removal, no data pass at all."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    d1 = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        (F.col("o_totalprice") + 5).alias("price"),
+    )
+    d2 = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("V").alias("status"),
+        (F.col("o_totalprice") / 2).alias("price"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_snapshots",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+        "compact_vacuum",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    t = SnapshotTable(spark, root)
+    t.commit(base.coalesce(4), operation="overwrite")
+    t.append_delta(d1.coalesce(1))
+    t.append_delta(d2.coalesce(1))
+    t.compact(merge_key="o_orderkey")  # latest-wins resolved, then rewritten
+    reclaimed = len(t.vacuum(keep_last=1))
+    return (
+        t.read()  # plain read: superseded rows must be physically gone
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .withColumn("reclaimed_versions", F.lit(reclaimed).cast("bigint"))
+        .orderBy("status")
+    )
+
+
 def audit_append(
     spark: SparkSession, audit_root: str, operation: str, payload: dict
 ) -> None:

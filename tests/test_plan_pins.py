@@ -28,7 +28,10 @@ _PINS = {
     "w3_pergroup_topn": 1,
     "so1_union_by_name": 0,
     "dedup_exact": 1,
-    "dedup_minhash_fast": 3,
+    # round-7 rewrite: recall-contract form — md5-twin candidates +
+    # shingle-Jaccard verify joins; the xx contract flag is a per-row
+    # arrays_overlap, zero exchanges of its own
+    "dedup_minhash_fast": 5,
     "sim_topk_cosine_arrow": 2,
     "text_quality_score": 0,
     "st_session_windows": 1,

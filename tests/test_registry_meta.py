@@ -43,8 +43,11 @@ def test_oracle_sql_uses_only_driver_tables():
 
 
 def test_rows_only_queries_are_the_documented_exceptions():
+    """r6 verdict #3 closed the last oracle gap: dedup_minhash_fast now
+    carries the shingle-Jaccard recall-contract oracle, so NO registered
+    query is rows-only."""
     rows_only = {n for n, e in _ENTRIES.items() if e.oracle is None}
-    assert rows_only == {"dedup_minhash_fast"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_driver_window_prefix_is_exact():
