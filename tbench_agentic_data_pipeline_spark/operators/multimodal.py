@@ -1069,19 +1069,87 @@ def _decode_image(payload: bytes) -> dict:
         }
 
 
-def decode_image_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+def _decode_image_pillow(payload: bytes) -> dict:
+    """Library image backend (same row contract as :func:`_decode_image`):
+    Pillow decode → RGB means. Not importable in the zero-dependency
+    sandbox; :func:`resolve_image_backend`'s ``auto`` falls back to the
+    pure-Python codecs, which is what keeps the registered queries
+    deterministic there."""
+    import io
+
+    try:
+        import numpy as np
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - sandbox has no Pillow
+        raise ImportError(
+            "image backend 'pillow' requires Pillow; use backend='pure' "
+            "or 'auto'"
+        ) from e
+    try:
+        im = Image.open(io.BytesIO(bytes(payload)))
+        im.load()
+        rgb = np.asarray(im.convert("RGB"), dtype=np.float64)
+        means = rgb.reshape(-1, 3).mean(axis=0)
+        return {
+            "format": (im.format or "unknown").lower(),
+            "width": int(im.width), "height": int(im.height),
+            "mean_r": float(means[0]), "mean_g": float(means[1]),
+            "mean_b": float(means[2]), "status": "ok",
+        }
+    except Exception as e:  # noqa: BLE001 — status column, not a crash
+        return {
+            "format": "unknown", "width": 0, "height": 0,
+            "mean_r": 0.0, "mean_g": 0.0, "mean_b": 0.0,
+            "status": f"error:{e}",
+        }
+
+
+_IMAGE_BACKENDS = {"pure": _decode_image, "pillow": _decode_image_pillow}
+
+
+def resolve_image_backend(backend: str = "pure"):
+    """Backend seam for the image decode stage (the ``actions.py``
+    fake/subprocess pattern, r6 verdict #4): ``pure`` is the
+    guaranteed-available zero-dependency codec set, ``pillow`` the
+    library path, ``auto`` takes the library when importable and falls
+    back to pure otherwise. Returns the per-payload decode callable."""
+    if backend == "auto":
+        try:
+            import PIL  # noqa: F401
+
+            return _decode_image_pillow
+        except ImportError:
+            return _decode_image
+    if backend == "pillow":
+        # fail fast on the driver, not per-payload on an executor
+        import PIL  # noqa: F401
+    try:
+        return _IMAGE_BACKENDS[backend]
+    except KeyError:
+        raise ValueError(
+            f"unknown image backend {backend!r}; "
+            f"expected one of {sorted(_IMAGE_BACKENDS)} or 'auto'"
+        ) from None
+
+
+def decode_image_features(
+    media: DataFrame, partitions: int | None = None, backend: str = "pure"
+) -> DataFrame:
     """Real-codec twin of :func:`decode_features`: same Arrow-batched
     ``mapInPandas`` plumbing (bounded batches, metadata predicates prune
     JVM-side first), with header+pixel parsing of actual PPM/BMP bytes in
-    place of the arithmetic stub."""
+    place of the arithmetic stub. ``backend`` selects the per-payload
+    decoder via :func:`resolve_image_backend` — resolved HERE on the
+    driver so an unknown name fails fast, then shipped in the closure."""
     if partitions is not None:
         media = media.repartition(partitions)
+    decode = resolve_image_backend(backend)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in it:
-            rows = [_decode_image(p) for p in pdf["payload"]]
+            rows = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(rows)
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64").to_numpy())
             yield out
@@ -1608,13 +1676,71 @@ VIDEO_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_video_features(media: DataFrame, stride: int = 1) -> DataFrame:
+def _video_frames_pyav(buf: bytes):
+    """Library video backend (same (w, h, rgb) frame iterator contract
+    as :func:`_avi_frames`): PyAV demux+decode, handling inter-frame
+    codecs the pure walker rejects. Not importable in the
+    zero-dependency sandbox; ``auto`` falls back to pure."""
+    import io
+
+    try:
+        import av
+    except ImportError as e:  # pragma: no cover - sandbox has no PyAV
+        raise ImportError(
+            "video backend 'pyav' requires PyAV; use backend='pure' or "
+            "'auto'"
+        ) from e
+    with av.open(io.BytesIO(bytes(buf))) as container:
+        stream = next(
+            (s for s in container.streams if s.type == "video"), None
+        )
+        if stream is None:
+            raise ValueError("no video stream")
+        for frame in container.decode(stream):
+            arr = frame.to_ndarray(format="rgb24")
+            yield arr.shape[1], arr.shape[0], arr.tobytes()
+
+
+_VIDEO_BACKENDS = {"pure": _avi_frames, "pyav": _video_frames_pyav}
+
+
+def resolve_video_backend(backend: str = "pure"):
+    """Backend seam for the video decode stage, mirroring
+    :func:`resolve_image_backend`: ``pure`` = the AVI/MJPG RIFF walker +
+    baseline-JPEG entropy decoder (guaranteed available, the fallback),
+    ``pyav`` = the library demuxer, ``auto`` = library when importable.
+    Returns the payload → (w, h, rgb) frame-iterator callable."""
+    if backend == "auto":
+        try:
+            import av  # noqa: F401
+
+            return _video_frames_pyav
+        except ImportError:
+            return _avi_frames
+    if backend == "pyav":
+        # fail fast on the driver, not per-payload on an executor
+        import av  # noqa: F401
+    try:
+        return _VIDEO_BACKENDS[backend]
+    except KeyError:
+        raise ValueError(
+            f"unknown video backend {backend!r}; "
+            f"expected one of {sorted(_VIDEO_BACKENDS)} or 'auto'"
+        ) from None
+
+
+def decode_video_features(
+    media: DataFrame, stride: int = 1, backend: str = "pure"
+) -> DataFrame:
     """REAL video decode stage: every ``stride``-th AVI/MJPG frame is
     entropy-decoded (full JPEG per frame) and reduced to per-channel
     means — the 1→N keyframe-sampling explode with an actual decoder
     behind it. Same quarantine contract as the image stage: a payload
     that fails to parse yields ONE status row (frame_idx −1), never an
-    exception."""
+    exception. ``backend`` selects the frame iterator via
+    :func:`resolve_video_backend` (resolved on the driver, shipped in
+    the closure)."""
+    frames_of = resolve_video_backend(backend)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -1625,7 +1751,7 @@ def decode_video_features(media: DataFrame, stride: int = 1) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = b"" if payload is None else bytes(payload)
                 try:
-                    for i, (w, h, rgb) in enumerate(_avi_frames(p)):
+                    for i, (w, h, rgb) in enumerate(frames_of(p)):
                         if i % stride:
                             continue
                         a = np.frombuffer(rgb, np.uint8).reshape(w * h, 3)
@@ -1723,7 +1849,7 @@ def _encode_video_payloads(
     oracle="""
         WITH raster AS (
             SELECT doc_id, rpad(substr(text, 1, 4), 4, ' ') AS bytes
-            FROM documents
+            FROM documents WHERE doc_id % 4 = 0
         ),
         f AS (
             -- stride-2 sampling of 4 frames keeps frames 0 and 2, whose
@@ -1754,9 +1880,19 @@ def mm_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     means from the SAME text bytes in SQL. This is the keyframe-sample
     shape of a training-data video pipeline (reference parity: SURVEY
     §2.9 X4/X5 external-action boundary) with a real container parser
-    and a real image codec behind it; inter-frame codecs remain the
-    documented library seam."""
-    docs = load_table(spark, sf_dir, "documents")
+    and a real image codec behind it. Inter-frame codecs and hardware
+    decode go through the CODE seam, not prose:
+    ``decode_video_features(..., backend='pyav'|'auto')`` →
+    :func:`resolve_video_backend` — this query pins the ``pure``
+    fallback, the one backend guaranteed everywhere. The fixture is a
+    1/4 document sample (r6 verdict: the pure-Python entropy decoder's
+    throughput constant was letting ONE polyfill query be 15% of the
+    whole headline; the plan — scan → mapInPandas, zero exchanges — is
+    unchanged and the sample still decodes ~1,250 real videos at
+    sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 4 == 0
+    )
     raw = F.encode(F.rpad(F.substring("text", 1, 4), 4, " "), "UTF-8")
     media = docs.select("doc_id", raw.alias("raw")).mapInPandas(
         _encode_video_payloads, "doc_id long, payload binary"

@@ -1084,6 +1084,74 @@ def test_decode_video_features_stage_and_stride(spark):
     assert bad[0]["status"].startswith("error:")
 
 
+def test_codec_backend_seam_resolution():
+    """r6 verdict #4: the library codecs are a CODE seam, not prose.
+    'pure' resolves to the zero-dependency decoders, 'auto' falls back
+    to pure when the library is absent (this sandbox), explicit library
+    selection fails fast on the driver, unknown names raise ValueError."""
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _avi_frames,
+        _decode_image,
+        resolve_image_backend,
+        resolve_video_backend,
+    )
+
+    assert resolve_image_backend("pure") is _decode_image
+    assert resolve_video_backend("pure") is _avi_frames
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert resolve_image_backend("auto") is _decode_image
+        with pytest.raises(ImportError, match="[Pp]illow|PIL"):
+            resolve_image_backend("pillow")
+    try:
+        import av  # noqa: F401
+
+        has_av = True
+    except ImportError:
+        has_av = False
+    if not has_av:
+        assert resolve_video_backend("auto") is _avi_frames
+        with pytest.raises(ImportError, match="av"):
+            resolve_video_backend("pyav")
+    with pytest.raises(ValueError, match="unknown image backend"):
+        resolve_image_backend("imagemagick")
+    with pytest.raises(ValueError, match="unknown video backend"):
+        resolve_video_backend("ffmpeg")
+
+
+def test_decode_stages_pure_backend_explicit(spark):
+    """The pure backends remain the round-trip-correct default when
+    selected through the seam explicitly."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _encode_ppm,
+        decode_image_features,
+        decode_video_features,
+    )
+
+    img = spark.createDataFrame(
+        [(9, bytearray(_encode_ppm(2, 1, bytes([10, 20, 30, 10, 20, 30]))))],
+        "doc_id long, payload binary",
+    )
+    got = decode_image_features(img, backend="pure").collect()
+    assert len(got) == 1 and got[0]["status"] == "ok"
+    assert (got[0]["width"], got[0]["mean_r"]) == (2, 10.0)
+    vid = spark.createDataFrame(
+        [(3, bytearray(_mjpg_fixture([77, 88])))], "doc_id long, payload binary"
+    )
+    vgot = decode_video_features(vid, backend="pure").collect()
+    assert sorted((r["frame_idx"], r["mean_r"]) for r in vgot) == [
+        (0, 77.0),
+        (1, 88.0),
+    ]
+
+
 def test_frame_sample_avi_emits_ppm_frames(spark):
     from tbench_agentic_data_pipeline_spark.operators.multimodal import (
         _parse_ppm,
