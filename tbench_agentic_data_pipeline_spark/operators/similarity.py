@@ -1240,14 +1240,16 @@ def knn_join(
     cell meant hand-splitting the input. This dispatcher does the
     accounting itself:
 
-    1. one per-bucket count aggregate (bucket-cardinality-sized — the
-       same row-count reduction every ``lsh_bucket_stats`` call does),
-       collected once UP TO ``max_broadcast_buckets``: within the cap
-       the counts feed both the routing decision and the broadcast tag
-       join, and the driver-side copy is exactly the rows the broadcast
-       ships anyway; past the cap (bucketings approaching one bucket
-       per row) the tag join runs against the aggregation plan itself —
-       a shuffle join, correct at any cardinality — and the routing
+    1. one per-bucket count aggregate (bucket-cardinality-sized, pruned
+       to the bucket column — the same row-count reduction every
+       ``lsh_bucket_stats`` call does), collected once UP TO
+       ``max_broadcast_buckets``: within the cap, routing is a
+       driver-side DENSE-KEY FILTER — in the common all-small case the
+       arrow path receives the input plan untouched (no tag join, no
+       second corpus scan), and when dense buckets exist the split is a
+       tiny ``isin`` predicate; past the cap (bucketings approaching
+       one bucket per row) the split joins the aggregation plan itself
+       — a shuffle join, correct at any cardinality — and the routing
        flag reduces to one MAX scalar;
     2. rows in buckets ≤ ``max_bucket_rows`` take the one-task GEMM,
        rows in dense buckets take the blocked path, results unioned —
@@ -1274,30 +1276,53 @@ def knn_join(
     )
     # Bounded collect (r6 advisor): an LSH-signature bucketing can
     # approach one bucket per row, making the count table itself big
-    # data — never collect it unboundedly. Within the cap, the
-    # driver-side copy is exactly the rows the broadcast ships anyway
-    # and feeds the routing decision for free; past it, fall back to
-    # joining the aggregation plan directly (a shuffle join — correct at
-    # any cardinality), with the dense-bucket flag reduced to ONE scalar
-    # instead of a row collect.
+    # data — never collect it unboundedly. Within the cap, routing is a
+    # driver-side DENSE-KEY FILTER, not a tag join: dense buckets are
+    # rare by design, so the common all-small case hands
+    # ``knn_join_arrow`` the input plan UNTOUCHED (r6 verdict: the
+    # collect-once rewrite's broadcast tag join re-scanned the corpus
+    # and read +46% on the bench; the count aggregation itself prunes
+    # to the bucket column). Past the cap, fall back to joining the
+    # aggregation plan directly (a shuffle join — correct at any
+    # cardinality), with the dense flag reduced to ONE scalar.
     count_rows = counts_plan.limit(max_broadcast_buckets + 1).collect()
     if len(count_rows) <= max_broadcast_buckets:
-        has_dense = any(r["__bucket_n"] > max_bucket_rows for r in count_rows)
-        counts = emb.sparkSession.createDataFrame(count_rows, counts_plan.schema)
-        counts = F.broadcast(counts)
+        dense_keys = [
+            r["__cb_key"] for r in count_rows
+            if r["__bucket_n"] > max_bucket_rows
+        ]
+        if not dense_keys:
+            return knn_join_arrow(
+                emb, k, key_col=key_col, vec_col=vec_col,
+                bucket_col=bucket_col, max_bucket_rows=max_bucket_rows,
+            )
+        has_dense = True
+        nonnull = [k_ for k_ in dense_keys if k_ is not None]
+        in_dense = (
+            F.coalesce(F.col(bucket_col).isin(*nonnull), F.lit(False))
+            if nonnull
+            else F.lit(False)
+        )
+        if any(k_ is None for k_ in dense_keys):
+            in_dense = in_dense | F.col(bucket_col).isNull()
+        small = emb.where(~in_dense)
+        dense = emb.where(in_dense)
     else:
         has_dense = (
             counts_plan.agg(
                 F.max("__bucket_n").alias("mx")
             ).collect()[0]["mx"] or 0
         ) > max_bucket_rows
-        counts = counts_plan
-    tagged = emb.join(
-        counts,
-        F.col(bucket_col).eqNullSafe(F.col("__cb_key")),
-    ).drop("__cb_key")
-    small = tagged.where(F.col("__bucket_n") <= max_bucket_rows).drop("__bucket_n")
-    dense = tagged.where(F.col("__bucket_n") > max_bucket_rows).drop("__bucket_n")
+        tagged = emb.join(
+            counts_plan,
+            F.col(bucket_col).eqNullSafe(F.col("__cb_key")),
+        ).drop("__cb_key")
+        small = tagged.where(F.col("__bucket_n") <= max_bucket_rows).drop(
+            "__bucket_n"
+        )
+        dense = tagged.where(F.col("__bucket_n") > max_bucket_rows).drop(
+            "__bucket_n"
+        )
 
     out = knn_join_arrow(
         small, k, key_col=key_col, vec_col=vec_col, bucket_col=bucket_col,
