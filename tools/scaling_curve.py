@@ -132,6 +132,19 @@ EXTRA_CURVE = [
     "sim_topk_cosine",
     "pipeline_corpus_build",
     "snap_merge_on_read",
+    # r7 (VERDICT r6 #7): the last un-curved >=3-exchange query and this
+    # round's new/changed paths. The registered `sim_knn_join` (fold
+    # cosine, the ORACLE-semantics path) is deliberately NOT here: its
+    # ~sf1 quadratic-fold constant is already measured and documented in
+    # prose (α=1.66, 51.9 s in r5; 34.5 s re-measured r7) — the
+    # production twins `sim_knn_join_arrow`/`_auto` are what the curve
+    # tracks. The dispatcher after its r7 filter-routing rewrite is
+    # covered by `sim_knn_join_auto` in HEADLINE.
+    "dedup_resolve_survivors",
+    "snap_compact_vacuum",
+    "dedup_ngram_jaccard",
+    "q8_market_share",
+    "a_cube_priority_status",
 ]
 
 
