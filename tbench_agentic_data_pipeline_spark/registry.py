@@ -112,12 +112,13 @@ def query(
 #   a_conditional_distinct, a_cube_priority_status) — staleness
 #   ceiling, non-negotiable;
 # - changed-semantics / first-oracle queries: dedup_minhash_fast (gets
-#   its first value oracle this round — the in-plan recall contract)
-#   and mm_video_codec (fixture resized so one polyfill codec stops
-#   dominating the headline);
+#   its first value oracle this round — the in-plan recall contract),
+#   mm_video_codec (fixture resized so one polyfill codec stops
+#   dominating the headline), and mm_image_codec (now four codec
+#   classes: the Adam7-interlace deinterlace path joined the fixture);
 # - the round-7 addition snap_compact_vacuum (new queries enter the
 #   window the round they land);
-# - 14 round-5 greens, preferring files that churn this round
+# - 13 round-5 greens, preferring files that churn this round
 #   (snapshot.py: COW-append provenance + map-safe tiebreak; dedup.py;
 #   similarity.py guard rework; multimodal.py backend seam) and module
 #   spread. The 33 r5-greens left over hit the staleness ceiling NEXT
@@ -165,6 +166,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "snap_compact_vacuum",
     "dedup_minhash_fast",
     "mm_video_codec",
+    "mm_image_codec",
     # -- round-5 greens rotating back in (churned files / module spread) ----
     "u1_keyed_patch",
     "mm_decode_features",
@@ -175,7 +177,6 @@ _FRONT_ORDER: tuple[str, ...] = (
     "sim_centroid_outliers",
     "a_heavy_hitters_cms",
     "text_bm25_topk",
-    "w3_pergroup_topn",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
