@@ -1398,19 +1398,39 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 def _encode_png(
     w: int, h: int, px: bytes, *, grayscale: bool = False,
-    interlace: bool = False,
+    interlace: bool = False, depth: int = 8,
 ) -> bytes:
     """Minimal real PNG encoder (fixture generator + round-trip proof):
-    8-bit RGB or grayscale, filter 0 scanlines, one zlib IDAT;
-    ``interlace`` emits the Adam7 pass sequence (spec §8.2) the decoder
-    deinterlaces."""
+    RGB (depth 8/16) or grayscale (depth 1/2/4/8/16), filter 0
+    scanlines, one zlib IDAT; ``interlace`` emits the Adam7 pass
+    sequence (spec §8.2). ``px`` holds ONE BYTE PER SAMPLE: raw small
+    values (0..2^depth−1) below depth 8, the 8-bit value at depth 8/16
+    (16-bit samples are written as v·257, so the decoder's high-byte
+    reduction round-trips exactly)."""
     import zlib
 
     ch = 1 if grayscale else 3
     color_type = 0 if grayscale else 2
+    if grayscale and depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad grayscale depth {depth}")
+    if not grayscale and depth not in (8, 16):
+        raise ValueError(f"bad RGB depth {depth}")
     raw = bytes(px)
     if len(raw) != w * h * ch:
         raise ValueError(f"raster is {len(raw)} bytes, need {w * h * ch}")
+    mask = (1 << min(depth, 8)) - 1
+
+    def pack_row(samples: bytes) -> bytes:
+        if depth == 8:
+            return bytes(samples)
+        if depth == 16:
+            return b"".join(bytes([v, v]) for v in samples)
+        per = 8 // depth
+        out = bytearray((len(samples) * depth + 7) // 8)
+        for i, v in enumerate(samples):
+            out[i // per] |= (v & mask) << (8 - depth * (i % per + 1))
+        return bytes(out)
+
     stride = w * ch
     if interlace:
         parts = []
@@ -1421,18 +1441,20 @@ def _encode_png(
                 continue
             for r in range(ph):
                 y = y0 + r * dy
-                parts.append(b"\x00")
+                row = bytearray()
                 for c in range(pw):
                     x = x0 + c * dx
-                    parts.append(raw[y * stride + x * ch:y * stride + (x + 1) * ch])
+                    row += raw[y * stride + x * ch:y * stride + (x + 1) * ch]
+                parts.append(b"\x00" + pack_row(bytes(row)))
         scan = b"".join(parts)
     else:
         scan = b"".join(
-            b"\x00" + raw[y * stride:(y + 1) * stride] for y in range(h)
+            b"\x00" + pack_row(raw[y * stride:(y + 1) * stride])
+            for y in range(h)
         )
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, int(interlace)])
+        + bytes([depth, color_type, 0, 0, int(interlace)])
     )
     return (
         _PNG_SIG
@@ -1497,6 +1519,23 @@ def _png_defilter(
     return out, off + need
 
 
+def _png_unpack_row(line: bytes, n_samples: int, depth: int) -> bytearray:
+    """One defiltered scanline → ``n_samples`` raw 8-bit-slot samples:
+    identity at depth 8, the HIGH byte at depth 16 (the standard 16→8
+    reduction), MSB-first bit unpacking below 8 (values left unscaled —
+    gray scaling vs palette indexing is the caller's call)."""
+    if depth == 8:
+        return bytearray(line[:n_samples])
+    if depth == 16:
+        return bytearray(line[0:2 * n_samples:2])
+    out = bytearray(n_samples)
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    for i in range(n_samples):
+        out[i] = (line[i // per] >> (8 - depth * (i % per + 1))) & mask
+    return out
+
+
 def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
     """PNG → (width, height, raw RGB raster). Alpha is dropped (feature
     extraction reads color channels); palette indices resolve through
@@ -1535,23 +1574,42 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"unsupported PNG bit depth {depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(f"depth {depth} invalid for color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette images are invalid PNG")
     if w == 0 or h == 0:
         raise ValueError("empty PNG frame")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    bpp = channels  # bytes per pixel at depth 8
+    stride = w * channels  # 8-bit samples per output row
+    bits_pp = channels * depth
+    bpp = max(1, bits_pp // 8)  # filter step, PNG spec 4.5.2
+
+    def row_bytes(width: int) -> int:
+        return (width * bits_pp + 7) // 8
+
     if interlace == 0:
-        if len(raw) != h * (stride + 1):
+        need = h * (row_bytes(w) + 1)
+        if len(raw) != need:
             raise ValueError(
                 f"decompressed scanlines are {len(raw)} bytes, "
-                f"need {h * (stride + 1)}"
+                f"need {need}"
             )
-        out, off = _png_defilter(raw, 0, stride, h, bpp)
+        lines, off = _png_defilter(raw, 0, row_bytes(w), h, bpp)
+        if depth == 8:
+            out = lines
+        else:
+            out = bytearray(h * stride)
+            rb = row_bytes(w)
+            for y in range(h):
+                out[y * stride:(y + 1) * stride] = _png_unpack_row(
+                    lines[y * rb:(y + 1) * rb], stride, depth
+                )
     elif interlace == 1:
         # Adam7: seven independently-filtered sub-images in one IDAT
         # stream; each pass defilters with its own zeroed prev row, and
@@ -1563,14 +1621,18 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # pass empty at these dimensions
-            sub, off = _png_defilter(raw, off, pw * bpp, ph, bpp)
+            prb = row_bytes(pw)
+            sub, off = _png_defilter(raw, off, prb, ph, bpp)
             for r in range(ph):
                 y = y0 + r * dy
-                row = r * pw * bpp
+                srow = _png_unpack_row(
+                    sub[r * prb:(r + 1) * prb], pw * channels, depth
+                )
                 for c in range(pw):
                     x = x0 + c * dx
-                    out[y * stride + x * bpp:y * stride + (x + 1) * bpp] = (
-                        sub[row + c * bpp:row + (c + 1) * bpp]
+                    out[y * stride + x * channels:
+                        y * stride + (x + 1) * channels] = (
+                        srow[c * channels:(c + 1) * channels]
                     )
         if off != len(raw):
             raise ValueError(
@@ -1586,8 +1648,9 @@ def _decode_png(buf: bytes) -> tuple[int, int, bytes]:
             rgb[3 * p:3 * p + 3] = out[4 * p:4 * p + 3]
     elif color_type in (0, 4):  # gray / gray+alpha → replicate
         step = channels
+        scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
         for p in range(w * h):
-            g = out[step * p]
+            g = out[step * p] * scale
             rgb[3 * p] = rgb[3 * p + 1] = rgb[3 * p + 2] = g
     else:  # palette
         if not plte:
