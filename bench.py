@@ -77,6 +77,9 @@ HEADLINE = [
     "a_heavy_hitters_cms",
     "snap_merge_on_read",
     "mm_video_codec",
+    # round-7 addition, benched from birth: PQ/ADC top-k — the Arrow
+    # encode + lookup-table search over m-byte codes
+    "sim_pq_adc_topk",
 ]
 
 

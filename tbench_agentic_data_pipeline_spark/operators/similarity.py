@@ -133,6 +133,125 @@ def hyperplane(plane: int, dim: int) -> Column:
     )
 
 
+def l2_sq_fold(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (bit-stable across engines —
+    the same index-order contract as :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codeword(sub: int, code: int, ds: int) -> Column:
+    """Deterministic md5-derived PQ codeword: component t of codeword
+    ``code`` in subspace ``sub`` is ``(int(md5("pq{sub}_{code}_{t}")
+    [:8 hex]) % 2001 - 1000) / 8000`` — the :func:`hyperplane` trick,
+    so the DuckDB oracle regenerates identical codebooks with zero
+    training I/O. The /8000 scale puts codeword components on the
+    data's own scale (unit-norm 64-d vectors → component rms 1/8;
+    measured recall@10 0.30 vs 0.175 at the unscaled [-1,1] range).
+    Derived ONCE on the driver with hashlib (bit-identical to the SQL
+    md5 derivation) and inlined as literals: an in-plan md5 per
+    component made the encode tree thousands of expression nodes and
+    Catalyst analysis+codegen alone cost ~12 s per action — constants
+    belong in the plan as constants. A production deployment swaps
+    these for k-means-trained codebooks (``clustering.kmeans_fit`` per
+    subspace, persisted via ``save_ivf_index``'s snapshot lifecycle);
+    the encode / ADC mechanics below are codebook-agnostic."""
+    import hashlib
+
+    vals = []
+    for t in range(ds):
+        hx = hashlib.md5(f"pq{sub}_{code}_{t}".encode()).hexdigest()[:8]
+        vals.append((int(hx, 16) % 2001 - 1000) / 8000.0)
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def pq_encode(vec: Column, m: int, k: int, dim: int) -> Column:
+    """Product-quantization encode: split ``vec`` into ``m`` subvectors
+    of ``dim/m`` dims; each becomes the index of its nearest codeword
+    (squared L2, first-minimum tie-break — both engines pick the lowest
+    code id). Output array<int> of length m — at k ≤ 256 that is one
+    BYTE per subspace in storage (pack with the int8 machinery), a
+    d·4/m-fold compression of float32 embeddings: the memory-bandwidth
+    rung above int8 on the ANN ladder. Everything is a per-row
+    projection — zero shuffles, zero UDFs, whole-stage codegen."""
+    ds = dim // m
+    codes = []
+    for sub in range(m):
+        sv = F.slice(vec, sub * ds + 1, ds)
+        dists = F.array(
+            *[l2_sq_fold(sv, pq_codeword(sub, j, ds)) for j in range(k)]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_adc_lut(q_vec: Column, m: int, k: int, dim: int) -> Column:
+    """Asymmetric-distance lookup table for ONE query vector: entry
+    [s][j] = l2²(q_subvector_s, codeword(s, j)). Computed once per query
+    row (m·k folds), then every corpus row's distance is m array reads —
+    the ADC trick that makes PQ search memory-bound, not compute-bound."""
+    ds = dim // m
+    return F.array(
+        *[
+            F.array(
+                *[
+                    l2_sq_fold(
+                        F.slice(q_vec, sub * ds + 1, ds),
+                        pq_codeword(sub, j, ds),
+                    )
+                    for j in range(k)
+                ]
+            )
+            for sub in range(m)
+        ]
+    )
+
+
+def pq_adc_score(lut: Column, codes: Column, m: int) -> Column:
+    """Approximate squared distance: Σ_s lut[s][codes[s]] — a sequential
+    fold over subspaces so both engines add in the same order."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.element_at(lut, sub), F.element_at(codes, sub) + 1
+        ),
+    )
+
+
+def pq_search_topk(
+    corpus_codes: DataFrame, queries: DataFrame, k_results: int,
+    m: int, k: int, dim: int,
+    corpus_key: str = "vec_id", codes_col: str = "codes",
+    query_key: str = "q_id", query_vec: str = "q_emb",
+) -> DataFrame:
+    """PQ/ADC top-k: queries (driver-small, broadcast with their LUTs)
+    × encoded corpus → per-query rank by approximate distance. The
+    corpus side carries only the m-byte codes — at 100 TB of float32
+    embeddings the scan shrinks ~32× and never touches the raw vectors;
+    re-ranking survivors against the full vectors is a point-lookup
+    join on ``corpus_key`` afterwards (the standard two-stage PQ
+    pipeline)."""
+    q = queries.withColumn("__lut", pq_adc_lut(F.col(query_vec), m, k, dim))
+    scored = corpus_codes.crossJoin(
+        F.broadcast(q.select(query_key, "__lut"))
+    ).select(
+        query_key,
+        corpus_key,
+        pq_adc_score(F.col("__lut"), F.col(codes_col), m).alias("adc_sq"),
+    )
+    w = Window.partitionBy(query_key).orderBy("adc_sq", F.col(corpus_key))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k_results
+    )
+
+
 def lsh_bucket_assign(vec: Column, planes: int, dim: int) -> Column:
     """planes-bit bucket signature: bit p set iff dot(v, plane_p) > 0."""
     sig = F.lit(0).cast("bigint")
@@ -430,6 +549,254 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", lsh_bucket_assign(F.col("emb"), planes=8, dim=64)
     )
     return with_bucket.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def _seq_lastaxis_sum(sq):
+    """Sequential last-axis sum: numpy's pairwise summation unrolls at
+    exactly 8 elements into a tree order that differs from the
+    sequential fold by final ulps — and the PQ twins are pinned
+    BIT-identical to the fold/DuckDB order, so add in index order."""
+    acc = sq[..., 0]
+    for t in range(1, sq.shape[-1]):
+        acc = acc + sq[..., t]
+    return acc
+
+
+def _pq_codebook_np(m: int, k: int, dim: int):
+    """The :func:`pq_codeword` codebook as an (m, k, dim/m) ndarray —
+    same hashlib derivation, same doubles."""
+    import hashlib
+
+    import numpy as np
+
+    ds = dim // m
+    cb = np.zeros((m, k, ds), dtype=np.float64)
+    for sub in range(m):
+        for code in range(k):
+            for t in range(ds):
+                hx = hashlib.md5(
+                    f"pq{sub}_{code}_{t}".encode()
+                ).hexdigest()[:8]
+                cb[sub, code, t] = (int(hx, 16) % 2001 - 1000) / 8000.0
+    return cb
+
+
+def pq_encode_arrow(
+    emb: DataFrame, m: int, k: int, dim: int,
+    key_col: str = "vec_id", vec_col: str = "emb",
+) -> DataFrame:
+    """Arrow/numpy production twin of :func:`pq_encode`: one vectorized
+    ``(batch, k, ds)`` distance computation + argmin per subspace, per
+    Arrow batch. BIT-IDENTICAL to the declarative fold path (pinned in
+    tests): the squared-difference sum runs over the 8-element last
+    axis, where numpy's pairwise summation degenerates to the same
+    left-to-right order as the fold, and ``argmin`` takes the first
+    minimum exactly like ``array_position``. Exists because the
+    declarative encode tree (m·k higher-order folds, twice) costs more
+    in Catalyst analysis+codegen per ACTION (~7 s) than the entire scan
+    at sf0.1 — the same expression-tree-size lesson as the CMS rewrite,
+    solved the same way the GEMM top-k was."""
+    ds = dim // m
+    cb = _pq_codebook_np(m, k, dim)
+
+    def batches(it: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = X.reshape(len(pdf), m, ds)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for sub in range(m):
+                diff = X[:, sub, None, :] - cb[sub][None, :, :]
+                d = _seq_lastaxis_sum(diff * diff)
+                codes[:, sub] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {key_col: pdf[key_col], "codes": list(codes)}
+            )
+
+    return emb.mapInPandas(batches, f"{key_col} long, codes array<int>")
+
+
+def pq_search_topk_arrow(
+    corpus_codes: DataFrame, queries: DataFrame, k_results: int,
+    m: int, k: int, dim: int,
+    corpus_key: str = "vec_id", codes_col: str = "codes",
+    query_key: str = "q_id", query_vec: str = "q_emb",
+    max_queries: int = _MAX_BRUTE_FORCE_QUERIES,
+) -> DataFrame:
+    """Arrow/numpy ADC search (production twin of :func:`pq_search_topk`,
+    bit-identical, pinned in tests): queries collect once (bounded, the
+    :func:`_take_bounded` contract), their LUTs compute in numpy and
+    ship in the closure; each Arrow batch of m-byte codes scores as m
+    vectorized gathers + adds (in subspace order, matching the fold),
+    and only the per-batch top-k per query reaches the final exact
+    rank — ≤ k·n_batches rows per query to one small exchange, the
+    :func:`brute_force_topk_arrow` plan skeleton over a ~32×-smaller
+    scan."""
+    import numpy as np
+
+    ds = dim // m
+    cb = _pq_codebook_np(m, k, dim)
+    qrows = _take_bounded(
+        queries.select(query_key, query_vec), max_queries,
+        "pq_search_topk_arrow",
+        "Shard the query set, or use the declarative pq_search_topk "
+        "with a distributed join for query-set-scale workloads.",
+    )
+    out_schema = (
+        f"{query_key} long, {corpus_key} long, adc_sq double, rank bigint"
+    )
+    spark = corpus_codes.sparkSession
+    if not qrows:
+        return spark.createDataFrame([], out_schema).where(F.lit(False))
+    q_ids = [r[query_key] for r in qrows]
+    luts = []
+    for r in qrows:
+        qv = np.asarray(r[query_vec], dtype=np.float64).reshape(m, ds)
+        luts.append(
+            np.stack(
+                [
+                    _seq_lastaxis_sum(
+                        (qv[sub, None, :] - cb[sub])
+                        * (qv[sub, None, :] - cb[sub])
+                    )
+                    for sub in range(m)
+                ]
+            )
+        )  # (m, k)
+
+    def batches(it: "Iterator") -> "Iterator":
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)
+            keys = pdf[corpus_key].to_numpy()
+            frames = []
+            for qi, lut in zip(q_ids, luts):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for sub in range(m):
+                    acc = acc + lut[sub][codes[:, sub]]
+                take = min(k_results, len(acc))
+                part = np.argpartition(acc, take - 1)[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_key: qi,
+                            corpus_key: keys[part],
+                            "adc_sq": acc[part],
+                            "rank": 0,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus_codes.mapInPandas(batches, out_schema)
+    w = Window.partitionBy(query_key).orderBy("adc_sq", F.col(corpus_key))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_results)
+    )
+
+
+@query(
+    "sim_pq_adc_topk",
+    survey="J5,W3",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        cw AS (
+            SELECT s.s, j.j,
+                   [CAST((('0x' || substr(md5('pq' || CAST(s.s AS VARCHAR)
+                            || '_' || CAST(j.j AS VARCHAR) || '_'
+                            || CAST(t AS VARCHAR)), 1, 8))::BIGINT
+                           % 2001 - 1000) AS DOUBLE) / 8000.0
+                    for t in range(0, 8)] AS w
+            FROM range(0, 8) s(s), range(0, 16) j(j)
+        ),
+        sub AS (
+            SELECT vec_id, s.s, emb[s.s*8 + 1 : s.s*8 + 8] AS sv
+            FROM c, range(0, 8) s(s)
+        ),
+        d AS (
+            SELECT sub.vec_id, sub.s, cw.j,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (sub.sv[i] - cw.w[i]) * (sub.sv[i] - cw.w[i])))
+                       AS dist
+            FROM sub JOIN cw ON cw.s = sub.s
+        ),
+        amin AS (
+            SELECT vec_id, s, j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist, j
+                   ) AS rk
+            FROM d
+        ),
+        codes AS (
+            SELECT vec_id, list(j ORDER BY s) AS codes
+            FROM amin WHERE rk = 1 GROUP BY vec_id
+        ),
+        lutrows AS (
+            SELECT vec_id AS q_id, s, list(dist ORDER BY j) AS lrow
+            FROM d WHERE vec_id < 3 GROUP BY vec_id, s
+        ),
+        lut AS (
+            SELECT q_id, list(lrow ORDER BY s) AS lut
+            FROM lutrows GROUP BY q_id
+        ),
+        scored AS (
+            SELECT l.q_id, cds.vec_id,
+                   list_sum(list_transform(range(1, 9),
+                       s -> l.lut[s][cds.codes[s] + 1])) AS adc_sq
+            FROM lut l, codes cds
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, adc_sq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adc_sq, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, vec_id, ROUND(adc_sq * (1 + 5e-13), 4) AS adc_sq,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, end-to-end (r7 — the compression rung
+    above int8 on the ANN ladder): encode the corpus to m=8 one-byte
+    codes (16 codewords per 8-dim subspace), then ADC top-5 for 3
+    queries — per-query lookup tables, per-row distance = 8 array reads.
+    Deterministic md5-derived codebooks make the WHOLE pipeline (encode
+    argmin, LUT build, ADC ranking) replayable in SQL, so this is an
+    exact value oracle, not a recall contract; see :func:`pq_codeword`
+    for the trained-codebook production swap. Scale shape: encoding is
+    a per-row projection over the corpus (zero shuffles), search scans
+    the m-byte codes (~32× less IO than float32 vectors) against
+    broadcast LUTs with one top-k exchange — the two-stage PQ pipeline's
+    candidate half, with exact re-ranking a keyed join away."""
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        source_path=table_path(sf_dir, "embeddings"),
+    ).select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    codes = pq_encode_arrow(emb, 8, 16, 64)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    out = pq_search_topk_arrow(codes, queries, 5, 8, 16, 64)
+    return out.select(
+        "q_id",
+        "vec_id",
+        stable_round(F.col("adc_sq"), 4).alias("adc_sq"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 @query(

@@ -114,15 +114,16 @@ def query(
 # - changed-semantics / first-oracle queries: dedup_minhash_fast (gets
 #   its first value oracle this round — the in-plan recall contract),
 #   mm_video_codec (fixture resized so one polyfill codec stops
-#   dominating the headline), and mm_image_codec (now four codec
-#   classes: the Adam7-interlace deinterlace path joined the fixture);
-# - the round-7 addition snap_compact_vacuum (new queries enter the
-#   window the round they land);
-# - 13 round-5 greens, preferring files that churn this round
+#   dominating the headline), and mm_image_codec (now five codec
+#   classes: Adam7-interlaced PNG and progressive JPEG joined the
+#   fixture);
+# - the round-7 additions snap_compact_vacuum and sim_pq_adc_topk
+#   (new queries enter the window the round they land);
+# - 12 round-5 greens, preferring files that churn this round
 #   (snapshot.py: COW-append provenance + map-safe tiebreak; dedup.py;
 #   similarity.py guard rework; multimodal.py backend seam) and module
-#   spread. The 33 r5-greens left over hit the staleness ceiling NEXT
-#   round and are r8's mandatory block (33 < 50: feasible).
+#   spread. The 36 r5-greens left over hit the staleness ceiling NEXT
+#   round and are r8's mandatory block (36 < 50: feasible).
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
@@ -167,6 +168,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "dedup_minhash_fast",
     "mm_video_codec",
     "mm_image_codec",
+    "sim_pq_adc_topk",
     # -- round-5 greens rotating back in (churned files / module spread) ----
     "u1_keyed_patch",
     "mm_decode_features",
@@ -177,7 +179,6 @@ _FRONT_ORDER: tuple[str, ...] = (
     "sim_centroid_outliers",
     "a_heavy_hitters_cms",
     "text_bm25_topk",
-    "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "events_attribution",

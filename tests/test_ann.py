@@ -503,6 +503,83 @@ def test_knn_join_dispatcher_leaves_no_persisted_tables(spark):
     assert after == before, f"knn_join leaked {after - before} persisted RDD(s)"
 
 
+def test_pq_arrow_and_declarative_paths_are_bit_identical(spark):
+    """Product quantization (r7): the Arrow/numpy encode+ADC twins must
+    equal the declarative fold operators BIT-for-bit — same codes, same
+    double scores, same ranks — because the numpy sums run in the same
+    index order as the sequential folds. This is what licenses the
+    registered query to hash-check the production path directly."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        pq_encode,
+        pq_encode_arrow,
+        pq_search_topk,
+        pq_search_topk_arrow,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    m, k, dim = 8, 16, 64
+    codes_decl = {
+        r["vec_id"]: list(r["codes"])
+        for r in emb.select(
+            "vec_id", pq_encode(F.col("emb"), m, k, dim).alias("codes")
+        ).collect()
+    }
+    codes_arrow = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode_arrow(emb, m, k, dim).collect()
+    }
+    assert codes_arrow == codes_decl
+    assert all(0 <= c < k for cs in codes_arrow.values() for c in cs)
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    codes_df = pq_encode_arrow(emb, m, k, dim)
+    decl = {
+        (r["q_id"], r["vec_id"]): (r["adc_sq"], r["rank"])
+        for r in pq_search_topk(
+            emb.select("vec_id", pq_encode(F.col("emb"), m, k, dim).alias("codes")),
+            queries, 5, m, k, dim,
+        ).collect()
+    }
+    arrow = {
+        (r["q_id"], r["vec_id"]): (r["adc_sq"], r["rank"])
+        for r in pq_search_topk_arrow(
+            codes_df, queries, 5, m, k, dim
+        ).collect()
+    }
+    assert arrow == decl  # exact float equality, deliberate
+    # self is its own nearest code sequence: rank 1 at distance == LUT sum
+    assert all(arrow[(q, q)][1] == 1 for q in range(5))
+
+
+def test_pq_search_refuses_oversized_query_side(spark):
+    """The Arrow ADC path ships per-query LUTs in the closure — the
+    same driver-size contract as brute_force_topk_arrow, enforced by
+    the same one-evaluation bounded collect."""
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        pq_encode_arrow,
+        pq_search_topk_arrow,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    codes = pq_encode_arrow(emb, 8, 16, 64)
+    queries = emb.limit(30).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    with pytest.raises(ValueError, match="pq_search_topk"):
+        pq_search_topk_arrow(codes, queries, 5, 8, 16, 64, max_queries=29)
+
+
 def test_knn_join_bucket_count_cap_falls_back_to_plan_join(spark):
     """r6 advisor: the dispatcher collected the whole bucket-count table
     unconditionally — unbounded for bucketings approaching one bucket

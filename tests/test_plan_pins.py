@@ -32,6 +32,9 @@ _PINS = {
     # shingle-Jaccard verify joins; the xx contract flag is a per-row
     # arrays_overlap, zero exchanges of its own
     "dedup_minhash_fast": 5,
+    # round-7: PQ/ADC — encode mapInPandas -> score mapInPandas -> one
+    # top-k exchange (plus the bounded query collect, not an exchange)
+    "sim_pq_adc_topk": 2,
     "sim_topk_cosine_arrow": 2,
     "text_quality_score": 0,
     "st_session_windows": 1,
