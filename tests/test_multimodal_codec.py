@@ -751,6 +751,30 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
         assert _decode_jpeg(prog) == _decode_jpeg(base), (w, h, gray)
 
 
+def test_jpeg_progressive_small_odd_shapes_property():
+    """Property sweep over sub-MCU and partial-MCU dimensions (w or h
+    < 8, odd sizes): edge-replication padding, single-block frames and
+    crop-back must keep the progressive/baseline decode identity."""
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_baseline,
+        _encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(2)
+    for w in (1, 3, 5, 7, 9, 15):
+        for h in (1, 4, 11):
+            for gray in (True, False):
+                ch = 1 if gray else 3
+                a = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+                px = a[..., 0] if gray else a
+                base = _encode_jpeg_baseline(w, h, px.tobytes(), grayscale=gray)
+                prog = _encode_jpeg_progressive(w, h, px.tobytes(), grayscale=gray)
+                assert _decode_jpeg(prog) == _decode_jpeg(base), (w, h, gray)
+
+
 def test_jpeg_progressive_constant_blocks_bitexact():
     """The mm_image_codec fixture contract carries over: constant 8x8
     blocks with DC step 8 decode bit-exactly through the progressive
