@@ -703,6 +703,38 @@ def pq_search_topk_arrow(
     )
 
 
+def pq_rerank_exact(
+    candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+    k_results: int,
+    corpus_key: str = "vec_id", corpus_vec: str = "emb",
+    query_key: str = "q_id", query_vec: str = "q_emb",
+) -> DataFrame:
+    """Stage two of the PQ pipeline: exact cosine re-rank of the ADC
+    candidate set. ``candidates`` is the (query_key, corpus_key) output
+    of an ADC search widened to N ≫ k (the recall knob); this joins the
+    survivors back to their FULL vectors — a keyed join touching only
+    |queries|·N rows of the corpus, not a scan — scores exact cosine,
+    and returns the top ``k_results`` per query. At 100 TB this is the
+    only stage that reads float32 vectors, and it reads ~N per query;
+    everything before it ran on m-byte codes. The broadcast side is the
+    (tiny) candidate and query tables; the corpus side never shuffles."""
+    cand = candidates.select(query_key, corpus_key)
+    joined = corpus.join(
+        F.broadcast(cand), corpus_key
+    ).join(
+        F.broadcast(queries.select(query_key, query_vec)), query_key
+    )
+    scored = joined.select(
+        query_key,
+        corpus_key,
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos"),
+    )
+    w = Window.partitionBy(query_key).orderBy(F.desc("cos"), F.col(corpus_key))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k_results
+    )
+
+
 @query(
     "sim_pq_adc_topk",
     survey="J5,W3",

@@ -556,6 +556,45 @@ def test_pq_arrow_and_declarative_paths_are_bit_identical(spark):
     assert all(arrow[(q, q)][1] == 1 for q in range(5))
 
 
+def test_pq_rerank_recovers_exact_topk_as_candidates_widen(spark):
+    """Two-stage PQ: ADC top-N candidates re-ranked by exact cosine.
+    Recall@5 vs the exact brute-force top-5 must be monotone
+    non-decreasing in N and reach 1.0 when N covers the corpus — the
+    recall knob contract the pipeline is used through."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        brute_force_topk,
+        pq_encode_arrow,
+        pq_rerank_exact,
+        pq_search_topk_arrow,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    queries = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, 5).collect()
+    }
+    codes = pq_encode_arrow(emb, 8, 16, 64)
+    n_corpus = emb.count()
+    prev = -1.0
+    for n_cand in (10, 50, n_corpus):
+        cands = pq_search_topk_arrow(codes, queries, n_cand, 8, 16, 64)
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in pq_rerank_exact(cands, emb, queries, 5).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= prev, (n_cand, recall, prev)
+        prev = recall
+    assert prev == 1.0  # full-coverage candidates == exact top-5
+
+
 def test_pq_search_refuses_oversized_query_side(spark):
     """The Arrow ADC path ships per-query LUTs in the closure — the
     same driver-size contract as brute_force_topk_arrow, enforced by
