@@ -682,7 +682,12 @@ def pq_search_topk_arrow(
                 for sub in range(m):
                     acc = acc + lut[sub][codes[:, sub]]
                 take = min(k_results, len(acc))
-                part = np.argpartition(acc, take - 1)[:take]
+                # lexsort, not argpartition: the final rank breaks ADC
+                # ties by corpus key, and duplicate vectors (identical
+                # codes — the clone-degenerate ~sf1 fixture is full of
+                # them) tie EXACTLY, so the per-batch cut must keep the
+                # same tied candidates the global order would.
+                part = np.lexsort((keys, acc))[:take]
                 frames.append(
                     pd.DataFrame(
                         {

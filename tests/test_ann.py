@@ -556,6 +556,37 @@ def test_pq_arrow_and_declarative_paths_are_bit_identical(spark):
     assert all(arrow[(q, q)][1] == 1 for q in range(5))
 
 
+def test_pq_adc_ties_break_by_key_across_batches(spark):
+    """Duplicate vectors quantize to identical codes, so their ADC
+    distances tie EXACTLY; the final order breaks ties by corpus key,
+    and the Arrow path's per-batch cut must preserve that — an
+    argpartition cut kept an arbitrary tied subset and could drop the
+    smallest-key winner (caught in review, pinned here with a corpus
+    that is one vector cloned 40 times across many partitions)."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        pq_encode_arrow,
+        pq_search_topk_arrow,
+    )
+
+    base = [0.1] * 64
+    rows = [(int(i), base) for i in range(40, 0, -1)]  # keys 40..1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, emb array<double>"
+    ).repartition(8)
+    codes = pq_encode_arrow(emb, 8, 16, 64)
+    queries = spark.createDataFrame(
+        [(999, base)], "q_id long, q_emb array<double>"
+    )
+    got = (
+        pq_search_topk_arrow(codes, queries, 5, 8, 16, 64)
+        .orderBy("rank")
+        .collect()
+    )
+    # all 40 clones tie: winners must be the five smallest keys, in order
+    assert [r["vec_id"] for r in got] == [1, 2, 3, 4, 5]
+    assert len({round(r["adc_sq"], 12) for r in got}) == 1
+
+
 def test_pq_rerank_recovers_exact_topk_as_candidates_widen(spark):
     """Two-stage PQ: ADC top-N candidates re-ranked by exact cosine.
     Recall@5 vs the exact brute-force top-5 must be monotone
