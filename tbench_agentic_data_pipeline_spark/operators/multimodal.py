@@ -2396,6 +2396,9 @@ def decode_video_features(
     :func:`resolve_video_backend` (resolved on the driver, shipped in
     the closure)."""
     frames_of = resolve_video_backend(backend)
+    # honest format label per backend: the pure walker only ever decodes
+    # AVI/MJPG; the library demuxer handles arbitrary containers
+    fmt_label = "avi-mjpg" if frames_of is _avi_frames else "video"
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -2413,7 +2416,7 @@ def decode_video_features(
                         means = a.astype(np.float64).mean(axis=0)
                         out["doc_id"].append(int(doc_id))
                         out["frame_idx"].append(i)
-                        out["format"].append("avi-mjpg")
+                        out["format"].append(fmt_label)
                         out["width"].append(w)
                         out["height"].append(h)
                         out["mean_r"].append(float(means[0]))
