@@ -35,6 +35,9 @@ from tbench_agentic_data_pipeline_spark.operators.similarity import (
     as_double,
     brute_force_topk_arrow,
     ivf_search_topk,
+    pq_encode_arrow,
+    pq_rerank_exact,
+    pq_search_topk_arrow,
     recall_at_k,
 )
 from tbench_agentic_data_pipeline_spark.session import get_session
@@ -43,7 +46,9 @@ from tools.scaling_curve import SF_BIG, build_sf1
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INDEX_ROOT = os.path.join(REPO, ".scaling", "ivf_index")
 K, N_QUERIES, CELLS, DIM = 10, 100, 32, 64
+PQ_M, PQ_K = 8, 16
 START, END = "<!-- AUTOGEN:IVF_RECALL -->", "<!-- /AUTOGEN:IVF_RECALL -->"
+PQ_START, PQ_END = "<!-- AUTOGEN:PQ_RECALL -->", "<!-- /AUTOGEN:PQ_RECALL -->"
 
 
 def main() -> None:
@@ -138,6 +143,50 @@ def main() -> None:
     )
     print(table)
     print(json.dumps({"rows": rows, "exact_sec": t_exact, "n": n}))
+
+    # ---- PQ/ADC: recall vs candidate width (the rerank knob) -------------
+    # Same decorrelated corpus, same queries, same exact ground truth.
+    # Encoding is index build (materialized before timing); what is
+    # timed is ADC search + (for N > k) the exact re-rank join.
+    print(f"encoding {n} vectors to {PQ_M}-byte PQ codes...", file=sys.stderr)
+    codes = pq_encode_arrow(emb, PQ_M, PQ_K, DIM)
+    codes.persist().count()
+    pq_rows = []
+    for ncand in (K, 50, 200, 1000):
+        t0 = time.perf_counter()
+        cands = pq_search_topk_arrow(
+            codes, queries, ncand, PQ_M, PQ_K, DIM, max_queries=N_QUERIES
+        )
+        res = (
+            cands if ncand == K
+            else pq_rerank_exact(cands, emb, queries, K)
+        )
+        res.write.format("noop").mode("overwrite").save()
+        t = round(time.perf_counter() - t0, 3)
+        rec = round(recall_at_k(res, exact, K), 3)
+        pq_rows.append({"n_cand": ncand, "recall": rec, "sec": t})
+        stage = "ADC only" if ncand == K else "ADC + exact re-rank"
+        print(f"N={ncand} ({stage}): recall@{K}={rec} in {t}s", file=sys.stderr)
+    pq_lines = [
+        f"| ADC candidates N | stage | recall@{K} | search (s) |",
+        "|---|---|---|---|",
+        *[
+            f"| {r['n_cand']} | {'ADC only' if r['n_cand'] == K else 'ADC + exact re-rank'} "
+            f"| {r['recall']:.3f} | {r['sec']:.2f} |"
+            for r in pq_rows
+        ],
+        f"| exact GEMM baseline | full float32 scan | 1.000 | {t_exact:.2f} |",
+    ]
+    pq_table = (
+        f"Same corpus/queries/ground-truth as the IVF table; m={PQ_M} "
+        f"subspaces x {PQ_K} md5-deterministic codewords (one byte per "
+        f"subspace — the untrained-codebook floor; k-means codebooks "
+        f"raise the ADC-only row). Encoding materialized before timing "
+        f"(index build); N is the two-stage pipeline's recall knob.\n\n"
+        + "\n".join(pq_lines)
+    )
+    print(pq_table)
+    print(json.dumps({"pq_rows": pq_rows}))
     if "--update-md" in sys.argv:
         path = os.path.join(REPO, "SCALING.md")
         text = open(path).read()
@@ -146,6 +195,11 @@ def main() -> None:
             text = text.split(START)[0] + block + text.split(END)[1]
         else:
             text += "\n" + block + "\n"
+        pq_block = f"{PQ_START}\n{pq_table}\n{PQ_END}"
+        if PQ_START in text:
+            text = text.split(PQ_START)[0] + pq_block + text.split(PQ_END)[1]
+        else:
+            text += "\n" + pq_block + "\n"
         open(path, "w").write(text)
     spark.stop()
 
