@@ -562,6 +562,66 @@ def _seq_lastaxis_sum(sq):
     return acc
 
 
+def pq_train(
+    emb: DataFrame, m: int, k: int, dim: int,
+    key_col: str = "vec_id", vec_col: str = "emb", iters: int = 3,
+) -> DataFrame:
+    """Train PQ codebooks: an independent k-means per subspace over the
+    corresponding ``dim/m``-dim subvectors (``clustering.kmeans_fit`` —
+    deterministic seeding, Lloyd's rounds), returned as a
+    (sub, code, centroid) table — m·k rows, snapshot-persistable via
+    the same ``save_ivf_index`` lifecycle as the coarse quantizer.
+    This is the index-BUILD half (m·iters jobs, run offline on a
+    corpus sample at 100 TB); :func:`codebook_from_df` collects the
+    tiny result for the encode/search closures. Trained codebooks are
+    the production quality path — the md5-derived constants in
+    :func:`pq_codeword` are the zero-training, oracle-replayable
+    floor."""
+    from tbench_agentic_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    ds = dim // m
+    parts = []
+    for sub in range(m):
+        sub_df = emb.select(
+            key_col, F.slice(F.col(vec_col), sub * ds + 1, ds).alias("sv")
+        )
+        cents = kmeans_fit(sub_df, key_col, "sv", k=k, dim=ds, iters=iters)
+        parts.append(
+            cents.select(
+                F.lit(sub).alias("sub"),
+                F.col("cluster").alias("code"),
+                F.col("centroid"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
+
+
+def codebook_from_df(codebook_df: DataFrame, m: int, k: int, dim: int):
+    """Collect a (sub, code, centroid) codebook table (m·k rows — tiny
+    by construction) into the (m, k, dim/m) ndarray the Arrow twins
+    ship in their closures."""
+    import numpy as np
+
+    ds = dim // m
+    cb = np.zeros((m, k, ds), dtype=np.float64)
+    seen = 0
+    for r in codebook_df.collect():
+        cb[int(r["sub"]), int(r["code"])] = np.asarray(
+            r["centroid"], dtype=np.float64
+        )
+        seen += 1
+    if seen != m * k:
+        raise ValueError(
+            f"codebook table has {seen} rows, expected {m}x{k}"
+        )
+    return cb
+
+
 def _pq_codebook_np(m: int, k: int, dim: int):
     """The :func:`pq_codeword` codebook as an (m, k, dim/m) ndarray —
     same hashlib derivation, same doubles."""
@@ -584,6 +644,7 @@ def _pq_codebook_np(m: int, k: int, dim: int):
 def pq_encode_arrow(
     emb: DataFrame, m: int, k: int, dim: int,
     key_col: str = "vec_id", vec_col: str = "emb",
+    codebook=None,
 ) -> DataFrame:
     """Arrow/numpy production twin of :func:`pq_encode`: one vectorized
     ``(batch, k, ds)`` distance computation + argmin per subspace, per
@@ -597,7 +658,7 @@ def pq_encode_arrow(
     at sf0.1 — the same expression-tree-size lesson as the CMS rewrite,
     solved the same way the GEMM top-k was."""
     ds = dim // m
-    cb = _pq_codebook_np(m, k, dim)
+    cb = _pq_codebook_np(m, k, dim) if codebook is None else codebook
 
     def batches(it: "Iterator") -> "Iterator":
         import numpy as np
@@ -626,6 +687,7 @@ def pq_search_topk_arrow(
     corpus_key: str = "vec_id", codes_col: str = "codes",
     query_key: str = "q_id", query_vec: str = "q_emb",
     max_queries: int = _MAX_BRUTE_FORCE_QUERIES,
+    codebook=None,
 ) -> DataFrame:
     """Arrow/numpy ADC search (production twin of :func:`pq_search_topk`,
     bit-identical, pinned in tests): queries collect once (bounded, the
@@ -639,7 +701,7 @@ def pq_search_topk_arrow(
     import numpy as np
 
     ds = dim // m
-    cb = _pq_codebook_np(m, k, dim)
+    cb = _pq_codebook_np(m, k, dim) if codebook is None else codebook
     qrows = _take_bounded(
         queries.select(query_key, query_vec), max_queries,
         "pq_search_topk_arrow",

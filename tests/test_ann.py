@@ -556,6 +556,71 @@ def test_pq_arrow_and_declarative_paths_are_bit_identical(spark):
     assert all(arrow[(q, q)][1] == 1 for q in range(5))
 
 
+def test_pq_trained_codebooks_beat_the_md5_floor(spark):
+    """pq_train fits per-subspace k-means codebooks (the production
+    quality path); they must flow through the same Arrow twins via the
+    codebook seam and cut quantization error below the untrained
+    md5-derived floor — k-means minimizes reconstruction MSE by
+    construction, random constants don't. (Recall@10 on this fixture is
+    a weak discriminator — the synthetic embeddings are near-uniform
+    random, so the test asserts MSE strictly and recall as
+    no-regression.)"""
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        _pq_codebook_np,
+        as_double,
+        brute_force_topk,
+        codebook_from_df,
+        pq_encode_arrow,
+        pq_search_topk_arrow,
+        pq_train,
+    )
+
+    m, k, dim = 8, 16, 64
+    ds = dim // m
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    queries = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, 10).collect()
+    }
+
+    def recall(codebook):
+        codes = pq_encode_arrow(emb, m, k, dim, codebook=codebook)
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in pq_search_topk_arrow(
+                codes, queries, 10, m, k, dim, codebook=codebook
+            ).collect()
+        }
+        assert len(got) == len(exact)  # k rows per query either way
+        return len(got & exact) / len(exact)
+
+    trained = codebook_from_df(pq_train(emb, m, k, dim, iters=3), m, k, dim)
+    assert trained.shape == (m, k, ds)
+
+    X = np.array([r["emb"] for r in emb.collect()])
+
+    def mse(cb):
+        err = 0.0
+        for s in range(m):
+            sv = X[:, s * ds : (s + 1) * ds]
+            d = ((sv[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+            err += d.min(1).sum()
+        return err / X.size
+
+    mse_floor = mse(_pq_codebook_np(m, k, dim))
+    mse_trained = mse(trained)
+    assert mse_trained < 0.95 * mse_floor, (mse_trained, mse_floor)
+    assert recall(trained) >= recall(None)  # both deterministic
+
+
 def test_pq_adc_ties_break_by_key_across_batches(spark):
     """Duplicate vectors quantize to identical codes, so their ADC
     distances tie EXACTLY; the final order breaks ties by corpus key,
