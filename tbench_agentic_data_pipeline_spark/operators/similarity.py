@@ -644,7 +644,7 @@ def _pq_codebook_np(m: int, k: int, dim: int):
 def pq_encode_arrow(
     emb: DataFrame, m: int, k: int, dim: int,
     key_col: str = "vec_id", vec_col: str = "emb",
-    codebook=None,
+    codebook=None, carry_cols: tuple = (),
 ) -> DataFrame:
     """Arrow/numpy production twin of :func:`pq_encode`: one vectorized
     ``(batch, k, ds)`` distance computation + argmin per subspace, per
@@ -656,7 +656,12 @@ def pq_encode_arrow(
     declarative encode tree (m·k higher-order folds, twice) costs more
     in Catalyst analysis+codegen per ACTION (~7 s) than the entire scan
     at sf0.1 — the same expression-tree-size lesson as the CMS rewrite,
-    solved the same way the GEMM top-k was."""
+    solved the same way the GEMM top-k was.
+
+    ``carry_cols`` pass through the encode stage verbatim (e.g. the IVF
+    cell id riding with its row's codes in :func:`sim_ivfpq_topk`) — at
+    100 TB that's the difference between the codes table being
+    cell-searchable as written and a full-corpus recovery join."""
     ds = dim // m
     cb = _pq_codebook_np(m, k, dim) if codebook is None else codebook
 
@@ -675,10 +680,17 @@ def pq_encode_arrow(
                 d = _seq_lastaxis_sum(diff * diff)
                 codes[:, sub] = np.argmin(d, axis=1)
             yield pd.DataFrame(
-                {key_col: pdf[key_col], "codes": list(codes)}
+                {
+                    key_col: pdf[key_col],
+                    "codes": list(codes),
+                    **{c: pdf[c] for c in carry_cols},
+                }
             )
 
-    return emb.mapInPandas(batches, f"{key_col} long, codes array<int>")
+    out_fields = [f"{key_col} long", "codes array<int>"] + [
+        f"{c} {emb.schema[c].dataType.simpleString()}" for c in carry_cols
+    ]
+    return emb.mapInPandas(batches, ", ".join(out_fields))
 
 
 def pq_search_topk_arrow(
@@ -802,6 +814,77 @@ def pq_rerank_exact(
     )
 
 
+def ivfpq_search_topk(
+    corpus_codes: DataFrame, queries: DataFrame, k_results: int,
+    m: int, k: int, dim: int,
+    cell_col: str = "cell",
+    corpus_key: str = "vec_id", codes_col: str = "codes",
+    query_key: str = "q_id", query_vec: str = "q_emb",
+    probe_col: str = "probe_cells",
+    max_queries: int = _MAX_BRUTE_FORCE_QUERIES,
+    codebook=None,
+) -> DataFrame:
+    """IVF+PQ composed search — the FAISS-IVFPQ plan shape on Spark.
+
+    ``corpus_codes`` carries (key, cell, m-byte codes); each query row
+    carries its probe-cell list (nprobe nearest coarse cells — from
+    :func:`brute_force_topk` against the centroid table, or
+    ``F.array(label)`` where the fixture's label IS the cell). The scan
+    is a broadcast equi-join on the cell id: Catalyst prunes to
+    |probed cells| worth of codes — at 100 TB with 4096 cells and
+    nprobe=8, ~0.2% of an already ~32×-compressed table, and partition
+    pruning is free if the codes table is written partitioned by cell.
+    Query LUTs are per-query constants, so they build driver-side in
+    numpy (same sequential-sum order as the fold/oracle — bit-identical
+    doubles) and ride the broadcast; per-row distance stays declarative
+    (:func:`pq_adc_score`, m array reads inside codegen). Exact
+    re-ranking of survivors is :func:`pq_rerank_exact` downstream.
+
+    Duplicate probe cells are deduped per query, so a multi-probe list
+    never double-scores a candidate."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    ds = dim // m
+    cb = _pq_codebook_np(m, k, dim) if codebook is None else codebook
+    cb = np.asarray(cb, dtype=np.float64)
+    qrows = _take_bounded(
+        queries.select(query_key, query_vec, probe_col), max_queries,
+        "ivfpq_search_topk",
+        "Use knn_join (bucketed, fully distributed) for large query sets.",
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[query_vec], dtype=np.float64).reshape(m, ds)
+        diff = qv[:, None, :] - cb
+        lut = _seq_lastaxis_sum(diff * diff)  # (m, k), fold order
+        lut_py = [[float(v) for v in row] for row in lut]
+        for cell in dict.fromkeys(r[probe_col]):
+            probe_rows.append((r[query_key], cell, lut_py))
+    schema = T.StructType(
+        [
+            T.StructField(query_key, queries.schema[query_key].dataType),
+            T.StructField(
+                cell_col, queries.schema[probe_col].dataType.elementType
+            ),
+            T.StructField(
+                "__lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+            ),
+        ]
+    )
+    probes = corpus_codes.sparkSession.createDataFrame(probe_rows, schema)
+    scored = corpus_codes.join(F.broadcast(probes), cell_col).select(
+        query_key,
+        corpus_key,
+        pq_adc_score(F.col("__lut"), F.col(codes_col), m).alias("adc_sq"),
+    )
+    w = Window.partitionBy(query_key).orderBy("adc_sq", F.col(corpus_key))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k_results
+    )
+
+
 @query(
     "sim_pq_adc_topk",
     survey="J5,W3",
@@ -890,6 +973,113 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
     )
     out = pq_search_topk_arrow(codes, queries, 5, 8, 16, 64)
+    return out.select(
+        "q_id",
+        "vec_id",
+        stable_round(F.col("adc_sq"), 4).alias("adc_sq"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "sim_ivfpq_topk",
+    survey="J5,W3",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        cw AS (
+            SELECT s.s, j.j,
+                   [CAST((('0x' || substr(md5('pq' || CAST(s.s AS VARCHAR)
+                            || '_' || CAST(j.j AS VARCHAR) || '_'
+                            || CAST(t AS VARCHAR)), 1, 8))::BIGINT
+                           % 2001 - 1000) AS DOUBLE) / 8000.0
+                    for t in range(0, 8)] AS w
+            FROM range(0, 8) s(s), range(0, 16) j(j)
+        ),
+        sub AS (
+            SELECT vec_id, s.s, emb[s.s*8 + 1 : s.s*8 + 8] AS sv
+            FROM c, range(0, 8) s(s)
+        ),
+        d AS (
+            SELECT sub.vec_id, sub.s, cw.j,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (sub.sv[i] - cw.w[i]) * (sub.sv[i] - cw.w[i])))
+                       AS dist
+            FROM sub JOIN cw ON cw.s = sub.s
+        ),
+        amin AS (
+            SELECT vec_id, s, j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist, j
+                   ) AS rk
+            FROM d
+        ),
+        codes AS (
+            SELECT vec_id, list(j ORDER BY s) AS codes
+            FROM amin WHERE rk = 1 GROUP BY vec_id
+        ),
+        lutrows AS (
+            SELECT vec_id AS q_id, s, list(dist ORDER BY j) AS lrow
+            FROM d WHERE vec_id < 3 GROUP BY vec_id, s
+        ),
+        lut AS (
+            SELECT q_id, list(lrow ORDER BY s) AS lut
+            FROM lutrows GROUP BY q_id
+        ),
+        -- the IVF restriction: ADC-score only the query's own coarse
+        -- cell (label), never the whole corpus
+        scored AS (
+            SELECT l.q_id, cc.vec_id,
+                   list_sum(list_transform(range(1, 9),
+                       s -> l.lut[s][cds.codes[s] + 1])) AS adc_sq
+            FROM lut l
+            JOIN c cq ON cq.vec_id = l.q_id
+            JOIN c cc ON cc.label = cq.label
+            JOIN codes cds ON cds.vec_id = cc.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, adc_sq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adc_sq, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT q_id, vec_id, ROUND(adc_sq * (1 + 5e-13), 4) AS adc_sq,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (r7 — the two halves joined): the corpus
+    PQ-encodes with its coarse cell id riding along (``carry_cols`` —
+    no recovery join), and each query ADC-ranks only its probed cell.
+    The fixture's ``label`` stands in for the learned coarse centroid
+    id exactly as in :func:`sim_ivf_probe`; with trained quantizers the
+    cell comes from ``clustering.assign_clusters`` and the probe list
+    from ``brute_force_topk`` against the (tiny) centroid table. Exact
+    value oracle: both the cell restriction (a label join) and the
+    md5-codebook ADC replay in SQL. Scale shape: the ADC scan touches
+    |probed cells| of m-byte codes — cell-partitioned storage makes
+    that partition pruning — with one top-k exchange after."""
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        source_path=table_path(sf_dir, "embeddings"),
+    ).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    codes = pq_encode_arrow(emb, 8, 16, 64, carry_cols=("label",))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.array(F.col("label")).alias("probe_cells"),
+    )
+    out = ivfpq_search_topk(
+        codes, queries, 5, 8, 16, 64, cell_col="label"
+    )
     return out.select(
         "q_id",
         "vec_id",

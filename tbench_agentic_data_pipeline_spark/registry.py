@@ -117,13 +117,14 @@ def query(
 #   dominating the headline), and mm_image_codec (now five codec
 #   classes: Adam7-interlaced PNG and progressive JPEG joined the
 #   fixture);
-# - the round-7 additions snap_compact_vacuum and sim_pq_adc_topk
-#   (new queries enter the window the round they land);
-# - 12 round-5 greens, preferring files that churn this round
+# - the round-7 additions snap_compact_vacuum, sim_pq_adc_topk and
+#   sim_ivfpq_topk (new queries enter the window the round they land);
+# - 11 round-5 greens, preferring files that churn this round
 #   (snapshot.py: COW-append provenance + map-safe tiebreak; dedup.py;
 #   similarity.py guard rework; multimodal.py backend seam) and module
-#   spread. The 36 r5-greens left over hit the staleness ceiling NEXT
-#   round and are r8's mandatory block (36 < 50: feasible).
+#   spread. The 37 r5-greens left over (q5_local_supplier_volume ceded
+#   its refresh slot to sim_ivfpq_topk) hit the staleness ceiling NEXT
+#   round and are r8's mandatory block (37 < 50: feasible).
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
@@ -169,6 +170,7 @@ _FRONT_ORDER: tuple[str, ...] = (
     "mm_video_codec",
     "mm_image_codec",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
     # -- round-5 greens rotating back in (churned files / module spread) ----
     "u1_keyed_patch",
     "mm_decode_features",
@@ -179,7 +181,6 @@ _FRONT_ORDER: tuple[str, ...] = (
     "sim_centroid_outliers",
     "a_heavy_hitters_cms",
     "text_bm25_topk",
-    "q5_local_supplier_volume",
     "q18_large_orders",
     "events_attribution",
 )

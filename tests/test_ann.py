@@ -621,6 +621,124 @@ def test_pq_trained_codebooks_beat_the_md5_floor(spark):
     assert recall(trained) >= recall(None)  # both deterministic
 
 
+def test_ivfpq_is_cell_restricted_pq(spark):
+    """ivfpq_search_topk with a single probe cell must equal
+    pq_search_topk run over the corpus pre-filtered to that cell —
+    bit-identical adc_sq doubles and ranks (the driver-built numpy LUT
+    sums in the fold's order). The IVF restriction changes WHAT is
+    scanned, never the arithmetic."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        ivfpq_search_topk,
+        pq_encode_arrow,
+        pq_search_topk,
+    )
+
+    m, k, dim = 8, 16, 64
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    codes = pq_encode_arrow(emb, m, k, dim, carry_cols=("label",))
+    queries = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.array(F.col("label")).alias("probe_cells"),
+        F.col("label").alias("q_label"),
+    )
+    got = {
+        (r["q_id"], r["vec_id"]): (r["adc_sq"], r["rank"])
+        for r in ivfpq_search_topk(
+            codes, queries, 5, m, k, dim, cell_col="label"
+        ).collect()
+    }
+    want = {}
+    for q in queries.select("q_id", "q_label").collect():
+        cell_corpus = codes.where(F.col("label") == q["q_label"]).drop(
+            "label"
+        )
+        one_q = emb.where(F.col("vec_id") == q["q_id"]).select(
+            F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        )
+        for r in pq_search_topk(
+            cell_corpus, one_q, 5, m, k, dim
+        ).collect():
+            want[(r["q_id"], r["vec_id"])] = (r["adc_sq"], r["rank"])
+    assert got == want  # exact float equality, deliberate
+
+
+def test_ivfpq_exhaustive_probe_recovers_full_pq_with_trained_codebook(
+    spark,
+):
+    """Probing EVERY cell degenerates IVFPQ to plain PQ search — results
+    must match pq_search_topk_arrow over the whole corpus exactly. Run
+    through the trained-codebook seam end-to-end (train → encode →
+    cell-restricted ADC), and with a duplicated probe list to pin the
+    per-query dedup (a multi-probe list never double-scores)."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        codebook_from_df,
+        ivfpq_search_topk,
+        pq_encode_arrow,
+        pq_search_topk_arrow,
+        pq_train,
+    )
+
+    m, k, dim = 8, 16, 64
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    cb = codebook_from_df(pq_train(emb, m, k, dim, iters=1), m, k, dim)
+    codes = pq_encode_arrow(
+        emb, m, k, dim, codebook=cb, carry_cols=("label",)
+    )
+    all_cells = sorted(
+        r["label"] for r in emb.select("label").distinct().collect()
+    )
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    # duplicated probe list: every cell twice
+    probed = queries.withColumn(
+        "probe_cells",
+        F.array(*[F.lit(c) for c in all_cells + all_cells]),
+    )
+    got = {
+        (r["q_id"], r["vec_id"]): (r["adc_sq"], r["rank"])
+        for r in ivfpq_search_topk(
+            codes, probed, 7, m, k, dim, cell_col="label", codebook=cb
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["vec_id"]): (r["adc_sq"], r["rank"])
+        for r in pq_search_topk_arrow(
+            codes.drop("label"), queries, 7, m, k, dim, codebook=cb
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pq_encode_arrow_carries_columns_verbatim(spark):
+    """carry_cols rides extra columns through the encode stage with
+    value and type preserved — the codes table is cell-searchable as
+    written, no recovery join."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        pq_encode_arrow,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    codes = pq_encode_arrow(emb, 8, 16, 64, carry_cols=("label",))
+    assert dict(codes.dtypes)["label"] == dict(emb.dtypes)["label"]
+    got = {r["vec_id"]: r["label"] for r in codes.collect()}
+    want = {r["vec_id"]: r["label"] for r in emb.collect()}
+    assert got == want
+
+
 def test_pq_adc_ties_break_by_key_across_batches(spark):
     """Duplicate vectors quantize to identical codes, so their ADC
     distances tie EXACTLY; the final order breaks ties by corpus key,

@@ -45,6 +45,7 @@ COMMENTARY = {
     "text_tfidf_topk": "DF as COUNT OVER (PARTITION BY term) on the TF frame — one term exchange serves the document-frequency count, no aggregate+join-back (r5 rewrite: 5→4 exchanges).",
     "text_bm25_topk": "One conditional per-doc aggregate carries dl + every query term's tf; corpus stats are a 1-row broadcast; fixed-order contribution sum; TakeOrderedAndProject top-10.",
     "sim_centroid_outliers": "Per-label centroid table broadcast back onto the exploded corpus (corpus never shuffles for the join); stable-rounded distance ranks via TakeOrderedAndProject.",
+    "sim_ivfpq_topk": "IVF+PQ composed: the cell id rides through the Arrow encode stage (carry_cols — no recovery join), probes broadcast with driver-built LUTs, and the cell-equality join prunes the ADC scan to probed cells; WindowGroupLimit cuts top-k before the single rank exchange.",
     "dedup_incremental": "New-batch bands equi-join the persisted index bands (new×existing only, cost ∝ batch); token join-back verifies integer-milli Jaccard.",
     "a_profile_documents": "Every column's nulls/distinct/min/max in ONE Expand-style aggregate (single scan); long format via zero-shuffle stack.",
 }
