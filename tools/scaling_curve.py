@@ -145,6 +145,18 @@ EXTRA_CURVE = [
     "dedup_ngram_jaccard",
     "q8_market_share",
     "a_cube_priority_status",
+    # r7 late addition: the composed IVF+PQ query (cell-pruned ADC scan)
+    "sim_ivfpq_topk",
+    # r7 spread fill: the remaining pair-join / explode-heavy registry
+    # tail (candidate-pair dedups, LSH bucketing, token packing, salted
+    # agg, sliding window) — the shapes most worth a scale reading among
+    # the un-curved <=2-exchange queries
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_lsh_buckets",
+    "text_sequence_packing",
+    "a_salted_sum",
+    "st_sliding_window",
 ]
 
 
