@@ -80,6 +80,8 @@ HEADLINE = [
     # round-7 addition, benched from birth: PQ/ADC top-k — the Arrow
     # encode + lookup-table search over m-byte codes
     "sim_pq_adc_topk",
+    # late round-7: the composed IVF+PQ path (cell-pruned ADC scan)
+    "sim_ivfpq_topk",
 ]
 
 

@@ -609,15 +609,18 @@ def codebook_from_df(codebook_df: DataFrame, m: int, k: int, dim: int):
 
     ds = dim // m
     cb = np.zeros((m, k, ds), dtype=np.float64)
-    seen = 0
+    seen = set()
     for r in codebook_df.collect():
-        cb[int(r["sub"]), int(r["code"])] = np.asarray(
-            r["centroid"], dtype=np.float64
-        )
-        seen += 1
-    if seen != m * k:
+        key = (int(r["sub"]), int(r["code"]))
+        if key in seen:
+            # a raw count can't catch this: a duplicate would mask a
+            # missing centroid and leave a silent zero row in the book
+            raise ValueError(f"duplicate codebook entry {key}")
+        seen.add(key)
+        cb[key] = np.asarray(r["centroid"], dtype=np.float64)
+    if len(seen) != m * k:
         raise ValueError(
-            f"codebook table has {seen} rows, expected {m}x{k}"
+            f"codebook table has {len(seen)} rows, expected {m}x{k}"
         )
     return cb
 

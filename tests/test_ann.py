@@ -809,6 +809,30 @@ def test_pq_rerank_recovers_exact_topk_as_candidates_widen(spark):
     assert prev == 1.0  # full-coverage candidates == exact top-5
 
 
+def test_codebook_from_df_rejects_duplicates_and_gaps(spark):
+    """A duplicate (sub, code) row would mask a missing centroid under a
+    raw row count, leaving a silent zero row in the book — both defects
+    must raise."""
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        codebook_from_df,
+    )
+
+    m, k, ds = 2, 2, 2
+    rows = [
+        (s, c, [0.1 * s, 0.1 * c]) for s in range(m) for c in range(k)
+    ]
+    schema = "sub int, code int, centroid array<double>"
+    ok = codebook_from_df(spark.createDataFrame(rows, schema), m, k, 4)
+    assert ok.shape == (m, k, ds)
+    dup = rows[:3] + [rows[2]]  # still m*k rows, one duplicated
+    with pytest.raises(ValueError, match="duplicate"):
+        codebook_from_df(spark.createDataFrame(dup, schema), m, k, 4)
+    with pytest.raises(ValueError, match="expected"):
+        codebook_from_df(spark.createDataFrame(rows[:3], schema), m, k, 4)
+
+
 def test_pq_search_refuses_oversized_query_side(spark):
     """The Arrow ADC path ships per-query LUTs in the closure — the
     same driver-size contract as brute_force_topk_arrow, enforced by

@@ -34,6 +34,7 @@ _PINS = {
     "dedup_minhash_fast": 5,
     # round-7: PQ/ADC — encode mapInPandas -> score mapInPandas -> one
     # top-k exchange (plus the bounded query collect, not an exchange)
+    "sim_ivfpq_topk": 2,
     "sim_pq_adc_topk": 2,
     "sim_topk_cosine_arrow": 2,
     "text_quality_score": 0,
