@@ -140,3 +140,33 @@ def load_ivf_index(
     )
 
     return SnapshotTable(spark, root).read(version)
+
+
+def save_pq_codebook(codebook: DataFrame, root: str) -> int:
+    """Persist trained PQ codebooks (``similarity.pq_train``'s
+    (sub, code, centroid) table — m·k rows) with the same versioned
+    snapshot lifecycle as :func:`save_ivf_index`: a codebook refresh is
+    a commit, encode/search jobs pin a version, and the previous book
+    is the rollback. Codes written under book v_n stay decodable by
+    re-reading v_n even after a refresh — the reason versioning is not
+    optional for PQ (re-encoding 100 TB is the cost of losing it)."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(codebook.sparkSession, root)
+    return table.commit(
+        codebook.select("sub", "code", "centroid"), operation="pq_codebook"
+    )
+
+
+def load_pq_codebook(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Load a persisted PQ codebook table (current or pinned version),
+    ready for ``similarity.codebook_from_df``."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    return SnapshotTable(spark, root).read(version)

@@ -570,7 +570,9 @@ def pq_train(
     corresponding ``dim/m``-dim subvectors (``clustering.kmeans_fit`` —
     deterministic seeding, Lloyd's rounds), returned as a
     (sub, code, centroid) table — m·k rows, snapshot-persistable via
-    the same ``save_ivf_index`` lifecycle as the coarse quantizer.
+    ``clustering.save_pq_codebook``/``load_pq_codebook`` (the same
+    versioned lifecycle as the coarse quantizer — codes written under
+    book v_n stay decodable by pinning v_n).
     This is the index-BUILD half (m·iters jobs, run offline on a
     corpus sample at 100 TB); :func:`codebook_from_df` collects the
     tiny result for the encode/search closures. Trained codebooks are

@@ -809,6 +809,41 @@ def test_pq_rerank_recovers_exact_topk_as_candidates_widen(spark):
     assert prev == 1.0  # full-coverage candidates == exact top-5
 
 
+def test_pq_codebook_snapshot_lifecycle_roundtrip(spark, tmp_path):
+    """Trained codebooks persist through the versioned snapshot
+    lifecycle: save → load → collect equals the pre-save ndarray
+    exactly, and a refreshed book leaves the prior version pinnable —
+    codes encoded under v1 stay decodable after the v2 refresh."""
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.clustering import (
+        load_pq_codebook,
+        save_pq_codebook,
+    )
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        codebook_from_df,
+        pq_train,
+    )
+
+    m, k, dim = 4, 8, 64
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    book_df = pq_train(emb, m, k, dim, iters=1)
+    before = codebook_from_df(book_df, m, k, dim)
+    root = str(tmp_path / "pq_book")
+    v1 = save_pq_codebook(book_df, root)
+    after = codebook_from_df(load_pq_codebook(spark, root, v1), m, k, dim)
+    assert np.array_equal(before, after)  # exact doubles, deliberate
+    # refresh: one more Lloyd's round commits as v2; v1 stays pinnable
+    v2 = save_pq_codebook(pq_train(emb, m, k, dim, iters=2), root)
+    assert v2 > v1
+    pinned = codebook_from_df(load_pq_codebook(spark, root, v1), m, k, dim)
+    assert np.array_equal(before, pinned)
+
+
 def test_codebook_from_df_rejects_duplicates_and_gaps(spark):
     """A duplicate (sub, code) row would mask a missing centroid under a
     raw row count, leaving a silent zero row in the book — both defects
