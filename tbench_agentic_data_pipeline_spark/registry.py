@@ -103,86 +103,97 @@ def query(
 # CORRECTNESS row this round. The rotation cadence is CODIFIED by the
 # max-staleness invariant in tests/test_registry_meta.py, derived from
 # the CORRECTNESS_r*.json files themselves: any query whose newest green
-# row is >2 rounds old MUST be in this window.
-# Round-7 rotation (the red staleness test at r6-close printed exactly
+# row is >2 rounds old at _WINDOW_ROUND close MUST be in this window.
+#
+# _WINDOW_ROUND stamps the round this committed window TARGETS (the r7
+# verdict's mechanism fix): the driver writes CORRECTNESS_r{N}.json
+# *after* round N's snapshot commit, so a staleness test keyed off the
+# newest file alone is structurally red at judge time — it would demand
+# the NEXT round's window the moment the current round's file lands.
+# Keying staleness off the stamped round keeps the suite green both
+# mid-round (newest file = _WINDOW_ROUND - 1) and at judge/snapshot time
+# (newest file = _WINDOW_ROUND). At each round start, bump this stamp
+# FIRST — the staleness test then prints the exact mandatory block the
+# new window must contain (tools/next_window.py computes it any time).
+_WINDOW_ROUND: int = 8
+
+# Round-8 rotation (the red staleness test at r7-close printed exactly
 # this mandatory block):
-# - the 33 queries whose newest external row is round 4 (the TPC-H
-#   q2/q4/q6-q9/q11-q17/q19-q22 block, the five f_* gauntlets, so4/so5,
-#   w7/w8, j_asof/j_range, the three st_* streaming twins,
-#   a_conditional_distinct, a_cube_priority_status) — staleness
-#   ceiling, non-negotiable;
-# - changed-semantics / first-oracle queries: dedup_minhash_fast (gets
-#   its first value oracle this round — the in-plan recall contract),
-#   mm_video_codec (fixture resized so one polyfill codec stops
-#   dominating the headline), and mm_image_codec (now five codec
-#   classes: Adam7-interlaced PNG and progressive JPEG joined the
-#   fixture);
-# - the round-7 additions snap_compact_vacuum, sim_pq_adc_topk and
-#   sim_ivfpq_topk (new queries enter the window the round they land);
-# - 11 round-5 greens, preferring files that churn this round
-#   (snapshot.py: COW-append provenance + map-safe tiebreak; dedup.py;
-#   similarity.py guard rework; multimodal.py backend seam) and module
-#   spread. The 37 r5-greens left over (q5_local_supplier_volume ceded
-#   its refresh slot to sim_ivfpq_topk) hit the staleness ceiling NEXT
-#   round and are r8's mandatory block (37 < 50: feasible).
+# - the 37 queries whose newest external row is round 5 — staleness
+#   ceiling, non-negotiable: the a1/a4/a5/a6 + a_* aggregate block,
+#   q3/q5/q10, j1/j5, so1, w1/w3, st_sliding/st_interval, the eleven
+#   text_* curation queries, f_substring/f_markdown/f_line_cleanup,
+#   x1/x6;
+# - changed-semantics / changed-oracle queries re-entering:
+#   dedup_embedding_cosine (r7 verdict #2: the within-cell pair join
+#   gets the in-plan bucket cap — the one measured super-linear row),
+#   mm_image_codec (r7 verdict #3: fixture sampled like video was),
+#   dedup_minhash_fast (ADVICE: oracle mirrors the LSH bucket-size cap;
+#   band keys become index-prefixed), sim_ivfpq_topk (r7 Next #6: real
+#   centroid-distance probe replaces the fixture-label probe);
+# - round-6 greens rotating back in early to flatten round 9's
+#   mandatory block (48 r6 rows would otherwise all expire at once),
+#   preferring files that churn this round (similarity.py, dedup.py)
+#   plus the bench flagship. sim_lsh_buckets cedes its slot to the
+#   trained-PQ production query when it lands this round.
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r4: staleness ceiling forces these 33 ----------------
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q11_important_part_value",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "f_string_gauntlet",
-    "f_json_gauntlet",
-    "f_datetime_gauntlet",
-    "f_array_gauntlet",
-    "f_map_gauntlet",
-    "so4_array_difference",
-    "so5_intersect_nations",
-    "w7_ntile_quartiles",
-    "w8_trailing_week_activity",
-    "j_asof_last_view",
-    "j_range_incident_window",
-    "st_tumbling_window",
-    "st_session_windows",
-    "st_dedup_watermark",
-    "a_conditional_distinct",
-    "a_cube_priority_status",
-    # -- new query / changed semantics / first oracle: window-mandatory -----
-    "snap_compact_vacuum",
-    "dedup_minhash_fast",
-    "mm_video_codec",
+    # -- newest row is r5: staleness ceiling forces these 37 ----------------
+    "a1_status_histogram_zero_filled",
+    "a4_completion_rate",
+    "a5_map_value_sum_check",
+    "a6_error_rollup",
+    "a_approx_distinct",
+    "a_approx_percentile",
+    "a_pivot_type_by_dow",
+    "a_profile_documents",
+    "a_retention_cohorts",
+    "a_rollup_revenue",
+    "a_value_histogram",
+    "f_line_cleanup",
+    "f_markdown_render",
+    "f_substring_extract",
+    "j1_semi_join_customers_with_orders",
+    "j5_broadcast_dim_join",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "so1_union_by_name",
+    "st_interval_join",
+    "st_sliding_window",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid",
+    "text_mixture_weights",
+    "text_normalize",
+    "text_pii_redaction",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_sequence_packing",
+    "text_stratified_sample",
+    "text_token_count",
+    "w1_ordered_scan",
+    "w3_pergroup_topn",
+    "x1_ast_test_discovery",
+    "x6_test_codegen",
+    # -- changed semantics / changed oracle this round: window-mandatory ----
+    "dedup_embedding_cosine",
     "mm_image_codec",
-    "sim_pq_adc_topk",
+    "dedup_minhash_fast",
     "sim_ivfpq_topk",
-    # -- round-5 greens rotating back in (churned files / module spread) ----
-    "u1_keyed_patch",
-    "mm_decode_features",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_bands",
-    "dedup_resolve_survivors",
-    "sim_centroid_outliers",
-    "a_heavy_hitters_cms",
-    "text_bm25_topk",
-    "q18_large_orders",
-    "events_attribution",
+    # -- round-6 greens rotating back in (churned files / bench flagship) ---
+    "flagship_pricing_summary",
+    "sim_knn_join",
+    "sim_ivf_probe",
+    "sim_topk_cosine",
+    "sim_quantized_topk",
+    "dedup_cluster_components",
+    "dedup_threshold_sweep",
+    "corpus_leakage_safe_split",
+    "sim_lsh_buckets",
 )
 
 

@@ -104,6 +104,22 @@ _NEWEST_GREEN = _external_green_rounds()
 _LAST_ROUND = max(_NEWEST_GREEN.values(), default=0)
 
 
+def test_window_round_stamp_is_current():
+    """The committed window must target either the round in flight
+    (newest CORRECTNESS file is the previous round — the mid-round
+    state) or the round whose file just landed (the driver writes
+    CORRECTNESS_r{N}.json *after* round N's snapshot commit, so that is
+    the judge-time state). A stamp older than the newest file means a
+    round started without bumping registry._WINDOW_ROUND — do that
+    first; the staleness test below then prints the mandatory block
+    (or run tools/next_window.py)."""
+    assert registry._WINDOW_ROUND in (_LAST_ROUND, _LAST_ROUND + 1), (
+        f"registry._WINDOW_ROUND={registry._WINDOW_ROUND} but the newest "
+        f"driver record is round {_LAST_ROUND} — bump the stamp and apply "
+        "the rotation tools/next_window.py prints"
+    )
+
+
 def test_no_query_escapes_external_verification():
     """Every registered query must sit inside the driver's next 50-slot
     window or carry a green driver row from a past round — otherwise a
@@ -122,24 +138,25 @@ def test_no_query_escapes_external_verification():
 
 
 def test_external_rows_never_exceed_staleness_ceiling():
-    """Max-staleness invariant (r4 verdict "What's wrong" #2): with the
-    planned window applied, no query's newest green driver row may be
-    older than 2 rounds. A query whose newest row is ≤ last_round - 2
-    MUST be in _FRONT_ORDER (refreshed next round); queries newer than
-    that may rotate out. With 50 slots per round this bounds every
-    query's verification age to 3 rounds — feasible while the registry
-    stays ≤ 150 entries, which is itself asserted here so growth that
-    breaks the schedule fails loudly."""
+    """Max-staleness invariant (r4 verdict "What's wrong" #2, round
+    boundary fixed per the r7 verdict): when the round the committed
+    window targets (registry._WINDOW_ROUND) closes, no query's newest
+    green driver row may be older than 3 rounds. A query whose newest
+    row is ≤ _WINDOW_ROUND - 3 MUST be in _FRONT_ORDER (refreshed this
+    window); queries newer than that may rotate out. With 50 slots per
+    round this bounds every query's verification age to 3 rounds —
+    feasible while the registry stays ≤ 150 entries, which is itself
+    asserted here so growth that breaks the schedule fails loudly."""
     assert len(_ENTRIES) <= 150, (
         "registry has outgrown the 3-round / 50-slot rotation schedule"
     )
     must_refresh = [
         n
         for n in _ENTRIES
-        if _NEWEST_GREEN.get(n, 0) <= _LAST_ROUND - 2
+        if _NEWEST_GREEN.get(n, 0) <= registry._WINDOW_ROUND - 3
         and n not in registry._FRONT_ORDER
     ]
     assert must_refresh == [], (
-        f"queries past the 2-round staleness ceiling yet not in the next "
-        f"window: {must_refresh}"
+        f"queries past the staleness ceiling yet not in the round-"
+        f"{registry._WINDOW_ROUND} window: {must_refresh}"
     )
