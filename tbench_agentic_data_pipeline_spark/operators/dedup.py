@@ -526,10 +526,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
             FROM sig, range(0, 4) r(b)
         ),
+        capped AS (
+            -- mirrors the Spark side's lsh_candidate_pairs max_bucket=1000
+            -- skew guard: oversized buckets are dropped wholesale BEFORE
+            -- pairing, so the candidate sets stay identical even on a
+            -- corpus with a boilerplate band bucket past the cap.
+            SELECT doc_id, b, band_key FROM bands
+            QUALIFY count(*) OVER (PARTITION BY b, band_key) <= 1000
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+            FROM capped a
+            JOIN capped b2 ON a.b = b2.b AND a.band_key = b2.band_key
                           AND a.doc_id < b2.doc_id
         )
         SELECT c.doc_a, c.doc_b,
@@ -599,9 +607,16 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(16)
         ]
     )
-    enriched = sh.select(
-        "doc_id", "shingles", band_keys(xx_sig, 8, 2).alias("xb")
+    # Band keys are index-prefixed ("3:<md5>") so the arrays_overlap flag
+    # below only matches SAME-index bands — the exact (band index, key)
+    # bucketing lsh_candidate_pairs uses. A bare-key overlap would let a
+    # cross-position collision satisfy the contract where the production
+    # bucketing missed the pair.
+    indexed_bands = F.transform(
+        band_keys(xx_sig, 8, 2),
+        lambda k, i: F.concat(i.cast("string"), F.lit(":"), k),
     )
+    enriched = sh.select("doc_id", "shingles", indexed_bands.alias("xb"))
     # md5 twin (dedup_minhash_bands' exact pipeline) generates the
     # oracle-reproducible candidates; exact shingle Jaccard verifies.
     md5_bands = minhash_band_df(sh, "doc_id", "shingles", 8, 4, 2, hash_fn="md5")

@@ -1144,7 +1144,10 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError("AC scan must have exactly one component")
         c = in_scan[0]
         ac_tab = huff.get((1, sel[c["id"]][1]))
-        if ac_tab is None and ah == 0:
+        if ac_tab is None:
+            # Both first (ah == 0) and refinement (ah != 0) AC scans decode
+            # Huffman symbols — a missing table must be the clean ValueError
+            # the quarantine path reports, not an AttributeError downstream.
             raise ValueError("missing AC Huffman table")
         for b in range(c["nb_h"] * c["nb_w"]):
             if restart_interval and b and b % restart_interval == 0:

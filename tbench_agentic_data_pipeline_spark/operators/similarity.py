@@ -692,7 +692,8 @@ def pq_encode_arrow(
                 }
             )
 
-    out_fields = [f"{key_col} long", "codes array<int>"] + [
+    key_t = emb.schema[key_col].dataType.simpleString()
+    out_fields = [f"{key_col} {key_t}", "codes array<int>"] + [
         f"{c} {emb.schema[c].dataType.simpleString()}" for c in carry_cols
     ]
     return emb.mapInPandas(batches, ", ".join(out_fields))
@@ -725,8 +726,12 @@ def pq_search_topk_arrow(
         "Shard the query set, or use the declarative pq_search_topk "
         "with a distributed join for query-set-scale workloads.",
     )
+    # Key dtypes come from the input schemas (like brute_force_topk_arrow)
+    # so non-bigint keys — string doc ids — don't hit an Arrow mismatch.
+    q_t = queries.schema[query_key].dataType.simpleString()
+    c_t = corpus_codes.schema[corpus_key].dataType.simpleString()
     out_schema = (
-        f"{query_key} long, {corpus_key} long, adc_sq double, rank bigint"
+        f"{query_key} {q_t}, {corpus_key} {c_t}, adc_sq double, rank bigint"
     )
     spark = corpus_codes.sparkSession
     if not qrows:

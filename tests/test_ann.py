@@ -556,6 +556,35 @@ def test_pq_arrow_and_declarative_paths_are_bit_identical(spark):
     assert all(arrow[(q, q)][1] == 1 for q in range(5))
 
 
+def test_pq_arrow_paths_accept_string_keys(spark):
+    """r7 ADVICE: pq_encode_arrow / pq_search_topk_arrow hardcoded `long`
+    key columns in their Arrow out-schemas while exposing the key names as
+    parameters — string doc ids died with an Arrow schema mismatch. The
+    dtypes now derive from the input schemas like brute_force_topk_arrow."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        pq_encode_arrow,
+        pq_search_topk_arrow,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        as_double(F.col("embedding")).alias("emb"),
+    )
+    m, k, dim = 8, 16, 64
+    codes = pq_encode_arrow(emb, m, k, dim)
+    assert codes.schema["vec_id"].dataType.simpleString() == "string"
+    queries = emb.where("vec_id in ('doc-0','doc-1')").select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    rows = pq_search_topk_arrow(codes, queries, 3, m, k, dim).collect()
+    assert len(rows) == 6
+    # self is its own nearest code sequence under string keys too
+    assert {r["q_id"] for r in rows if r["rank"] == 1 and r["vec_id"] == r["q_id"]} \
+        == {"doc-0", "doc-1"}
+
+
 def test_pq_trained_codebooks_beat_the_md5_floor(spark):
     """pq_train fits per-subspace k-means codebooks (the production
     quality path); they must flow through the same Arrow twins via the

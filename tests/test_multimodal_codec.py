@@ -751,6 +751,44 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
         assert _decode_jpeg(prog) == _decode_jpeg(base), (w, h, gray)
 
 
+def test_jpeg_progressive_ac_refine_missing_table_is_clean_valueerror():
+    """r7 ADVICE: the missing-AC-Huffman-table guard only fired for first
+    AC scans (ah == 0); a refinement scan pointing at an undefined table
+    died with AttributeError deep in _jpeg_decode_symbol. Rewrite the AC
+    REFINEMENT scan's SOS table selector to an undefined id and require
+    the clean ValueError both scan kinds now raise."""
+    import numpy as np
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    enc = bytearray(_encode_jpeg_progressive(16, 16, px.tobytes(), grayscale=True))
+    patched = 0
+    pos = 0
+    while True:
+        pos = enc.find(b"\xff\xda", pos)
+        if pos < 0:
+            break
+        seg = pos + 4  # skip marker + length
+        ns = enc[seg]
+        comp0 = seg + 1
+        ss = enc[comp0 + 2 * ns]
+        ahal = enc[comp0 + 2 * ns + 2]
+        if ss > 0 and (ahal >> 4) > 0:  # AC refinement scan
+            # point Ta at table id 3, which the encoder never defines
+            enc[comp0 + 1] = (enc[comp0 + 1] & 0xF0) | 0x03
+            patched += 1
+        pos += 2
+    assert patched > 0, "encoder emitted no AC refinement scan to patch"
+    with pytest.raises(ValueError, match="missing AC Huffman table"):
+        _decode_jpeg(bytes(enc))
+
+
 def test_jpeg_progressive_small_odd_shapes_property():
     """Property sweep over sub-MCU and partial-MCU dimensions (w or h
     < 8, odd sizes): edge-replication padding, single-block frames and
