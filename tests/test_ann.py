@@ -556,6 +556,66 @@ def test_pq_arrow_and_declarative_paths_are_bit_identical(spark):
     assert all(arrow[(q, q)][1] == 1 for q in range(5))
 
 
+def test_lsh_bucket_assign_arrow_matches_fold(spark):
+    """The Arrow bucket twin must reproduce the declarative fold's
+    signatures EXACTLY (same md5 planes, same sequential sum order —
+    the bit-identity that lets sim_lsh_buckets / bounded_cell_keys use
+    the fast path against the fold-order oracle)."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        lsh_bucket_assign,
+        lsh_bucket_assign_arrow,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    both = emb.select(
+        "vec_id",
+        lsh_bucket_assign(F.col("emb"), 8, 64).alias("fold"),
+        lsh_bucket_assign_arrow(F.col("emb"), 8, 64).alias("arrow"),
+    )
+    assert both.where("fold <> arrow").count() == 0
+    assert both.where("arrow < 0 or arrow > 255").count() == 0
+
+
+def test_bounded_cell_keys_caps_oversized_cells(spark):
+    """r7 verdict #2: the within-cell pair join must be bounded in-plan.
+    Cells under the cap keep subkey 0 (exact semantics); oversized cells
+    split into 2^depth hyperplane sub-buckets with depth chosen so the
+    expected bucket size is back under the cap, and candidate pairs
+    never cross sub-buckets."""
+    import pandas as pd_local
+
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        bounded_cell_keys,
+    )
+
+    rng_rows = []
+    import hashlib
+    import random
+
+    rnd = random.Random(3)
+    for i in range(300):  # one cell of 300 rows > cap 64 → depth 3
+        rng_rows.append(("big", i, [rnd.uniform(-1, 1) for _ in range(64)]))
+    for i in range(40):  # one cell under the cap → depth 0
+        rng_rows.append(("small", 1000 + i, [rnd.uniform(-1, 1) for _ in range(64)]))
+    df = spark.createDataFrame(
+        rng_rows, "label string, vec_id long, emb array<double>"
+    )
+    keyed = bounded_cell_keys(df, "label", "emb").collect()
+    small = [r for r in keyed if r["label"] == "small"]
+    big = [r for r in keyed if r["label"] == "big"]
+    assert {r["subkey"] for r in small} == {0}
+    # depth = ceil(log2(300/64)) = 3 → subkeys within [0, 8)
+    assert all(0 <= r["subkey"] < 8 for r in big)
+    assert len({r["subkey"] for r in big}) > 1  # genuinely split
+    sizes = pd_local.Series([r["subkey"] for r in big]).value_counts()
+    # hyperplane splits are approximately balanced on random vectors
+    assert sizes.max() < 300
+
+
 def test_pq_arrow_paths_accept_string_keys(spark):
     """r7 ADVICE: pq_encode_arrow / pq_search_topk_arrow hardcoded `long`
     key columns in their Arrow out-schemas while exposing the key names as
