@@ -1210,7 +1210,7 @@ def bounded_cell_keys(
         keyed AS (
             -- mirrors the Spark side's bounded_cell_keys: cells over 64
             -- rows are split by the first ceil(log2(cnt/64)) hyperplane
-            -- sign bits, so no pair join bucket outgrows the cap. At the
+            -- sign bits, so no pairing bucket outgrows the cap. At the
             -- driver's sf0.01 every cell is under 64 → depth 0 → exact
             -- within-cell semantics.
             SELECT c.vec_id, c.label, c.emb,
