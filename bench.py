@@ -82,6 +82,12 @@ HEADLINE = [
     "sim_pq_adc_topk",
     # late round-7: the composed IVF+PQ path (cell-pruned ADC scan)
     "sim_ivfpq_topk",
+    # sim_pq_trained_topk (r8) is deliberately NOT benched: ~10 s of its
+    # wall-clock is pq_train's m-per-subspace Lloyd's chains — an OFFLINE
+    # index build at 100 TB, not a per-query throughput path (the same
+    # reasoning that keeps the fold-cosine sim_knn_join off the bench).
+    # The search half it feeds (encode + ADC + rerank) is covered by
+    # sim_pq_adc_topk / sim_ivfpq_topk above.
 ]
 
 

@@ -1038,6 +1038,188 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_mse_pair_arrow(
+    emb: DataFrame, cb_a, cb_b, m: int, k: int, dim: int,
+    vec_col: str = "emb",
+) -> DataFrame:
+    """One-pass distributed quantization-error comparison: per Arrow
+    batch, the min-over-codewords squared reconstruction error of every
+    row under TWO codebooks (nearest-codeword distance summed across
+    subspaces), partially aggregated per batch — the full corpus reduces
+    to one (sum_sq_a, sum_sq_b, n) row. This is how you check a trained
+    codebook against the incumbent on 100 TB: one scan, no collect of
+    anything bigger than a 3-double row."""
+    import numpy as np
+
+    ds = dim // m
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = X.reshape(len(pdf), m, ds)
+            tot = {}
+            for tag, cb in (("a", cb_a), ("b", cb_b)):
+                err = np.zeros(len(pdf), dtype=np.float64)
+                for sub in range(m):
+                    diff = X[:, sub, None, :] - cb[sub][None, :, :]
+                    d = _seq_lastaxis_sum(diff * diff)
+                    err = err + d.min(axis=1)
+                tot[tag] = float(err.sum())
+            yield pd.DataFrame(
+                {"sq_a": [tot["a"]], "sq_b": [tot["b"]], "n": [len(pdf)]}
+            )
+
+    partial = emb.mapInPandas(batches, "sq_a double, sq_b double, n long")
+    return partial.agg(
+        F.sum("sq_a").alias("sq_a"),
+        F.sum("sq_b").alias("sq_b"),
+        F.sum("n").alias("n"),
+    )
+
+
+@query(
+    "sim_pq_trained_topk",
+    survey="J5,W3",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS q_id,
+               CAST(25 AS BIGINT) AS n_candidates,
+               TRUE AS rerank_recall_ge_adc,
+               TRUE AS trained_mse_below_floor
+        FROM embeddings WHERE vec_id < 3
+    """,
+)
+def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED-codebook PQ production pipeline end-to-end (r7 verdict
+    "Next" #5): ``pq_train`` fits per-subspace k-means codebooks →
+    ``pq_encode_arrow`` encodes the corpus with them → ADC search widens
+    to N=25 candidates → ``pq_rerank_exact`` re-ranks by exact cosine.
+    Trained centroids are not SQL-replayable, so the oracle is a
+    CONTRACT (the CMS/HLL tolerance pattern), with both clauses computed
+    IN-PLAN from the data, never as literals:
+
+    - ``trained_mse_below_floor``: the trained codebook's corpus
+      quantization MSE must beat the untrained md5 floor
+      (:func:`pq_mse_pair_arrow`, one scan, k-means minimizes exactly
+      this objective — strict improvement is the quality claim);
+    - ``rerank_recall_ge_adc``: recall@5 against the exact cosine top-5
+      after re-ranking must be ≥ the raw ADC top-5's recall — the
+      two-stage pipeline may never be worse than its candidate stage
+      (guaranteed when the code is correct: rerank selects by exact
+      cosine from a superset of the ADC cut, so every exact-top-5
+      member among the candidates survives).
+
+    A wrong codebook seam, a broken rerank join, or an encode/LUT
+    mismatch flips a FALSE into the value hash. Recall itself is not
+    asserted as a constant because the fixture embeddings are
+    near-uniform random — PQ resolution on them is a weak
+    discriminator (see test_pq_trained_codebooks_beat_the_md5_floor).
+
+    Physical shape: training (m·iters lazy Lloyd's chains, offline at
+    100 TB) and the ADC candidate scan execute eagerly inside the fn —
+    the candidate set is |queries|·N rows and collects under the
+    :func:`_take_bounded` contract, exactly the table the rerank stage
+    broadcasts by design (its docstring's "the corpus side never
+    shuffles"). The RETURNED plan therefore re-reads full vectors only
+    for the rerank join, the exact-top-5 reference, and the one-scan
+    MSE comparison, with every verification join broadcast-tiny —
+    without the bounded collect, the candidate subtree (encode + scan +
+    top-k) would be duplicated into three plan branches (measured 29
+    Exchanges, 5× the budget)."""
+    # Two views of the corpus: the spread one feeds the EAGER half
+    # (train + encode + candidate scan — compute-heavy, wants the
+    # fixture repartition); the plain one feeds the returned plan,
+    # where spread_for_compute's per-scan repartition would add an
+    # Exchange per verification subtree for no work worth distributing.
+    emb_spread = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        source_path=table_path(sf_dir, "embeddings"),
+    ).select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    m, k, dim, n_cand = 8, 16, 64, 25
+    trained = codebook_from_df(
+        pq_train(emb_spread, m, k, dim, iters=2), m, k, dim
+    )
+    floor = _pq_codebook_np(m, k, dim)
+
+    q_pred = F.col("vec_id") < 3
+    queries = emb.where(q_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    codes = pq_encode_arrow(emb_spread, m, k, dim, codebook=trained)
+    cand_rows = _take_bounded(
+        pq_search_topk_arrow(
+            codes, emb_spread.where(q_pred).select(
+                F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+            ), n_cand, m, k, dim, codebook=trained
+        ).select("q_id", "vec_id", "rank"),
+        3 * n_cand,
+        "sim_pq_trained_topk",
+        "The candidate set is |queries|*N by construction; widen "
+        "max_queries-style bounds before widening the query set.",
+    )
+    cand_local = spark.createDataFrame(
+        [(r["q_id"], r["vec_id"], r["rank"]) for r in cand_rows],
+        "q_id long, vec_id long, rank bigint",
+    )
+    n_by_q: dict[int, int] = {}
+    for r in cand_rows:
+        n_by_q[r["q_id"]] = n_by_q.get(r["q_id"], 0) + 1
+    counts = spark.createDataFrame(
+        sorted(n_by_q.items()), "q_id long, n_candidates bigint"
+    )
+
+    reranked = pq_rerank_exact(cand_local, emb, queries, 5)
+    # exact top-5 reference, aggregated to one array row per query so a
+    # single broadcast join (array membership) verifies both stages —
+    # a semi join against the union would push through it and duplicate
+    # the brute-force subtree into both branches.
+    exact_sets = (
+        brute_force_topk(emb, queries, 5)
+        .groupBy("q_id")
+        .agg(F.collect_set("vec_id").alias("exact_set"))
+    )
+    tagged = reranked.select(
+        "q_id", "vec_id", F.lit("rr").alias("tag")
+    ).unionByName(
+        cand_local.where(F.col("rank") <= 5).select(
+            "q_id", "vec_id", F.lit("adc").alias("tag")
+        )
+    )
+    is_hit = F.array_contains(F.col("exact_set"), F.col("vec_id"))
+    hits = (
+        tagged.join(F.broadcast(exact_sets), "q_id")
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.when((F.col("tag") == "rr") & is_hit, 1).otherwise(0)
+            ).alias("rr_hits"),
+            F.sum(
+                F.when((F.col("tag") == "adc") & is_hit, 1).otherwise(0)
+            ).alias("adc_hits"),
+        )
+    )
+    mse = pq_mse_pair_arrow(emb, trained, floor, m, k, dim).select(
+        (F.col("sq_a") < F.col("sq_b")).alias("trained_mse_below_floor")
+    )
+    per_q = counts.join(F.broadcast(hits), "q_id", "left").select(
+        "q_id",
+        "n_candidates",
+        (
+            F.coalesce(F.col("rr_hits"), F.lit(0))
+            >= F.coalesce(F.col("adc_hits"), F.lit(0))
+        ).alias("rerank_recall_ge_adc"),
+    )
+    return per_q.crossJoin(F.broadcast(mse)).select(
+        "q_id", "n_candidates", "rerank_recall_ge_adc",
+        "trained_mse_below_floor",
+    )
+
+
 @query(
     "sim_ivfpq_topk",
     survey="J5,W3",

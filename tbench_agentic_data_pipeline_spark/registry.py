@@ -193,7 +193,8 @@ _FRONT_ORDER: tuple[str, ...] = (
     "dedup_cluster_components",
     "dedup_threshold_sweep",
     "corpus_leakage_safe_split",
-    "sim_lsh_buckets",
+    # -- new round-8 query (enters the window the round it lands) ----------
+    "sim_pq_trained_topk",
 )
 
 
