@@ -1268,15 +1268,54 @@ def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT q_id, list(lrow ORDER BY s) AS lut
             FROM lutrows GROUP BY q_id
         ),
-        -- the IVF restriction: ADC-score only the query's own coarse
-        -- cell (label), never the whole corpus
+        -- the coarse quantizer, integer-exact so both engines agree to
+        -- the last bit: per-cell member count n and per-dimension SUM of
+        -- milli-quantized components (floor(x*1000) — integer sums are
+        -- order-independent, so no float summation-order divergence)
+        iv AS (
+            SELECT vec_id, label,
+                   list_transform(emb, x -> CAST(FLOOR(x * 1000) AS BIGINT))
+                       AS iv
+            FROM c
+        ),
+        cellsum AS (
+            SELECT label, r.i, SUM(iv[CAST(r.i AS INT)]) AS s
+            FROM iv, range(1, 65) r(i)
+            GROUP BY label, r.i
+        ),
+        celln AS (SELECT label, COUNT(*) AS n FROM iv GROUP BY label),
+        cent AS (
+            SELECT cs.label, cn.n, list(cs.s ORDER BY cs.i) AS s
+            FROM cellsum cs JOIN celln cn USING (label)
+            GROUP BY cs.label, cn.n
+        ),
+        -- centroid-distance probe: nprobe=2 cells minimizing the exact
+        -- integer form of ||q - S/n||^2 scaled by n^2, tie-broken by
+        -- cell id (mirrors the Spark-side probe fold exactly)
+        probed AS (
+            SELECT qi.vec_id AS q_id, ct.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qi.vec_id
+                       ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> (qi.iv[CAST(i AS INT)] * ct.n
+                                   - ct.s[CAST(i AS INT)])
+                                * (qi.iv[CAST(i AS INT)] * ct.n
+                                   - ct.s[CAST(i AS INT)]))),
+                           ct.label
+                   ) AS pr
+            FROM iv qi CROSS JOIN cent ct
+            WHERE qi.vec_id < 3
+        ),
+        probes AS (SELECT q_id, label FROM probed WHERE pr <= 2),
+        -- the IVF restriction: ADC-score only the PROBED cells, never
+        -- the whole corpus
         scored AS (
             SELECT l.q_id, cc.vec_id,
                    list_sum(list_transform(range(1, 9),
                        s -> l.lut[s][cds.codes[s] + 1])) AS adc_sq
             FROM lut l
-            JOIN c cq ON cq.vec_id = l.q_id
-            JOIN c cc ON cc.label = cq.label
+            JOIN probes p ON p.q_id = l.q_id
+            JOIN c cc ON cc.label = p.label
             JOIN codes cds ON cds.vec_id = cc.vec_id
         ),
         ranked AS (
@@ -1292,17 +1331,32 @@ def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ composed ANN (r7 — the two halves joined): the corpus
-    PQ-encodes with its coarse cell id riding along (``carry_cols`` —
-    no recovery join), and each query ADC-ranks only its probed cell.
-    The fixture's ``label`` stands in for the learned coarse centroid
-    id exactly as in :func:`sim_ivf_probe`; with trained quantizers the
-    cell comes from ``clustering.assign_clusters`` and the probe list
-    from ``brute_force_topk`` against the (tiny) centroid table. Exact
-    value oracle: both the cell restriction (a label join) and the
-    md5-codebook ADC replay in SQL. Scale shape: the ADC scan touches
-    |probed cells| of m-byte codes — cell-partitioned storage makes
-    that partition pruning — with one top-k exchange after."""
+    """IVF+PQ composed ANN, now the FULL production lifecycle (r7 verdict
+    "Next" #6): coarse-index BUILD → SAVE → LOAD → centroid-distance
+    PROBE → cell-pruned ADC scan. The coarse quantizer is the per-cell
+    (count n, per-dimension sum S) table over milli-quantized
+    components (``floor(x·1000)`` — INTEGER sums, so both engines and
+    any aggregation order agree to the last bit), committed through
+    ``SnapshotTable`` (the ``save_ivf_index`` lifecycle: versioned
+    commit, atomic manifest flip) and read back for probing. Each query
+    probes its nprobe=2 nearest cells by the exact integer form of
+    ``||q − S/n||²`` (scaled by n², tie-broken by cell id), then
+    ADC-ranks only those cells' m-byte codes. The oracle replays the
+    quantizer build, the probe ranking, and the ADC — an exact value
+    oracle over the whole lifecycle, not just the scan. Scale shape:
+    the stats build is one map-side-combined aggregation (|cells|
+    rows), the probe is a broadcast crossJoin against that tiny table,
+    and the ADC scan touches |probed cells| of codes —
+    cell-partitioned storage makes that partition pruning — with one
+    top-k exchange after."""
+    import os
+    import shutil
+    import tempfile
+
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
     emb = spread_for_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
@@ -1310,14 +1364,62 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     )
-    codes = pq_encode_arrow(emb, 8, 16, 64, carry_cols=("label",))
-    queries = emb.where(F.col("vec_id") < 3).select(
+    dim, nprobe = 64, 2
+    ivec = F.transform(F.col("emb"), lambda x: F.floor(x * 1000))
+    stats = (
+        emb.select("label", ivec.alias("iv"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("iv"), i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        .select(
+            "label", "n",
+            F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("s"),
+        )
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_snapshots",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+        "ivfpq_index",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    SnapshotTable(spark, root).commit(
+        stats.coalesce(1), operation="ivf_index"
+    )
+    cent = SnapshotTable(spark, root).read()  # the LOADED quantizer
+
+    q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
-        F.array(F.col("label")).alias("probe_cells"),
+        ivec.alias("q_iv"),
     )
+    probe_d = F.aggregate(
+        F.zip_with(
+            F.col("q_iv"), F.col("s"),
+            lambda a, b: (a * F.col("n") - b) * (a * F.col("n") - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("q_id").orderBy("d", "label")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("d", probe_d)
+        .withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= nprobe)
+        .groupBy("q_id")
+        .agg(F.sort_array(F.collect_list("label")).alias("probe_cells"))
+    )
+    queries = q.select("q_id", "q_emb").join(F.broadcast(probes), "q_id")
+    codes = pq_encode_arrow(emb, 8, 16, dim, carry_cols=("label",))
     out = ivfpq_search_topk(
-        codes, queries, 5, 8, 16, 64, cell_col="label"
+        codes, queries, 5, 8, 16, dim, cell_col="label"
     )
     return out.select(
         "q_id",
