@@ -157,6 +157,15 @@ EXTRA_CURVE = [
     "text_sequence_packing",
     "a_salted_sum",
     "st_sliding_window",
+    # r8 (VERDICT r7 #7): the remaining >=3-exchange un-curved registry
+    # tail — the validation pipeline, the biggest scalar gauntlet, the
+    # tumbling-window streaming twin, and the two conditional-aggregate
+    # TPC-H queries the verdict named
+    "x7_validation_pipeline",
+    "f_json_gauntlet",
+    "st_tumbling_window",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
 ]
 
 
