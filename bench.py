@@ -80,7 +80,12 @@ HEADLINE = [
     # round-7 addition, benched from birth: PQ/ADC top-k — the Arrow
     # encode + lookup-table search over m-byte codes
     "sim_pq_adc_topk",
-    # late round-7: the composed IVF+PQ path (cell-pruned ADC scan)
+    # late round-7: the composed IVF+PQ path (cell-pruned ADC scan).
+    # r8 note: the query's semantics WIDENED to the full index lifecycle
+    # (stats build + snapshot save/load + centroid probe now run eagerly
+    # inside the fn before the ADC scan), so its benched time includes an
+    # index build per run — the write-bound snap_merge_on_read posture,
+    # expect ~2-3 s at sf0.1 vs r7's 0.88 s search-only reading.
     "sim_ivfpq_topk",
     # sim_pq_trained_topk (r8) is deliberately NOT benched: ~10 s of its
     # wall-clock is pq_train's m-per-subspace Lloyd's chains — an OFFLINE
