@@ -87,6 +87,10 @@ HEADLINE = [
     # index build per run — the write-bound snap_merge_on_read posture,
     # expect ~2-3 s at sf0.1 vs r7's 0.88 s search-only reading.
     "sim_ivfpq_topk",
+    # round-8 addition, benched from birth: the RIFF/WAV audio decode
+    # stage (fixture-encode + chunk-walk parse, the audio twin of the
+    # image/video codec entries)
+    "mm_audio_codec",
     # sim_pq_trained_topk (r8) is deliberately NOT benched: ~10 s of its
     # wall-clock is pq_train's m-per-subspace Lloyd's chains — an OFFLINE
     # index build at 100 TB, not a per-query throughput path (the same

@@ -189,12 +189,14 @@ _FRONT_ORDER: tuple[str, ...] = (
     "sim_knn_join",
     "sim_ivf_probe",
     "sim_topk_cosine",
-    "sim_quantized_topk",
     "dedup_cluster_components",
     "dedup_threshold_sweep",
     "corpus_leakage_safe_split",
-    # -- new round-8 query (enters the window the round it lands) ----------
+    # -- new round-8 queries (enter the window the round they land);
+    # sim_quantized_topk and sim_lsh_buckets ceded their prefill slots
+    # and rejoin round 9's mandatory block -------------------------------
     "sim_pq_trained_topk",
+    "mm_audio_codec",
 )
 
 

@@ -458,6 +458,26 @@ def test_wav_malformed_variants():
             _parse_wav(bad)
 
 
+def test_package_wav_encoder_matches_independent_writer():
+    """The package's fixture encoder (_encode_wav, added with the
+    mm_audio_codec query) must parse to the same features as this
+    file's independently written RIFF framing — two writers, one
+    parser, cross-checking chunk layout, fmt fields, and PCM packing."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _encode_wav,
+        _parse_wav,
+    )
+
+    sq = [16384 if i % 2 else -16384 for i in range(80)]
+    a = _parse_wav(_encode_wav(sq, rate=8000, bits=16))
+    b = _parse_wav(encode_wav([sq], rate=8000, bits=16))
+    assert a == b and a["rms_milli"] == 500
+    small = [v // 256 for v in sq]
+    a8 = _parse_wav(_encode_wav(small, rate=1000, bits=8))
+    b8 = _parse_wav(encode_wav([small], rate=1000, bits=8))
+    assert a8 == b8 and a8["bits"] == 8
+
+
 def test_decode_audio_features_stage(spark):
     from tbench_agentic_data_pipeline_spark.operators.multimodal import (
         decode_audio_features,

@@ -83,6 +83,9 @@ _PINS = {
     "a_heavy_hitters_cms": 6,
     "snap_merge_on_read": 3,
     "mm_video_codec": 0,
+    # r8 addition: scan → two Arrow stages (WAV fixture-encode + parse),
+    # shuffle-free like the other codec entries
+    "mm_audio_codec": 0,
 }
 
 
