@@ -87,10 +87,12 @@ HEADLINE = [
     # index build per run — the write-bound snap_merge_on_read posture,
     # expect ~2-3 s at sf0.1 vs r7's 0.88 s search-only reading.
     "sim_ivfpq_topk",
-    # round-8 addition, benched from birth: the RIFF/WAV audio decode
+    # round-8 additions, benched from birth: the RIFF/WAV audio decode
     # stage (fixture-encode + chunk-walk parse, the audio twin of the
-    # image/video codec entries)
+    # image/video codec entries) and the BPE pair-counting stage (the
+    # tokenizer-training counting shuffle — bounded-cardinality key)
     "mm_audio_codec",
+    "text_bpe_pairs",
     # sim_pq_trained_topk (r8) is deliberately NOT benched: ~10 s of its
     # wall-clock is pq_train's m-per-subspace Lloyd's chains — an OFFLINE
     # index build at 100 TB, not a per-query throughput path (the same

@@ -663,3 +663,185 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.col("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 8): the missing half of "token counting".
+# token_count_bpe COUNTS with a BPE-ish regex; these operators TRAIN the
+# merge table itself, distributed — the corpus-scale half of building a
+# tokenizer for a new training mix. Reference parity: generalizes the
+# F-family token handling (shared_tools/validators.py) the same way the
+# curation operators generalize its substring checks.
+# ---------------------------------------------------------------------------
+
+
+def char_symbols(word: Column) -> Column:
+    """Initial BPE symbol sequence: one single-character symbol per
+    position (per-row projection, no Python)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+
+
+def adjacent_pairs(syms: Column) -> Column:
+    """array<struct<lhs,rhs>> of adjacent symbol pairs — the unit BPE
+    counts. Empty for sequences shorter than 2."""
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.slice(syms, 1, n - 1),
+            lambda s, i: F.struct(
+                s.alias("lhs"),
+                F.element_at(syms, i + F.lit(2)).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+
+
+def bpe_apply_merge(syms: Column, lhs: str, rhs: str) -> Column:
+    """Apply one BPE merge left-to-right without overlap (``aaa`` under
+    merge (a,a) → ``[aa, a]`` — the standard greedy semantics): a
+    sequential fold with (emitted, pending) state, entirely in
+    higher-order functions — per-row, no shuffle, no Python."""
+    merged = lhs + rhs
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        out, pend = acc.getField("out"), acc.getField("pend")
+        take = pend.isNotNull() & (pend == F.lit(lhs)) & (s == F.lit(rhs))
+        return (
+            F.when(take, F.struct(
+                F.concat(out, F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ))
+            .when(pend.isNull(), F.struct(
+                out.alias("out"), s.alias("pend"),
+            ))
+            .otherwise(F.struct(
+                F.concat(out, F.array(pend)).alias("out"), s.alias("pend"),
+            ))
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.when(
+            acc.getField("pend").isNull(), acc.getField("out")
+        ).otherwise(F.concat(acc.getField("out"), F.array(acc.getField("pend"))))
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", num_merges: int = 8,
+    min_count: int = 2, checkpoint_every: int = 4,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table over a corpus (Sennrich-style): build the
+    word-frequency table ONCE (the only full-corpus shuffle — at 100 TB
+    the symbol work then runs over |vocab| rows, not |corpus|), then per
+    round count weighted adjacent pairs, pick the most frequent
+    (tie-break: lexicographic, deterministic), and apply the merge as a
+    per-row fold. The per-round argmax is a 1-row collect — the same
+    convergence-scalar pattern as k-means/connected-components — and
+    lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds exactly like pointer-jumping CC.
+    Returns the ordered merge list."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).where(F.length("w") >= 1)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    table = vocab.select(char_symbols(F.col("w")).alias("syms"), "freq")
+    merges: list[tuple[str, str]] = []
+    for r in range(num_merges):
+        pairs = table.select(
+            F.explode(adjacent_pairs(F.col("syms"))).alias("p"), "freq"
+        )
+        best = (
+            pairs.groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        lhs, rhs = best[0]["lhs"], best[0]["rhs"]
+        merges.append((lhs, rhs))
+        table = table.select(
+            bpe_apply_merge(F.col("syms"), lhs, rhs).alias("syms"), "freq"
+        )
+        if (r + 1) % checkpoint_every == 0:
+            table = table.localCheckpoint(eager=True)
+    return merges
+
+
+@query(
+    "text_bpe_pairs",
+    survey="X3,A1,W2",
+    oracle="""
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        p AS (
+            SELECT unnest([substr(w, CAST(i AS INT), 1)
+                           for i in range(1, len(w))]) AS lhs,
+                   unnest([substr(w, CAST(i AS INT) + 1, 1)
+                           for i in range(1, len(w))]) AS rhs
+            FROM w WHERE len(w) >= 2
+        ),
+        counts AS (
+            SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM p GROUP BY lhs, rhs
+        ),
+        ranked AS (
+            SELECT lhs, rhs, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, lhs, rhs) AS rank
+            FROM counts
+        )
+        SELECT lhs, rhs, cnt, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 20
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training round over the corpus, externally pinned:
+    adjacent character-pair frequencies within whitespace words, top 20
+    by count (tie-break lexicographic — deterministic on both engines;
+    integer counts, hash-exact). This is :func:`bpe_train`'s per-round
+    counting stage as a standalone query — the iterative trainer itself
+    is pinned against a pure-Python Sennrich reference in
+    ``tests/test_bpe.py``. Scale shape: one explode + one
+    partial-aggregated count shuffle on a 2-char key (bounded
+    cardinality ≤ |alphabet|²), then a global top-k — the same
+    TakeOrderedAndProject shape as ``w2_global_topn``."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    # On single-char symbols the adjacent pair IS the 2-char substring —
+    # one substr per position instead of a struct build + element_at
+    # (the struct form measured ~2× slower on the explode hot path);
+    # lhs/rhs split back out AFTER the count, on ≤|alphabet|² rows.
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    pairs = words.select(F.explode(bigrams).alias("bg"))
+    counts = pairs.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    rank_w = Window.orderBy(F.desc("cnt"), F.col("bg"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= 20)
+        .select(
+            F.substring("bg", 1, 1).alias("lhs"),
+            F.substring("bg", 2, 1).alias("rhs"),
+            "cnt",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

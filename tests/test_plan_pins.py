@@ -86,6 +86,10 @@ _PINS = {
     # r8 addition: scan → two Arrow stages (WAV fixture-encode + parse),
     # shuffle-free like the other codec entries
     "mm_audio_codec": 0,
+    # r8 addition: explode bigrams → one partial-aggregated count
+    # exchange on a bounded-cardinality key; the global top-20 rides
+    # TakeOrderedAndProject-style on the aggregated rows
+    "text_bpe_pairs": 1,
 }
 
 
