@@ -845,3 +845,62 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def save_bpe_merges(spark: SparkSession, merges: list[tuple[str, str]],
+                    root: str) -> int:
+    """Persist an ordered BPE merge table through the same versioned
+    snapshot lifecycle as the IVF/PQ indexes (atomic manifest flip,
+    previous version = rollback): (merge_rank, lhs, rhs) rows. Returns
+    the committed version."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, lhs string, rhs string",
+    )
+    return SnapshotTable(spark, root).commit(
+        df.coalesce(1), operation="bpe_merges"
+    )
+
+
+def load_bpe_merges(spark: SparkSession, root: str,
+                    version: int | None = None) -> list[tuple[str, str]]:
+    """Load a persisted merge table back into the ordered list
+    :func:`bpe_encode` applies — merge tables are vocab-sized (tiny) by
+    construction, so the collect is bounded like a codebook's."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    rows = SnapshotTable(spark, root).read(version).collect()
+    return [
+        (r["lhs"], r["rhs"])
+        for r in sorted(rows, key=lambda r: r["merge_rank"])
+    ]
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text") -> DataFrame:
+    """Apply a trained merge table: whitespace words → char symbols →
+    the merges in training order, each one a per-row fold — k merges is
+    k chained higher-order expressions inside one projection, zero
+    shuffles, the shape that tokenizes 100 TB at scan speed. Output:
+    the input rows plus a ``tokens array<string>`` column (words
+    flattened in order)."""
+    word_syms = F.transform(
+        F.split(F.col(text_col), " "),
+        lambda w: char_symbols(w),
+    )
+    def apply_one(col: Column, lhs: str, rhs: str) -> Column:
+        # a named factory, not a defaulted lambda: pyspark reads the
+        # lambda's arity from its signature, so extra bound params would
+        # be mistaken for higher-order-function arguments
+        return F.transform(col, lambda ws: bpe_apply_merge(ws, lhs, rhs))
+
+    merged = word_syms
+    for lhs, rhs in merges:
+        merged = apply_one(merged, lhs, rhs)
+    return docs.withColumn("tokens", F.flatten(merged))

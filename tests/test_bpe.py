@@ -118,3 +118,53 @@ def test_bpe_pairs_query_counts_are_exact(spark):
     assert len(out) == 20
     for rank, ((lhs, rhs), cnt) in enumerate(top, start=1):
         assert out[(lhs, rhs)] == (cnt, rank)
+
+
+def _reference_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    out: list[str] = []
+    for w in text.split(" "):
+        syms = list(w)
+        for a, b in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        out.extend(syms)
+    return out
+
+
+def test_bpe_train_save_load_encode_lifecycle(spark, tmp_path):
+    """The full tokenizer lifecycle: train -> persist (versioned
+    snapshot) -> load -> apply, with the distributed encode matching a
+    sequential reference token-for-token."""
+    from tbench_agentic_data_pipeline_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    lines = ["the cat sat on the mat", "the bat and the cat", "a cat a mat"]
+    docs = spark.createDataFrame([(ln,) for ln in lines], "text string")
+    merges = bpe_train(docs, num_merges=5)
+    assert merges  # corpus has repeats; something must merge
+
+    root = str(tmp_path / "bpe")
+    v = save_bpe_merges(spark, merges, root)
+    assert v >= 1
+    assert load_bpe_merges(spark, root) == merges
+
+    got = {
+        r["text"]: list(r["tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for ln in lines:
+        assert got[ln] == _reference_encode(ln, merges), ln
+    # merged text must reconstruct the original (lossless tokenization)
+    for ln in lines:
+        assert "".join(got[ln]) == ln.replace(" ", "")
