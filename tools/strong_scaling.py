@@ -1,0 +1,122 @@
+"""Strong-scaling measurement: fixed ~sf1 work, varying local[] threads.
+
+The scale curve answers "what happens when the DATA grows 10×"; this
+answers the other half of the 1000-executor question — "does the same
+work actually spread across more cores". For each thread count the tool
+spawns a FRESH subprocess (its own JVM; SPARK_GRAFT_CPUS is read at
+session build), runs a set of heavy shuffle/join/iterative queries
+against the ~sf1 fixture (built by tools/scaling_curve.py), best-of-2,
+and the parent renders speedup and parallel efficiency relative to the
+smallest thread count into SCALING.md's AUTOGEN:STRONG_SCALING block.
+
+spark.sql.shuffle.partitions stays at the session default (32) for every
+run so the PLANS are identical — only executor-thread parallelism varies.
+
+Usage: python tools/strong_scaling.py [--update-md]
+       python tools/strong_scaling.py --worker   (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_BIG = os.path.join(REPO, ".scaling", "sf1")
+THREADS = (4, 8, 16, 32)
+# Heavy, compute/shuffle-bound shapes where parallelism should pay:
+# the banded-LSH contract pipeline, iterative pointer-jumping CC, the
+# co-partitioned semi/anti TPC-H join, and the LSH→CC→survivor chain.
+QUERIES = (
+    "dedup_minhash_fast",
+    "dedup_cluster_components",
+    "q21_sole_late_supplier",
+    "dedup_resolve_survivors",
+)
+START = "<!-- AUTOGEN:STRONG_SCALING -->"
+END = "<!-- /AUTOGEN:STRONG_SCALING -->"
+
+
+def worker() -> None:
+    from tbench_agentic_data_pipeline_spark import registry
+    from tbench_agentic_data_pipeline_spark.session import get_session
+
+    spark = get_session("strong-scaling")
+    fns = {n: e.fn for n, e in registry.collect().items()}
+    # warm JVM + python workers like bench.py
+    try:
+        fns[QUERIES[0]](spark, SF_BIG).count()
+    except Exception:
+        pass
+    times = {}
+    for name in QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fns[name](spark, SF_BIG).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        times[name] = round(best, 3)
+    print(json.dumps(times))
+    spark.stop()
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker()
+        return
+    if not os.path.isdir(os.path.join(SF_BIG, "lineitem.parquet")):
+        sys.exit("~sf1 fixture missing — run tools/scaling_curve.py first")
+    results: dict[int, dict[str, float]] = {}
+    for n in THREADS:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            capture_output=True, text=True, env=env,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+        print(f"local[{n}]: {results[n]}", file=sys.stderr)
+
+    base = THREADS[0]
+    lines = [
+        "| query | " + " | ".join(f"local[{n}] (s)" for n in THREADS)
+        + " | speedup @32 | efficiency @32 |",
+        "|---|" + "---|" * (len(THREADS) + 2),
+    ]
+    for q in QUERIES:
+        ts = [results[n][q] for n in THREADS]
+        sp = ts[0] / ts[-1] if ts[-1] > 0 else float("nan")
+        eff = sp / (THREADS[-1] / base)
+        lines.append(
+            f"| `{q}` | " + " | ".join(f"{t:.2f}" for t in ts)
+            + f" | {sp:.2f}× | {eff:.0%} |"
+        )
+    tot = [sum(results[n][q] for q in QUERIES) for n in THREADS]
+    sp = tot[0] / tot[-1]
+    lines.append(
+        "| **total** | " + " | ".join(f"{t:.2f}" for t in tot)
+        + f" | {sp:.2f}× | {sp / (THREADS[-1] / base):.0%} |"
+    )
+    table = "\n".join(lines)
+    print(table)
+    if "--update-md" in sys.argv:
+        path = os.path.join(REPO, "SCALING.md")
+        text = open(path).read()
+        block = f"{START}\n{table}\n{END}"
+        if START in text:
+            text = text.split(START)[0] + block + text.split(END)[1]
+        else:
+            text += "\n" + block + "\n"
+        open(path, "w").write(text)
+
+
+if __name__ == "__main__":
+    main()
