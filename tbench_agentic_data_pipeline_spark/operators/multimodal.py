@@ -647,44 +647,48 @@ class _JpegBitReader:
         self._acc = 0
         self._n = 0
 
-    def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("entropy stream truncated")
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) \
-                    else None
-                if nxt != 0x00:
-                    raise ValueError("marker inside entropy-coded segment")
-                self.pos += 2
-            else:
-                self.pos += 1
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def read_bits(self, k: int) -> int:
-        # refill whole unstuffed bytes, then take k bits in one shift —
-        # the per-bit loop dominated refinement-scan decode
-        data, n, acc = self.data, self._n, self._acc
-        while n < k:
+    def _fill(self, k: int) -> bool:
+        """Buffer unstuffed bytes until ≥ k bits are available. Returns
+        False (without raising, nothing consumed past the boundary) when
+        the stream ends or a real marker is reached first — callers that
+        NEED the bits raise; the LUT fast path just falls back. Never
+        reads past a marker, so the padding left at a restart/EOI
+        boundary is still < 8 bits and ``restart``'s byte-align discard
+        stays exact."""
+        data = self.data
+        while self._n < k:
             if self.pos >= len(data):
-                raise ValueError("entropy stream truncated")
+                return False
             b = data[self.pos]
             if b == 0xFF:
                 nxt = data[self.pos + 1] if self.pos + 1 < len(data) else None
                 if nxt != 0x00:
-                    raise ValueError("marker inside entropy-coded segment")
+                    return False
                 self.pos += 2
             else:
                 self.pos += 1
-            acc = ((acc & ((1 << n) - 1)) << 8) | b
-            n += 8
-        self._n = n - k
-        self._acc = acc
-        return (acc >> (n - k)) & ((1 << k) - 1)
+            self._acc = ((self._acc & ((1 << self._n) - 1)) << 8) | b
+            self._n += 8
+        return True
+
+    def _starved(self) -> ValueError:
+        if self.pos >= len(self.data):
+            return ValueError("entropy stream truncated")
+        return ValueError("marker inside entropy-coded segment")
+
+    def read_bit(self) -> int:
+        if not self._fill(1):
+            raise self._starved()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, k: int) -> int:
+        # whole-byte refill + one shift — the per-bit loop dominated
+        # refinement-scan decode
+        if not self._fill(k):
+            raise self._starved()
+        self._n -= k
+        return (self._acc >> self._n) & ((1 << k) - 1)
 
     def restart(self) -> int:
         """Byte-align and consume an RSTn marker; returns n (0-7)."""
@@ -698,11 +702,37 @@ class _JpegBitReader:
         return n
 
 
-def _jpeg_decode_symbol(br: _JpegBitReader, table: dict) -> int:
+class _JpegDecodeTable:
+    """Reverse Huffman table with an 8-bit first-level LUT: codes of
+    length ≤ 8 (the overwhelming majority in practice — every code in
+    the T.81 example tables' hot range) decode with ONE lookahead
+    lookup instead of a per-bit walk; longer codes and near-marker
+    tails fall back to the canonical walk over ``codes``."""
+
+    __slots__ = ("codes", "lut")
+
+    def __init__(self, fwd: dict) -> None:
+        self.codes = {lc: sym for sym, lc in fwd.items()}
+        lut: list = [None] * 256
+        for sym, (length, code) in fwd.items():
+            if length <= 8:
+                base = code << (8 - length)
+                for suffix in range(1 << (8 - length)):
+                    lut[base | suffix] = (sym, length)
+        self.lut = lut
+
+
+def _jpeg_decode_symbol(br: _JpegBitReader, table: "_JpegDecodeTable") -> int:
+    if br._fill(8):
+        e = table.lut[(br._acc >> (br._n - 8)) & 0xFF]
+        if e is not None:
+            br._n -= e[1]
+            return e[0]
+    codes = table.codes
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
+        sym = codes.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code")
@@ -780,7 +810,7 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 nv = sum(bits)
                 vals = tuple(seg[i + 17:i + 17 + nv])
                 fwd = _jpeg_huffman_codes(bits, vals)
-                huff[(tc, th)] = {lc: sym for sym, lc in fwd.items()}
+                huff[(tc, th)] = _JpegDecodeTable(fwd)
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
@@ -1317,7 +1347,7 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, bytes]:
                 nv = sum(bits)
                 vals = tuple(seg[i + 17:i + 17 + nv])
                 fwd = _jpeg_huffman_codes(bits, vals)
-                huff[(tc, th)] = {lc: sym for sym, lc in fwd.items()}
+                huff[(tc, th)] = _JpegDecodeTable(fwd)
                 i += 17 + nv
         elif marker == 0xDD:
             restart_interval = int.from_bytes(seg[0:2], "big")
