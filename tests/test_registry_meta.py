@@ -137,6 +137,23 @@ def test_no_query_escapes_external_verification():
     )
 
 
+def test_next_window_tool_agrees_with_the_invariant():
+    """tools/next_window.py is the round-start ritual's source of truth
+    for the next mandatory block — its newest-green derivation must stay
+    byte-identical to this module's, or the ritual would rotate the
+    wrong set while the suite stays green."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "next_window", root / "tools" / "next_window.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.newest_green() == _NEWEST_GREEN
+
+
 def test_external_rows_never_exceed_staleness_ceiling():
     """Max-staleness invariant (r4 verdict "What's wrong" #2, round
     boundary fixed per the r7 verdict): when the round the committed
