@@ -228,10 +228,14 @@ def main() -> None:
         parsed = None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                parsed = json.loads(line)
-                break
+                cand = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            # a stray parseable line (bare number, py4j noise) must not
+            # shadow the shard payload — require the dict shape
+            if isinstance(cand, dict):
+                parsed = cand
+                break
         if parsed is None:
             tail = (proc.stderr or proc.stdout or "").strip()[-200:]
             for n in shard:

@@ -24,6 +24,7 @@ driver-side randomness to ship.
 
 from __future__ import annotations
 
+import itertools
 import math
 
 import pandas as pd
@@ -117,23 +118,29 @@ def brute_force_topk(
     )
 
 
-def hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d of plane p is
-    an md5-derived integer in [-1000, 1000] scaled to [-1, 1]. The
-    oracle regenerates the identical plane in SQL; Spark-side the
-    components are computed HERE, driver-side, and shipped as a literal
-    array — lambda-valued transforms block ConstantFolding, so the
-    previous in-plan ``transform(sequence(...), md5 ...)`` form
-    re-hashed all ``dim`` components per ROW (512 md5 calls/row at 8
-    planes — measured as the dominant cost of every bucket assign)."""
+def _plane_components(plane: int, dim: int) -> list[float]:
+    """THE hyperplane derivation — the single definition both the
+    declarative and Arrow paths (and, by construction, every oracle's
+    SQL replay) must agree with: component d of plane p is an
+    md5-derived integer in [-1000, 1000] scaled to [-1, 1]."""
     import hashlib
 
-    vals = [
+    return [
         (int(hashlib.md5(f"plane{plane}_{d}".encode()).hexdigest()[:8], 16)
          % 2001 - 1000) / 1000.0
         for d in range(dim)
     ]
-    return F.array(*[F.lit(v) for v in vals])
+
+
+def hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane (:func:`_plane_components`)
+    as a literal array column. The oracle regenerates the identical
+    plane in SQL; Spark-side the components are computed driver-side —
+    lambda-valued transforms block ConstantFolding, so the previous
+    in-plan ``transform(sequence(...), md5 ...)`` form re-hashed all
+    ``dim`` components per ROW (512 md5 calls/row at 8 planes —
+    measured as the dominant cost of every bucket assign)."""
+    return F.array(*[F.lit(v) for v in _plane_components(plane, dim)])
 
 
 def l2_sq_fold(a: Column, b: Column) -> Column:
@@ -275,19 +282,10 @@ def lsh_bucket_assign_arrow(vec: Column, planes: int, dim: int) -> Column:
     whole-stage codegen) — the dominant cost of every bucket assign; the
     vectorized batch is ~100× cheaper and keeps the rest of the plan
     (joins, windows) untouched since it is a scalar pandas_udf column."""
-    import hashlib
-
     import numpy as np
 
     planes_np = np.array(
-        [
-            [
-                (int(hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()[:8], 16)
-                 % 2001 - 1000) / 1000.0
-                for d in range(dim)
-            ]
-            for p in range(planes)
-        ],
+        [_plane_components(p, dim) for p in range(planes)],
         dtype=np.float64,
     )
     weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
@@ -1039,7 +1037,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_mse_pair_arrow(
-    emb: DataFrame, cb_a, cb_b, m: int, k: int, dim: int,
+    emb: DataFrame, cb_a, cb_b, m: int, dim: int,
     vec_col: str = "emb",
 ) -> DataFrame:
     """One-pass distributed quantization-error comparison: per Arrow
@@ -1203,7 +1201,7 @@ def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_hits"),
         )
     )
-    mse = pq_mse_pair_arrow(emb, trained, floor, m, k, dim).select(
+    mse = pq_mse_pair_arrow(emb, trained, floor, m, dim).select(
         (F.col("sq_a") < F.col("sq_b")).alias("trained_mse_below_floor")
     )
     per_q = counts.join(F.broadcast(hits), "q_id", "left").select(
@@ -1219,6 +1217,9 @@ def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trained_mse_below_floor",
     )
 
+
+
+_IVFPQ_RUN_COUNTER = itertools.count()
 
 @query(
     "sim_ivfpq_topk",
@@ -1381,13 +1382,23 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("s"),
         )
     )
-    root = os.path.join(
+    # Per-call run directory (pid + monotonic counter), NOT a shared
+    # fixed path: a concurrent run (deep-parity pytest next to bench.py)
+    # must never rmtree a directory another process is mid-commit in.
+    # Prior runs of THIS process are swept; other pids' dirs are left
+    # for tmp cleanup.
+    base = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_snapshots",
         os.path.basename(os.path.normpath(sf_dir)) or "sf",
         "ivfpq_index",
     )
-    shutil.rmtree(root, ignore_errors=True)
+    run = f"run_{os.getpid()}_{next(_IVFPQ_RUN_COUNTER)}"
+    if os.path.isdir(base):
+        for prev in os.listdir(base):
+            if prev.startswith(f"run_{os.getpid()}_"):
+                shutil.rmtree(os.path.join(base, prev), ignore_errors=True)
+    root = os.path.join(base, run)
     os.makedirs(root, exist_ok=True)
     SnapshotTable(spark, root).commit(
         stats.coalesce(1), operation="ivf_index"
@@ -1531,9 +1542,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict's one measured super-linear row, α=1.40, came from this
     query's previously uncapped ``join(label)``). Exact cosine ≥ τ
     verifies candidates. The oracle replays the signature, the adaptive
-    depth, and the capped join, so the cap is hash-checked, not prose;
-    at the shipped fixture SFs every cell is under the cap and the
-    output is bit-identical to the exact within-cell semantics.
+    depth, and the capped join, so the cap is hash-checked, not prose.
+    At the DRIVER's sf0.01 (max cell 59) and sf0.001 (63) every cell is
+    under the cap — depth 0, output bit-identical to the exact
+    within-cell semantics; at sf0.1 the largest cell is 218, so the
+    deep-parity sweep hash-checks the SPLIT semantics themselves
+    (including numpy-vs-DuckDB sign agreement on every hyperplane dot).
     Threshold equality is engine-safe: both engines compute
     bit-identical dot-product doubles."""
     emb = spread_for_compute(

@@ -677,11 +677,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def char_symbols(word: Column) -> Column:
     """Initial BPE symbol sequence: one single-character symbol per
-    position (per-row projection, no Python)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(word)),
-        lambda i: word.substr(i, F.lit(1)),
-    )
+    position (per-row projection, no Python). Empty words (consecutive
+    or edge whitespace after a split) yield an EMPTY sequence — Spark's
+    ``sequence(1, 0)`` counts DOWN to ``[1, 0]``, which would emit two
+    phantom empty-string symbols per empty word and break the lossless
+    flatten contract."""
+    return F.when(
+        F.length(word) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def adjacent_pairs(syms: Column) -> Column:

@@ -168,3 +168,21 @@ def test_bpe_train_save_load_encode_lifecycle(spark, tmp_path):
     # merged text must reconstruct the original (lossless tokenization)
     for ln in lines:
         assert "".join(got[ln]) == ln.replace(" ", "")
+
+
+def test_bpe_encode_handles_irregular_whitespace(spark):
+    """r8 self-review: Spark's sequence(1, 0) counts DOWN, so an empty
+    word (double/leading/trailing spaces) used to emit two phantom
+    empty-string tokens. Encoding must match the sequential reference
+    (which emits nothing for empty words) and stay lossless."""
+    from tbench_agentic_data_pipeline_spark.operators.text import bpe_encode
+
+    lines = ["a  b", " x", "y ", "", "a b  c"]
+    docs = spark.createDataFrame([(ln,) for ln in lines], "text string")
+    got = {
+        r["text"]: list(r["tokens"])
+        for r in bpe_encode(docs, [("a", "b")]).collect()
+    }
+    for ln in lines:
+        assert got[ln] == _reference_encode(ln, [("a", "b")]), repr(ln)
+        assert "".join(got[ln]) == ln.replace(" ", ""), repr(ln)

@@ -81,8 +81,22 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__), "--worker"],
             capture_output=True, text=True, env=env,
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[n] = json.loads(line)
+        parsed = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(cand, dict):
+                parsed = cand
+                break
+        if parsed is None:
+            tail = (proc.stderr or proc.stdout or "").strip()[-400:]
+            sys.exit(
+                f"local[{n}] worker produced no result "
+                f"(rc={proc.returncode}): {tail}"
+            )
+        results[n] = parsed
         print(f"local[{n}]: {results[n]}", file=sys.stderr)
 
     base = THREADS[0]
