@@ -89,10 +89,12 @@ HEADLINE = [
     "sim_ivfpq_topk",
     # round-8 additions, benched from birth: the RIFF/WAV audio decode
     # stage (fixture-encode + chunk-walk parse, the audio twin of the
-    # image/video codec entries) and the BPE pair-counting stage (the
-    # tokenizer-training counting shuffle — bounded-cardinality key)
+    # image/video codec entries), the BPE pair-counting stage (the
+    # tokenizer-training counting shuffle — bounded-cardinality key),
+    # and the GIF-LZW/BMP decode stage
     "mm_audio_codec",
     "text_bpe_pairs",
+    "mm_gif_codec",
     # sim_pq_trained_topk (r8) is deliberately NOT benched: ~10 s of its
     # wall-clock is pq_train's m-per-subspace Lloyd's chains — an OFFLINE
     # index build at 100 TB, not a per-query throughput path (the same

@@ -2797,3 +2797,188 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return decode_features(media)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression (LSB-first variable-width codes,
+    table reset on overflow) — the fixture-encode counterpart of
+    :func:`_lzw_decode`. The codec tests carry an independently written
+    LZW encoder, so the round-trip cross-checks two implementations."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += size
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, min_code_size + 1, end + 1
+
+    table, code_size, next_code = fresh()
+    emit(clear, code_size)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table, code_size, next_code = fresh()
+        w = bytes([k])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif_rgb(w: int, h: int, raw: bytes) -> bytes:
+    """Minimal single-image GIF89a from a raw RGB raster: global color
+    table from the unique colors (must be ≤ 256), a graphic-control
+    extension (so decoders must block-skip), non-interlaced LZW image
+    data in ≤255-byte sub-blocks."""
+    pixels = [tuple(raw[i : i + 3]) for i in range(0, w * h * 3, 3)]
+    palette = sorted(set(pixels))
+    if len(palette) > 256:
+        raise ValueError("more than 256 distinct colors")
+    bits = max(1, (len(palette) - 1).bit_length())
+    color_idx = {c: i for i, c in enumerate(palette)}
+    indices = bytes(color_idx[p] for p in pixels)
+    min_code_size = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (bits - 1))
+    out += b"\x00\x00"
+    for c in palette:
+        out += bytes(c)
+    out += b"\x00\x00\x00" * ((1 << bits) - len(palette))
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0)
+    out.append(min_code_size)
+    data = _lzw_encode(indices, min_code_size)
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _encode_bmp(w: int, h: int, raw: bytes) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP from a raw RGB raster: BGR
+    rows padded to 4-byte boundaries under the standard 14+40-byte
+    header pair."""
+    import struct
+
+    stride = ((w * 3) + 3) & ~3
+    raster = bytearray()
+    for row in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(w):
+            r, g, b = raw[(row * w + x) * 3 : (row * w + x) * 3 + 3]
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    size = 54 + len(raster)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    return bytes(hdr + info + raster)
+
+
+def _encode_gifbmp_fixture_payloads(
+    it: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Fixture-encode stage for :func:`mm_gif_codec`: the document's
+    first 48 bytes as a 4×4 RGB raster, GIF89a-encoded (palette + LZW)
+    for even doc_ids and 24-bit BMP for odd — both lossless, so the
+    decoded means equal the byte means exactly."""
+    import pandas as pd
+
+    for pdf in it:
+        payloads = []
+        for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
+            b = bytes(raw)
+            if int(doc_id) % 2 == 0:
+                payloads.append(_encode_gif_rgb(4, 4, b))
+            else:
+                payloads.append(_encode_bmp(4, 4, b))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "mm_gif_codec",
+    survey="X4,X5,S4",
+    oracle="""
+        WITH raster AS (
+            -- a quarter of the corpus (the polyfill sampling precedent;
+            -- both parities — and hence both formats — survive % 4 = 1)
+            SELECT doc_id, rpad(substr(text, 1, 48), 48, ' ') AS bytes
+            FROM documents
+            WHERE doc_id % 4 = 1
+        ),
+        px AS (
+            SELECT d.doc_id,
+                   ord(substr(d.bytes, CAST(1 + 3 * t.i AS INT), 1)) AS r,
+                   ord(substr(d.bytes, CAST(2 + 3 * t.i AS INT), 1)) AS g,
+                   ord(substr(d.bytes, CAST(3 + 3 * t.i AS INT), 1)) AS b
+            FROM raster d
+            CROSS JOIN range(16) AS t(i)
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS format,
+               CAST(4 AS BIGINT) AS width,
+               CAST(4 AS BIGINT) AS height,
+               ROUND(AVG(r) * (1 + 5e-13), 4) AS mean_r,
+               ROUND(AVG(g) * (1 + 5e-13), 4) AS mean_g,
+               ROUND(AVG(b) * (1 + 5e-13), 4) AS mean_b,
+               'ok' AS status
+        FROM px
+        GROUP BY doc_id
+    """,
+)
+def mm_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF-LZW and BMP decode end-to-end (r8 — the last two pytest-only
+    image codec classes get external rows): documents fixture-encode to
+    a palette+LZW GIF89a (even doc_ids — color-table build, extension
+    block skipping, variable-width LZW with sub-block framing) or a
+    24-bit bottom-up BMP (odd — header pair, BGR order, 4-byte row
+    padding), then decode through the same Arrow ``mapInPandas`` stage
+    as every codec query. Both formats are lossless, so the oracle
+    restates the channel means from the raw text bytes in SQL — a green
+    row proves the LZW table growth / BMP stride walk parsed real
+    encoded bytes. Sampled to ``doc_id % 4 = 1``; the package encoders
+    are cross-checked against the test suite's independently written
+    GIF/LZW writer. Plan: 0 exchanges, two Arrow stages."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 4 == 1
+    )
+    raw = F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "UTF-8")
+    media = docs.select("doc_id", raw.alias("raw")).mapInPandas(
+        _encode_gifbmp_fixture_payloads, "doc_id long, payload binary"
+    )
+    return decode_image_features(media).select(
+        "doc_id", "format", "width", "height",
+        F.round(F.col("mean_r") * (1 + F.lit(5e-13)), 4).alias("mean_r"),
+        F.round(F.col("mean_g") * (1 + F.lit(5e-13)), 4).alias("mean_g"),
+        F.round(F.col("mean_b") * (1 + F.lit(5e-13)), 4).alias("mean_b"),
+        "status",
+    )

@@ -187,16 +187,17 @@ _FRONT_ORDER: tuple[str, ...] = (
     # -- round-6 greens rotating back in (churned files / bench flagship) ---
     "flagship_pricing_summary",
     "sim_knn_join",
-    "sim_topk_cosine",
     "dedup_cluster_components",
     "dedup_threshold_sweep",
     "corpus_leakage_safe_split",
     # -- new round-8 queries (enter the window the round they land);
-    # sim_quantized_topk, sim_lsh_buckets and sim_ivf_probe ceded their
-    # prefill slots and rejoin round 9's mandatory block ------------------
+    # sim_quantized_topk, sim_lsh_buckets, sim_ivf_probe and
+    # sim_topk_cosine ceded their prefill slots and rejoin round 9's
+    # mandatory block ----------------------------------------------------
     "sim_pq_trained_topk",
     "mm_audio_codec",
     "text_bpe_pairs",
+    "mm_gif_codec",
 )
 
 

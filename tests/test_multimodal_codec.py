@@ -1485,3 +1485,36 @@ def test_frame_sample_avi_emits_ppm_frames(spark):
     for r, v in zip(got, [5, 100, 250]):
         fmt, w, h, mr, mg, mb = _parse_ppm(bytes(r["frame"]))
         assert (w, h, mr) == (8, 8, float(v))
+
+
+def test_package_gif_bmp_encoders_cross_check():
+    """The package's mm_gif_codec fixture encoders must parse to the
+    same features as this file's independently written GIF writer (two
+    LZW encoders, one decoder) and survive the BMP stride walk with
+    non-4-aligned rows."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _encode_bmp,
+        _encode_gif_rgb,
+        _parse_bmp,
+        _parse_gif,
+    )
+
+    raw = bytes(range(48))  # 4x4 RGB, 16 distinct colors
+    a = _parse_gif(_encode_gif_rgb(4, 4, raw))
+    rows = [[tuple(raw[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3])
+             for x in range(4)] for y in range(4)]
+    b = _parse_gif(encode_gif(rows))
+    assert a == b and a[:3] == ("gif", 4, 4)
+
+    c = _parse_bmp(_encode_bmp(4, 4, raw))
+    assert c[:3] == ("bmp", 4, 4)
+    assert c[3:] == a[3:]  # identical means across both formats
+
+    # 3-wide rows need a 1-byte stride pad — the BMP walk must skip it
+    raw3 = bytes(range(27))
+    d = _parse_bmp(_encode_bmp(3, 3, raw3))
+    exp = tuple(
+        round(sum(raw3[i::3]) / 9, 4) for i in range(3)
+    )
+    assert d[:3] == ("bmp", 3, 3)
+    assert tuple(round(v, 4) for v in d[3:]) == exp

@@ -90,6 +90,9 @@ _PINS = {
     # exchange on a bounded-cardinality key; the global top-20 rides
     # TakeOrderedAndProject-style on the aggregated rows
     "text_bpe_pairs": 1,
+    # r8 addition: scan → two Arrow stages (GIF/BMP fixture-encode +
+    # parse), shuffle-free like the other codec entries
+    "mm_gif_codec": 0,
 }
 
 
