@@ -115,89 +115,87 @@ def query(
 # (newest file = _WINDOW_ROUND). At each round start, bump this stamp
 # FIRST — the staleness test then prints the exact mandatory block the
 # new window must contain (tools/next_window.py computes it any time).
-_WINDOW_ROUND: int = 8
+_WINDOW_ROUND: int = 9
 
-# Round-8 rotation (the red staleness test at r7-close printed exactly
-# this mandatory block):
-# - the 37 queries whose newest external row is round 5 — staleness
-#   ceiling, non-negotiable: the a1/a4/a5/a6 + a_* aggregate block,
-#   q3/q5/q10, j1/j5, so1, w1/w3, st_sliding/st_interval, the eleven
-#   text_* curation queries, f_substring/f_markdown/f_line_cleanup,
-#   x1/x6;
+# Round-9 rotation (tools/next_window.py at r8-close printed exactly this
+# mandatory block):
+# - the 42 queries whose newest external row is round 6 — staleness
+#   ceiling, non-negotiable: the full p*/u* id-query block, j2/j3/j4,
+#   so2/so3, w2/w4/w5/w6, st1, x7/x_fail_first, the a8*/a_percentiles/
+#   a_salted_sum/a_stats_gauntlet aggregates, events_funnel,
+#   pipeline_corpus_build, snap_merge_on_read, dedup_simhash/
+#   dedup_ngram_jaccard, text_contamination/tfidf/zipf, and the four
+#   sim_* queries that ceded their r8 prefill slots;
 # - changed-semantics / changed-oracle queries re-entering:
-#   dedup_embedding_cosine (r7 verdict #2: the within-cell pair join
-#   gets the in-plan bucket cap — the one measured super-linear row),
-#   mm_image_codec (r7 verdict #3: fixture sampled like video was),
-#   dedup_minhash_fast (ADVICE: oracle mirrors the LSH bucket-size cap;
-#   band keys become index-prefixed), sim_ivfpq_topk (r7 Next #6: real
-#   centroid-distance probe replaces the fixture-label probe);
-# - round-6 greens rotating back in early to flatten round 9's
-#   mandatory block (48 r6 rows would otherwise all expire at once),
-#   preferring files that churn this round (similarity.py, dedup.py)
-#   plus the bench flagship. sim_lsh_buckets cedes its slot to the
-#   trained-PQ production query when it lands this round.
+#   mm_gif_codec (r8 verdict #1: the % 4 = 1 sample contained no even
+#   doc_id so the GIF branch never ran — format now splits on a residue
+#   INSIDE the sample), sim_pq_trained_topk (r8 verdict #3: oracle
+#   widened from 3 contract-boolean rows to per-query exact-cosine
+#   values restated from embeddings);
+# - round-7 greens prefilled to flatten round 10's mandatory block
+#   (47 r7 rows would otherwise all expire at once), preferring files
+#   that churn this round (similarity.py, multimodal.py, bench.py's
+#   shard protocol) and the two index-lifecycle paths being
+#   strong-scaled. dedup_embedding_multiprobe (new this round) takes
+#   text_bm25_topk's prefill slot when it lands.
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r5: staleness ceiling forces these 37 ----------------
-    "a1_status_histogram_zero_filled",
-    "a4_completion_rate",
-    "a5_map_value_sum_check",
-    "a6_error_rollup",
-    "a_approx_distinct",
-    "a_approx_percentile",
-    "a_pivot_type_by_dow",
-    "a_profile_documents",
-    "a_retention_cohorts",
-    "a_rollup_revenue",
-    "a_value_histogram",
-    "f_line_cleanup",
-    "f_markdown_render",
-    "f_substring_extract",
-    "j1_semi_join_customers_with_orders",
-    "j5_broadcast_dim_join",
-    "q10_returned_items",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "so1_union_by_name",
-    "st_interval_join",
-    "st_sliding_window",
-    "text_chunking",
-    "text_fingerprint",
-    "text_langid",
-    "text_mixture_weights",
-    "text_normalize",
-    "text_pii_redaction",
-    "text_quality_score",
-    "text_repetition_filter",
-    "text_sequence_packing",
-    "text_stratified_sample",
-    "text_token_count",
-    "w1_ordered_scan",
-    "w3_pergroup_topn",
-    "x1_ast_test_discovery",
-    "x6_test_codegen",
+    # -- newest row is r6: staleness ceiling forces these 42 ----------------
+    "a8_distinct_users_per_type",
+    "a8_pytest_summary_parse",
+    "a_percentiles",
+    "a_salted_sum",
+    "a_stats_gauntlet",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_funnel",
+    "j2_anti_join_customers_without_orders",
+    "j3_full_outer_reconciliation",
+    "j4_parent_child_counts",
+    "p1_point_lookup",
+    "p2_filter_project",
+    "p3_first_match_claim",
+    "p4_existence_guard",
+    "p5_stage_predicate",
+    "p6_timeout_predicate",
+    "p7_ownership_predicate",
+    "p8_prefix_projection",
+    "pipeline_corpus_build",
+    "sim_ivf_probe",
+    "sim_lsh_buckets",
+    "sim_quantized_topk",
+    "sim_topk_cosine",
+    "snap_merge_on_read",
+    "so2_delete_by_key",
+    "so3_key_set_difference",
+    "st1_claim_assignment",
+    "text_contamination",
+    "text_tfidf_topk",
+    "text_zipf_fluency",
+    "u2_map_mutation",
+    "u3_claim_transition",
+    "u4_complete_transition",
+    "u6_timeout_release",
+    "u8_production_derivation",
+    "w2_global_topn",
+    "w4_fifo_claim_order",
+    "w5_running_total",
+    "w6_lag_gap_seconds",
+    "x7_validation_pipeline",
+    "x_fail_first_policy",
     # -- changed semantics / changed oracle this round: window-mandatory ----
-    "dedup_embedding_cosine",
-    "mm_image_codec",
-    "dedup_minhash_fast",
-    "sim_ivfpq_topk",
-    # -- round-6 greens rotating back in (churned files / bench flagship) ---
-    "flagship_pricing_summary",
-    "sim_knn_join",
-    "dedup_cluster_components",
-    "dedup_threshold_sweep",
-    "corpus_leakage_safe_split",
-    # -- new round-8 queries (enter the window the round they land);
-    # sim_quantized_topk, sim_lsh_buckets, sim_ivf_probe and
-    # sim_topk_cosine ceded their prefill slots and rejoin round 9's
-    # mandatory block ----------------------------------------------------
-    "sim_pq_trained_topk",
-    "mm_audio_codec",
-    "text_bpe_pairs",
     "mm_gif_codec",
+    "sim_pq_trained_topk",
+    # -- round-7 greens prefilled (churned files / lifecycle paths) ---------
+    "sim_pq_adc_topk",
+    "mm_video_codec",
+    "mm_decode_features",
+    "snap_compact_vacuum",
+    "dedup_incremental",
+    "text_bm25_topk",
 )
 
 
