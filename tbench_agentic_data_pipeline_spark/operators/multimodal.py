@@ -2907,15 +2907,22 @@ def _encode_gifbmp_fixture_payloads(
 ) -> Iterator["pd.DataFrame"]:
     """Fixture-encode stage for :func:`mm_gif_codec`: the document's
     first 48 bytes as a 4×4 RGB raster, GIF89a-encoded (palette + LZW)
-    for even doc_ids and 24-bit BMP for odd — both lossless, so the
-    decoded means equal the byte means exactly."""
+    for ``doc_id % 8 == 1`` and 24-bit BMP for the rest — both lossless,
+    so the decoded means equal the byte means exactly.
+
+    The format split MUST be on a residue that occurs inside the query's
+    ``doc_id % 4 = 1`` sample: within that cut the ``% 8`` residues
+    alternate 1, 5, 1, 5, …, so both encoders run on every scale factor.
+    (The r8 row split on ``% 2`` — unreachable under ``% 4 = 1``, which
+    selects only odd ids — and the GIF branch never executed;
+    ``tests/test_multimodal.py`` now pins both-formats-present.)"""
     import pandas as pd
 
     for pdf in it:
         payloads = []
         for doc_id, raw in zip(pdf["doc_id"], pdf["raw"]):
             b = bytes(raw)
-            if int(doc_id) % 2 == 0:
+            if int(doc_id) % 8 == 1:
                 payloads.append(_encode_gif_rgb(4, 4, b))
             else:
                 payloads.append(_encode_bmp(4, 4, b))
@@ -2929,8 +2936,11 @@ def _encode_gifbmp_fixture_payloads(
     survey="X4,X5,S4",
     oracle="""
         WITH raster AS (
-            -- a quarter of the corpus (the polyfill sampling precedent;
-            -- both parities — and hence both formats — survive % 4 = 1)
+            -- a quarter of the corpus (the polyfill sampling precedent).
+            -- The % 4 = 1 cut selects doc_ids 1, 5, 9, 13, …, whose % 8
+            -- residues alternate 1 and 5 — so the format CASE below
+            -- (gif at % 8 = 1, bmp at % 8 = 5) puts BOTH codecs on half
+            -- the sample each, at every scale factor.
             SELECT doc_id, rpad(substr(text, 1, 48), 48, ' ') AS bytes
             FROM documents
             WHERE doc_id % 4 = 1
@@ -2944,7 +2954,7 @@ def _encode_gifbmp_fixture_payloads(
             CROSS JOIN range(16) AS t(i)
         )
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS format,
+               CASE WHEN doc_id % 8 = 1 THEN 'gif' ELSE 'bmp' END AS format,
                CAST(4 AS BIGINT) AS width,
                CAST(4 AS BIGINT) AS height,
                ROUND(AVG(r) * (1 + 5e-13), 4) AS mean_r,
@@ -2956,17 +2966,22 @@ def _encode_gifbmp_fixture_payloads(
     """,
 )
 def mm_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GIF-LZW and BMP decode end-to-end (r8 — the last two pytest-only
-    image codec classes get external rows): documents fixture-encode to
-    a palette+LZW GIF89a (even doc_ids — color-table build, extension
-    block skipping, variable-width LZW with sub-block framing) or a
-    24-bit bottom-up BMP (odd — header pair, BGR order, 4-byte row
-    padding), then decode through the same Arrow ``mapInPandas`` stage
-    as every codec query. Both formats are lossless, so the oracle
-    restates the channel means from the raw text bytes in SQL — a green
-    row proves the LZW table growth / BMP stride walk parsed real
-    encoded bytes. Sampled to ``doc_id % 4 = 1``; the package encoders
-    are cross-checked against the test suite's independently written
+    """GIF-LZW and BMP decode end-to-end (r8, format split fixed r9):
+    documents fixture-encode to a palette+LZW GIF89a (``doc_id % 8 = 1``
+    — color-table build, extension block skipping, variable-width LZW
+    with sub-block framing) or a 24-bit bottom-up BMP (``% 8 = 5`` —
+    header pair, BGR order, 4-byte row padding), then decode through the
+    same Arrow ``mapInPandas`` stage as every codec query. Both formats
+    are lossless, so the oracle restates the channel means from the raw
+    text bytes in SQL — a green row proves the LZW table growth / BMP
+    stride walk parsed real encoded bytes. Sampled to ``doc_id % 4 = 1``,
+    inside which the ``% 8`` residues alternate 1/5 so BOTH branches run
+    on half the sample (the r8 row split on ``% 2``, unreachable in an
+    all-odd sample — the GIF path was externally unverified; the decoded
+    ``format`` column comes from magic-byte sniffing, so the oracle CASE
+    independently checks which decoder actually ran). The package
+    encoders are
+    cross-checked against the test suite's independently written
     GIF/LZW writer. Plan: 0 exchanges, two Arrow stages."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 4 == 1

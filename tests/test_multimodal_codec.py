@@ -1518,3 +1518,55 @@ def test_package_gif_bmp_encoders_cross_check():
     )
     assert d[:3] == ("bmp", 3, 3)
     assert tuple(round(v, 4) for v in d[3:]) == exp
+
+
+def test_gifbmp_fixture_sample_contains_both_formats():
+    """Guard for the r8 vacuous-sample bug: the mm_gif_codec fixture
+    encoder, applied to the query's own ``doc_id % 4 = 1`` sample, must
+    emit BOTH magic numbers — a one-sided sample (every row down the
+    same branch) can agree with a one-sided oracle and be hash-green
+    while the namesake decoder never runs. Checked against the actual
+    encoder stage, not a restated predicate."""
+    import pandas as pd
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _encode_gifbmp_fixture_payloads,
+    )
+
+    sample = [i for i in range(200) if i % 4 == 1]  # the query's cut
+    pdf = pd.DataFrame(
+        {"doc_id": sample, "raw": [bytes(range(48))] * len(sample)}
+    )
+    (out,) = list(_encode_gifbmp_fixture_payloads(iter([pdf])))
+    magics = {bytes(p[:6]) for p in out["payload"]}
+    assert b"GIF89a" in magics, "GIF branch unreachable in the sample"
+    assert any(m.startswith(b"BM") for m in magics), (
+        "BMP branch unreachable in the sample"
+    )
+
+
+def test_mm_gif_codec_query_decodes_both_formats(spark):
+    """End-to-end both-formats guard on the registered query itself: the
+    decoded ``format`` column (magic-byte sniffed, NOT restated from
+    doc_id) must contain nonzero 'gif' AND nonzero 'bmp' rows at the
+    smoke scale factor, all with status ok."""
+    from tests.conftest import SF_SMOKE
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        mm_gif_codec,
+    )
+
+    counts = {
+        r["format"]: r["n"]
+        for r in mm_gif_codec(spark, SF_SMOKE)
+        .groupBy("format")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts.get("gif", 0) > 0, counts
+    assert counts.get("bmp", 0) > 0, counts
+    statuses = {
+        r["status"]
+        for r in mm_gif_codec(spark, SF_SMOKE).select("status").distinct().collect()
+    }
+    assert statuses == {"ok"}
