@@ -1400,6 +1400,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the ADC scan touches |probed cells| of codes —
     cell-partitioned storage makes that partition pruning — with one
     top-k exchange after."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -1433,10 +1434,12 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Per-call run directory (pid + monotonic counter), NOT a shared
-    # fixed path: a concurrent run (deep-parity pytest next to bench.py)
-    # must never rmtree a directory another process is mid-commit in.
-    # Prior runs of THIS process are swept; other pids' dirs are left
-    # for tmp cleanup.
+    # fixed path, and NO call-time sweep: the returned DataFrame lazily
+    # reads the committed snapshot, so nothing may delete any run dir
+    # while a sibling call's plan is still uncollected — including a
+    # sibling in THIS process (threads sharing one SparkSession). Each
+    # call registers atexit cleanup of only its OWN dir; other pids'
+    # dirs are left for tmp reaping.
     base = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_snapshots",
@@ -1444,12 +1447,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivfpq_index",
     )
     run = f"run_{os.getpid()}_{next(_IVFPQ_RUN_COUNTER)}"
-    if os.path.isdir(base):
-        for prev in os.listdir(base):
-            if prev.startswith(f"run_{os.getpid()}_"):
-                shutil.rmtree(os.path.join(base, prev), ignore_errors=True)
     root = os.path.join(base, run)
     os.makedirs(root, exist_ok=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     SnapshotTable(spark, root).commit(
         stats.coalesce(1), operation="ivf_index"
     )
@@ -1496,6 +1496,7 @@ _DEDUP_COS_MAX_CELL = 64
 def bounded_cell_keys(
     df: DataFrame, cell_col: str, vec_col: str,
     max_cell: int = _DEDUP_COS_MAX_CELL, planes: int = 8, dim: int = 64,
+    depth_col: str | None = None,
 ) -> DataFrame:
     """Adaptive bounded bucketing for within-cell pair joins (r7 verdict
     "What's wrong" #2): append a ``subkey`` column such that
@@ -1514,7 +1515,9 @@ def bounded_cell_keys(
     the cell — and hashpartitioning(cell) satisfies the downstream
     join's ClusteredDistribution(cell, subkey), so the pair join reuses
     the window's exchange instead of adding one), so both members of a
-    candidate pair always agree on it."""
+    candidate pair always agree on it. With ``depth_col`` set, the
+    per-cell split depth is also attached — :func:`multiprobe_keys`
+    needs it to know which bits participate in hamming-1 expansion."""
     cnt = F.count(F.lit(1)).over(Window.partitionBy(cell_col))
     depth = F.greatest(
         F.lit(0).cast("long"),
@@ -1525,7 +1528,35 @@ def bounded_cell_keys(
     )
     mask = F.pow(F.lit(2.0), depth.cast("double")).cast("bigint") - F.lit(1).cast("bigint")
     bucket = lsh_bucket_assign_arrow(F.col(vec_col), planes=planes, dim=dim)
-    return df.withColumn("subkey", bucket.bitwiseAND(mask))
+    out = df.withColumn("subkey", bucket.bitwiseAND(mask))
+    if depth_col is not None:
+        out = out.withColumn(depth_col, depth)
+    return out
+
+
+def multiprobe_keys(subkey: Column, depth: Column) -> Column:
+    """Hamming-1 probe set for a bounded-cell subkey: the base key plus
+    every single-bit flip within the cell's ``depth`` used bits — size
+    ``1 + depth`` (≤ 1 + planes), never data-dependent. Joining one
+    side's exact subkey against the other side's exploded probe set
+    recovers every candidate pair whose signatures differ in at most
+    one bit: per-pair recall at cosine s rises from ``p^depth`` to
+    ``p^depth + depth·p^(depth-1)(1-p)`` where ``p = 1 - arccos(s)/π``
+    (~0.995 vs ~0.96 at s=0.9, depth 4), at a bounded ``(1+depth)×``
+    candidate-row cost — the standard multi-probe LSH trade (Lv et al.,
+    VLDB'07). Each qualifying pair matches EXACTLY once (the base key
+    if the subkeys are equal, else the unique flipped bit), so no
+    post-join dedup is needed. ``pow(2, i)`` is exact for i ≤ planes."""
+    flips = F.when(
+        depth > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), depth - F.lit(1).cast("long")),
+            lambda i: subkey.bitwiseXOR(
+                F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(F.array(subkey), flips)
 
 
 @query(
@@ -1626,6 +1657,135 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             "label",
+            stable_round(F.col("__cos"), 4).alias("cos"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding_multiprobe",
+    survey="P4,J5",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        planes AS (
+            SELECT p, [CAST((('0x' || substr(md5('plane' || CAST(p AS VARCHAR)
+                        || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 2001
+                        - 1000) AS DOUBLE) / 1000.0
+                       for d in range(0, 64)] AS plane
+            FROM range(0, 8) t(p)
+        ),
+        sigs AS (
+            SELECT c.vec_id,
+                   CAST(SUM(CASE WHEN list_dot_product(c.emb, p.plane) > 0
+                            THEN (1::BIGINT << p.p) ELSE 0 END) AS BIGINT)
+                       AS bucket
+            FROM c, planes p
+            GROUP BY c.vec_id
+        ),
+        keyed AS (
+            -- bounded_cell_keys at cap 16: every driver cell (44-63 rows
+            -- at sf0.001/0.01, 182-218 at sf0.1) exceeds the cap, so the
+            -- hyperplane split — and hence the multi-probe union — is
+            -- ACTIVE at every shipped scale factor, never vacuous
+            SELECT vec_id, label, emb, depth,
+                   bucket & ((1::BIGINT << depth) - 1) AS subkey
+            FROM (
+                SELECT c.vec_id, c.label, c.emb, s.bucket,
+                       GREATEST(0::BIGINT, LEAST(8::BIGINT,
+                           CAST(CEIL(LOG2((COUNT(*) OVER (PARTITION BY
+                                c.label)) / 16.0)) AS BIGINT))) AS depth
+                FROM c JOIN sigs s USING (vec_id)
+            )
+        ),
+        probed AS (
+            -- hamming-1 probe set: base subkey plus each single-bit flip
+            -- within the cell's depth bits; exploded one-sidedly
+            SELECT vec_id, label, emb, subkey AS b_subkey,
+                   UNNEST(list_prepend(subkey,
+                       [xor(subkey, 1::BIGINT << CAST(i AS INTEGER))
+                        for i in range(0, depth)])) AS probe
+            FROM keyed
+        ),
+        scored AS (
+            -- zero-norm vectors are DEFINED as cosine 0.0 (mirrors the
+            -- guarded Spark-side cosine)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                   (a.subkey <> b.b_subkey) AS recovered,
+                   CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                         AND list_dot_product(b.emb, b.emb) > 0
+                        THEN list_dot_product(a.emb, b.emb)
+                             / (sqrt(list_dot_product(a.emb, a.emb))
+                                * sqrt(list_dot_product(b.emb, b.emb)))
+                        ELSE 0.0 END AS raw_cos
+            FROM keyed a
+            JOIN probed b ON a.label = b.label AND a.subkey = b.probe
+                          AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, label, recovered,
+               ROUND(raw_cos * (1 + 5e-13), 4) AS cos
+        FROM scored WHERE raw_cos >= 0.3
+    """,
+)
+def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of :func:`dedup_embedding_cosine` (r8 advice:
+    the bounded split silently drops true near-dup pairs that land in
+    different hyperplane sub-buckets, ~0.85^depth per pair at cos 0.9).
+    One side of the pair self-match keeps its exact (cell, subkey); the
+    other side explodes to :func:`multiprobe_keys` — the base key plus
+    every hamming-1 neighbor within the cell's split depth — so any pair
+    whose signatures differ in at most one bit is recovered, at a
+    bounded ``(1+depth)×`` candidate cost that keeps the whole step
+    linear in corpus size at fixed cap. The cap is 16 here (vs the
+    production 64) precisely so the split is ACTIVE at the driver's
+    sf0.01 (every cell is 44-59 rows → depth 2; sf0.1 → depth 4): the
+    probes, the recovery, and the ``recovered`` marker column (pairs a
+    single-probe join would have dropped) are all hash-checked, never
+    vacuous — ``tests/test_similarity.py`` additionally pins
+    ``recovered`` to be nonzero at the smoke scale. The oracle replays
+    signature, depth, probe expansion, and the capped join in pure SQL.
+    Scale shape: identical to the single-probe query — one window/join
+    exchange on the cell key — with the explode adding rows only inside
+    already-bounded buckets."""
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        source_path=table_path(sf_dir, "embeddings"),
+    ).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    keyed = bounded_cell_keys(
+        emb, "label", "emb", max_cell=16, depth_col="depth"
+    )
+    a = keyed.select(
+        F.col("label"), F.col("subkey"),
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
+    )
+    b = keyed.select(
+        F.col("label").alias("b_label"), F.col("subkey").alias("b_subkey"),
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+        F.explode(
+            multiprobe_keys(F.col("subkey"), F.col("depth"))
+        ).alias("probe"),
+    )
+    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("b_label"))
+            & (F.col("subkey") == F.col("probe")),
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("__cos", cos)
+        .where(F.col("__cos") >= 0.3)
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            (F.col("subkey") != F.col("b_subkey")).alias("recovered"),
             stable_round(F.col("__cos"), 4).alias("cos"),
         )
     )

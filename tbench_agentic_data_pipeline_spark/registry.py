@@ -195,7 +195,8 @@ _FRONT_ORDER: tuple[str, ...] = (
     "mm_decode_features",
     "snap_compact_vacuum",
     "dedup_incremental",
-    "text_bm25_topk",
+    # -- new this round: multi-probe recovery for the bounded cosine split --
+    "dedup_embedding_multiprobe",
 )
 
 

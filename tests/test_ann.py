@@ -1121,3 +1121,94 @@ def test_int8_pack_unpack_roundtrip_and_size(spark):
         .collect()[0]
     )
     assert pair["c1"] == pair["c2"]
+
+
+def test_multiprobe_keys_hamming1_exactly_once(spark):
+    """multiprobe_keys' pair-recovery contract: joining one side's exact
+    subkey against the other side's probe set matches a pair EXACTLY
+    once iff their subkeys are within hamming distance 1 of each other
+    (inside the depth bits), and never otherwise — so the registered
+    query needs no post-join dedup. Checked exhaustively at depth 3."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        multiprobe_keys,
+    )
+
+    depth = 3
+    rows = [(a, b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows, "ka long, kb long")
+    probes = df.select(
+        "ka", "kb",
+        multiprobe_keys(F.col("kb"), F.lit(depth).cast("long")).alias("ps"),
+    ).collect()
+    for r in probes:
+        ham = bin(r["ka"] ^ r["kb"]).count("1")
+        hits = sum(1 for p in r["ps"] if p == r["ka"])
+        assert hits == (1 if ham <= 1 else 0), (r["ka"], r["kb"], r["ps"])
+        assert len(r["ps"]) == 1 + depth
+
+
+def test_multiprobe_keys_depth_zero_is_identity(spark):
+    """At depth 0 (cell under the cap) the probe set is exactly the base
+    subkey — the multi-probe query degrades to the exact within-cell
+    semantics, no phantom candidates."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        multiprobe_keys,
+    )
+
+    rows = spark.range(5).select(
+        multiprobe_keys(F.col("id"), F.lit(0).cast("long")).alias("ps"),
+        "id",
+    ).collect()
+    for r in rows:
+        assert r["ps"] == [r["id"]]
+
+
+def test_dedup_embedding_multiprobe_is_nonvacuous_and_a_superset(spark):
+    """Guard of the mm_gif_codec class (a green row that never runs the
+    namesake path): at the smoke scale factor the registered query must
+    (a) report nonzero recovered=true pairs — pairs the single-probe
+    split would have dropped — which requires the hyperplane split to
+    be ACTIVE (cap 16 < every fixture cell), and (b) be a strict
+    superset of the same-cap single-probe join's pairs."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        bounded_cell_keys,
+        cosine,
+        dedup_embedding_multiprobe,
+    )
+    from tbench_agentic_data_pipeline_spark.catalog import (
+        spread_for_compute,
+        table_path,
+    )
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+    )
+
+    out = dedup_embedding_multiprobe(spark, SF_SMOKE).collect()
+    recovered = {(r["vec_a"], r["vec_b"]) for r in out if r["recovered"]}
+    base = {(r["vec_a"], r["vec_b"]) for r in out if not r["recovered"]}
+    assert len(recovered) > 0, "multi-probe never recovered a pair"
+    assert len(base) > 0
+
+    emb = spread_for_compute(
+        load_table(spark, SF_SMOKE, "embeddings"),
+        "vec_id",
+        source_path=table_path(SF_SMOKE, "embeddings"),
+    ).select("vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+    keyed = bounded_cell_keys(emb, "label", "emb", max_cell=16)
+    a = keyed.select(
+        "label", "subkey",
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
+    )
+    b = keyed.select(
+        "label", "subkey",
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+    )
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, ["label", "subkey"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine(F.col("emb_a"), F.col("emb_b")) >= 0.3)
+        .collect()
+    }
+    assert single == base  # recovered really are the hamming-1 extras
+    assert single < (base | recovered)
