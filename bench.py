@@ -122,23 +122,47 @@ def _extra_queries():
     }
 
 
-def _run_shard(names: list[str], sf_dir: str) -> dict:
+# Untimed per-shard warmers (r8 verdict #5): the sharding experiment
+# showed fresh JVMs read +31% slower at shard-6 because C2 JIT warmth
+# dominates — best-of-3 alone doesn't close it, since a sub-second query
+# finishes its three runs before the background C2 threads finish
+# compiling the hot scan/shuffle/codegen infrastructure. Two diverse
+# warmers give the compiler samples of the big shared paths before any
+# timed run: a lineitem-scale scan+agg+join, and a shuffle+explode+hash
+# pipeline. Their cost (~3-4 s/shard) is session infrastructure, never
+# counted.
+_WARMUP = ["flagship_pricing_summary", "dedup_minhash_fast"]
+
+
+def _run_shard(names: list[str], sf_dir: str, stream: bool = False) -> dict:
     """Run one shard of headline queries in THIS process's fresh session
     and return {times, errors, cc_rounds}. Sharding exists because a
     42-query single-session sweep accumulates JVM/codegen/GC state that
     inflated late-position queries ~1.2-3.4× over their fresh-session
     times (r7 measured 2.67 s in-session vs 0.78 s fresh for the same
     query) — the committed BENCH record should read fresh-session truth,
-    not sweep-position noise."""
+    not sweep-position noise.
+
+    With ``stream=True`` every per-query outcome is also printed as its
+    own JSON line ({"start": name} before, {"q", "t"|"err"} after) so
+    the parent can salvage completed timings when the shard process dies
+    mid-query (one OOMing query must not discard or take the blame for
+    its shard-mates' results)."""
+
+    def emit(obj: dict) -> None:
+        if stream:
+            print(json.dumps(obj), flush=True)
+
     spark = get_session("bench")
     fns = {n: e.fn for n, e in registry.collect().items()}
     fns.update(_extra_queries())
     names = [n for n in names if n in fns]
-    # Warm the JVM + parquet footers once with the cheapest query, and
-    # pre-spawn the Python worker pool (first mapInPandas pays ~7 s of
-    # parallel pandas imports across 32 workers — session infrastructure,
-    # like JVM startup, not per-query work; measured 8.4 s cold → 1.1 s
-    # warm for the same query).
+    # Warm the JVM + parquet footers once with the shard's own first
+    # query, pre-spawn the Python worker pool (first mapInPandas pays
+    # ~7 s of parallel pandas imports across 32 workers — session
+    # infrastructure, like JVM startup, not per-query work; measured
+    # 8.4 s cold → 1.1 s warm for the same query), then run the fixed
+    # diverse warmers.
     try:
         fns[names[0]](spark, sf_dir).count()
         parallelism = spark.sparkContext.defaultParallelism
@@ -151,6 +175,11 @@ def _run_shard(names: list[str], sf_dir: str) -> dict:
             .mapInPandas(_touch, "id long")
             .count()
         )
+        for warm in _WARMUP:
+            if warm in fns:
+                fns[warm](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
     except Exception:
         pass
 
@@ -171,6 +200,7 @@ def _run_shard(names: list[str], sf_dir: str) -> dict:
     errors: dict[str, str] = {}
     cc_rounds: int | None = None
     for name in names:
+        emit({"start": name})
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
@@ -188,6 +218,9 @@ def _run_shard(names: list[str], sf_dir: str) -> dict:
             # A run-1 success followed by a run-2 failure still counts as
             # timed — don't report the query as both timed and failed.
             errors.pop(name, None)
+            emit({"q": name, "t": best})
+        else:
+            emit({"q": name, "err": errors[name]})
         if name == "dedup_cluster_components":
             # Snapshot immediately: last_rounds is process-global and any
             # later query that also calls connected_components (e.g. the
@@ -196,6 +229,59 @@ def _run_shard(names: list[str], sf_dir: str) -> dict:
 
     spark.stop()
     return {"times": times, "errors": errors, "cc_rounds": cc_rounds}
+
+
+def _parse_shard_output(
+    shard: list[str], stdout: str, stderr: str, returncode: int
+) -> tuple[dict[str, float], dict[str, str], int | None]:
+    """Fold one shard subprocess's output into (times, errors, cc_rounds).
+
+    The shard streams {"start"}/{"q"} event lines and ends with a
+    {"times", ...} summary. Collect every parseable dict line (a stray
+    parseable line — bare number, py4j noise — must not shadow a
+    payload: require the dict shape). When the summary is missing the
+    process died mid-shard: salvage the streamed per-query results and
+    attribute the crash to the query that was actually RUNNING — one
+    OOMing query must not discard or take the blame for its
+    shard-mates' completed timings."""
+    summary = None
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    running: str | None = None
+    for line in (stdout or "").strip().splitlines():
+        try:
+            cand = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if not isinstance(cand, dict):
+            continue
+        if "times" in cand:
+            summary = cand
+        elif "start" in cand:
+            running = cand["start"]
+        elif "q" in cand:
+            if "t" in cand:
+                times[cand["q"]] = cand["t"]
+            elif "err" in cand:
+                errors[cand["q"]] = cand["err"]
+    if summary is not None:
+        return (
+            summary.get("times", {}),
+            summary.get("errors", {}),
+            summary.get("cc_rounds"),
+        )
+    tail = (stderr or stdout or "").strip()[-200:]
+    for n in shard:
+        if n in times or n in errors:
+            continue
+        if n == running:
+            errors[n] = f"shard died running this query (rc={returncode}): {tail}"
+        else:
+            errors[n] = (
+                f"not run: shard died during "
+                f"{running or 'session startup'} (rc={returncode})"
+            )
+    return times, errors, None
 
 
 # Queries per fresh-session shard. 14 → three shards for the current
@@ -211,7 +297,7 @@ def main() -> None:
 
     if "--shard" in sys.argv:
         names = sys.argv[sys.argv.index("--shard") + 1 :]
-        print(json.dumps(_run_shard(names, sf_dir)))
+        print(json.dumps(_run_shard(names, sf_dir, stream=True)))
         return
 
     names = list(HEADLINE)
@@ -227,26 +313,13 @@ def main() -> None:
             capture_output=True,
             text=True,
         )
-        parsed = None
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                cand = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            # a stray parseable line (bare number, py4j noise) must not
-            # shadow the shard payload — require the dict shape
-            if isinstance(cand, dict):
-                parsed = cand
-                break
-        if parsed is None:
-            tail = (proc.stderr or proc.stdout or "").strip()[-200:]
-            for n in shard:
-                errors[n] = f"shard failed (rc={proc.returncode}): {tail}"
-            continue
-        times.update(parsed.get("times", {}))
-        errors.update(parsed.get("errors", {}))
-        if parsed.get("cc_rounds") is not None:
-            cc_rounds = parsed["cc_rounds"]
+        s_times, s_errors, s_cc = _parse_shard_output(
+            shard, proc.stdout, proc.stderr, proc.returncode
+        )
+        times.update(s_times)
+        errors.update(s_errors)
+        if s_cc is not None:
+            cc_rounds = s_cc
 
     total = round(sum(times.values()), 3)
     payload = {
