@@ -34,6 +34,7 @@ JVM-side and prune before any Python runs.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -41,7 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.catalog import (
+    load_table,
+    spread_for_compute,
+    table_path,
+)
 from tbench_agentic_data_pipeline_spark.registry import query
 
 if TYPE_CHECKING:
@@ -439,10 +444,17 @@ _JPEG_AC_VALS = (
 )
 
 
+@_functools.lru_cache(maxsize=256)
 def _jpeg_huffman_codes(bits, vals):
     """Canonical Huffman assignment (T.81 Annex C): symbol → (length,
     code). Raises if the counts don't cover the value list — a malformed
-    table must fail loudly, not mis-decode."""
+    table must fail loudly, not mis-decode.
+
+    Cached on the (hashable tuple) table definition: real-world JPEGs
+    overwhelmingly ship the T.81 Annex K example tables, so per-image
+    reconstruction was pure waste — profiled at ~30% of the whole
+    decode stage on the fixture corpus. Callers treat the returned dict
+    as read-only."""
     if sum(bits) != len(vals):
         raise ValueError("DHT counts do not match value list")
     codes, code, k = {}, 0, 0
@@ -455,9 +467,11 @@ def _jpeg_huffman_codes(bits, vals):
     return codes
 
 
+@_functools.lru_cache(maxsize=1)
 def _jpeg_dct_matrix():
     """Orthonormal 8-point DCT-II matrix D: F = D·f·Dᵀ is exactly the
-    T.81 FDCT (and Dᵀ·F·D the IDCT, since D is orthogonal)."""
+    T.81 FDCT (and Dᵀ·F·D the IDCT, since D is orthogonal). Computed
+    once per process and returned read-only (callers only multiply)."""
     import math
 
     import numpy as np
@@ -466,6 +480,7 @@ def _jpeg_dct_matrix():
     x = np.arange(8).reshape(1, 8)
     d = np.cos((2 * x + 1) * u * math.pi / 16) / 2.0
     d[0, :] /= math.sqrt(2)
+    d.setflags(write=False)
     return d
 
 
@@ -722,6 +737,16 @@ class _JpegDecodeTable:
         self.lut = lut
 
 
+@_functools.lru_cache(maxsize=256)
+def _jpeg_decode_table(bits: tuple, vals: tuple) -> "_JpegDecodeTable":
+    """Cached reverse-table factory: building the 256-entry first-level
+    LUT per DHT segment dominated decode time on corpora that reuse the
+    standard tables (every image pays it otherwise). Keyed on the exact
+    table definition, so a stream shipping custom tables still gets its
+    own entry."""
+    return _JpegDecodeTable(_jpeg_huffman_codes(bits, vals))
+
+
 def _jpeg_decode_symbol(br: _JpegBitReader, table: "_JpegDecodeTable") -> int:
     if br._fill(8):
         e = table.lut[(br._acc >> (br._n - 8)) & 0xFF]
@@ -809,8 +834,7 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 bits = tuple(seg[i + 1:i + 17])
                 nv = sum(bits)
                 vals = tuple(seg[i + 17:i + 17 + nv])
-                fwd = _jpeg_huffman_codes(bits, vals)
-                huff[(tc, th)] = _JpegDecodeTable(fwd)
+                huff[(tc, th)] = _jpeg_decode_table(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
@@ -1346,8 +1370,7 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, bytes]:
                 bits = tuple(seg[i + 1:i + 17])
                 nv = sum(bits)
                 vals = tuple(seg[i + 17:i + 17 + nv])
-                fwd = _jpeg_huffman_codes(bits, vals)
-                huff[(tc, th)] = _JpegDecodeTable(fwd)
+                huff[(tc, th)] = _jpeg_decode_table(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:
             restart_interval = int.from_bytes(seg[0:2], "big")
@@ -1826,14 +1849,25 @@ def resolve_image_backend(backend: str = "pure"):
 
 
 def decode_image_features(
-    media: DataFrame, partitions: int | None = None, backend: str = "pure"
+    media: DataFrame, partitions: int | None = None, backend: str = "pure",
+    pre: "object | None" = None,
 ) -> DataFrame:
     """Real-codec twin of :func:`decode_features`: same Arrow-batched
     ``mapInPandas`` plumbing (bounded batches, metadata predicates prune
     JVM-side first), with header+pixel parsing of actual PPM/BMP bytes in
     place of the arithmetic stub. ``backend`` selects the per-payload
     decoder via :func:`resolve_image_backend` — resolved HERE on the
-    driver so an unknown name fails fast, then shipped in the closure."""
+    driver so an unknown name fails fast, then shipped in the closure.
+
+    ``pre`` is an optional batch-generator (``Iterator[pd.DataFrame] →
+    Iterator[pd.DataFrame]``) FUSED in front of the decode inside the
+    SAME Arrow pass — payload synthesis/transform stages compose
+    Python-side instead of paying a second JVM↔Python round trip
+    (measured ~0.25 s of fixed per-stage overhead at 32 tasks,
+    regardless of CPU). The production shape — scan of stored payloads
+    → one decode stage — has no pre stage; the fixture queries use it
+    for their encode step, which makes their benched plan match the
+    production stage count."""
     if partitions is not None:
         media = media.repartition(partitions)
     decode = resolve_image_backend(backend)
@@ -1841,6 +1875,8 @@ def decode_image_features(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        if pre is not None:
+            it = pre(it)
         for pdf in it:
             rows = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(rows)
@@ -1995,16 +2031,22 @@ def mm_image_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-1000× off libjpeg/libpng and was ~5%% of the bench headline;
     half the corpus still exercises every codec class per batch
     (gcd(2,5)=1) and the oracle samples identically. The plan itself is
-    unchanged — 0 exchanges, two Arrow stages, horizontally
-    partitionable at any corpus size."""
+    one narrow-input fan-out exchange (spread_for_compute —
+    conditional: skipped when the scan is already wide, i.e. always at
+    real scale) then ONE fused Arrow stage (the fixture encode composes
+    in front of the decode Python-side via ``pre=``), horizontally
+    partitionable at any corpus size. r9: the fixture scan was ONE
+    partition — the whole codec CPU serialized onto a single core —
+    and each extra Python stage costs ~0.25 s fixed at 32 tasks."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 2 == 0
     )
-    raw = F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "UTF-8")
-    media = docs.select("doc_id", raw.alias("raw")).mapInPandas(
-        _encode_fixture_payloads, "doc_id long, payload binary"
+    docs = spread_for_compute(
+        docs, "doc_id", source_path=table_path(sf_dir, "documents")
     )
-    feats = decode_image_features(media)
+    raw = F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "UTF-8")
+    media = docs.select("doc_id", raw.alias("raw"))
+    feats = decode_image_features(media, pre=_encode_fixture_payloads)
     return feats.select(
         "doc_id",
         "format",
@@ -2162,16 +2204,22 @@ def _encode_wav(
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
-def decode_audio_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+def decode_audio_features(
+    media: DataFrame, partitions: int | None = None,
+    pre: "object | None" = None,
+) -> DataFrame:
     """Audio twin of :func:`decode_image_features`: real RIFF/PCM WAV
     parsing through the same Arrow ``mapInPandas`` plumbing, failures
-    quarantined via status."""
+    quarantined via status. ``pre`` fuses an upstream batch-generator
+    into the same Arrow pass (see :func:`decode_image_features`)."""
     if partitions is not None:
         media = media.repartition(partitions)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        if pre is not None:
+            it = pre(it)
         for pdf in it:
             rows = []
             for p in pdf["payload"]:
@@ -2268,15 +2316,19 @@ def mm_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Python stage parsed real RIFF bytes. Sampled to ``doc_id % 3 = 0``
     (the polyfill precedent). Reference parity: SURVEY §2.9 X4/X5
     external-action shape with the side-effect replaced by a pure codec.
-    Plan: 0 exchanges, two Arrow stages, horizontally partitionable."""
+    Plan: 0 exchanges, ONE fused Arrow stage (fixture encode composed
+    in front of the decode via ``pre=``); the decode CPU is ~20 µs/row
+    — far below the fan-out exchange's fixed cost, so unlike the
+    image/video codecs this query does NOT spread. Horizontally
+    partitionable."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 3 == 0
     )
     raw = F.encode(F.rpad(F.substring("text", 1, 32), 32, " "), "UTF-8")
-    media = docs.select("doc_id", raw.alias("raw")).mapInPandas(
-        _encode_audio_fixture_payloads, "doc_id long, payload binary"
-    )
-    return decode_audio_features(media).select(
+    media = docs.select("doc_id", raw.alias("raw"))
+    return decode_audio_features(
+        media, pre=_encode_audio_fixture_payloads
+    ).select(
         "doc_id", "sample_rate", "channels", "bits", "n_frames",
         "duration_ms", "rms_milli", "status",
     )
@@ -2571,7 +2623,8 @@ def resolve_video_backend(backend: str = "pure"):
 
 
 def decode_video_features(
-    media: DataFrame, stride: int = 1, backend: str = "pure"
+    media: DataFrame, stride: int = 1, backend: str = "pure",
+    pre: "object | None" = None,
 ) -> DataFrame:
     """REAL video decode stage: every ``stride``-th AVI/MJPG frame is
     entropy-decoded (full JPEG per frame) and reduced to per-channel
@@ -2590,6 +2643,8 @@ def decode_video_features(
         import numpy as np
         import pandas as pd
 
+        if pre is not None:
+            it = pre(it)
         for pdf in it:
             out = {k.name: [] for k in VIDEO_FEATURE_SCHEMA}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -2731,17 +2786,19 @@ def mm_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback, the one backend guaranteed everywhere. The fixture is a
     1/4 document sample (r6 verdict: the pure-Python entropy decoder's
     throughput constant was letting ONE polyfill query be 15% of the
-    whole headline; the plan — scan → mapInPandas, zero exchanges — is
-    unchanged and the sample still decodes ~1,250 real videos at
-    sf0.1)."""
+    whole headline; the plan — scan → conditional fan-out exchange → ONE
+    fused Arrow stage — spreads the ~0.45 ms/row entropy-decode CPU
+    across cores on narrow fixture scans and the sample still decodes
+    ~1,250 real videos at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 4 == 0
     )
-    raw = F.encode(F.rpad(F.substring("text", 1, 4), 4, " "), "UTF-8")
-    media = docs.select("doc_id", raw.alias("raw")).mapInPandas(
-        _encode_video_payloads, "doc_id long, payload binary"
+    docs = spread_for_compute(
+        docs, "doc_id", source_path=table_path(sf_dir, "documents")
     )
-    feats = decode_video_features(media, stride=2)
+    raw = F.encode(F.rpad(F.substring("text", 1, 4), 4, " "), "UTF-8")
+    media = docs.select("doc_id", raw.alias("raw"))
+    feats = decode_video_features(media, stride=2, pre=_encode_video_payloads)
     return feats.select(
         "doc_id",
         "frame_idx",
@@ -2982,15 +3039,18 @@ def mm_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently checks which decoder actually ran). The package
     encoders are
     cross-checked against the test suite's independently written
-    GIF/LZW writer. Plan: 0 exchanges, two Arrow stages."""
+    GIF/LZW writer. Plan: 0 exchanges, ONE fused Arrow stage (encode
+    composed via ``pre=``); per-row decode CPU ~45 µs — below the
+    fan-out exchange's fixed cost, so no spread (contrast
+    mm_image_codec)."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 4 == 1
     )
     raw = F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "UTF-8")
-    media = docs.select("doc_id", raw.alias("raw")).mapInPandas(
-        _encode_gifbmp_fixture_payloads, "doc_id long, payload binary"
-    )
-    return decode_image_features(media).select(
+    media = docs.select("doc_id", raw.alias("raw"))
+    return decode_image_features(
+        media, pre=_encode_gifbmp_fixture_payloads
+    ).select(
         "doc_id", "format", "width", "height",
         F.round(F.col("mean_r") * (1 + F.lit(5e-13)), 4).alias("mean_r"),
         F.round(F.col("mean_g") * (1 + F.lit(5e-13)), 4).alias("mean_g"),

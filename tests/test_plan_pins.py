@@ -59,7 +59,13 @@ _PINS = {
     "w8_trailing_week_activity": 1,
     "dedup_threshold_sweep": 4,
     "st_interval_join": 0,
-    "mm_image_codec": 0,
+    # r9: + the conditional narrow-input fan-out exchange
+    # (spread_for_compute — the fixture scan is ONE partition, which
+    # serialized the whole codec CPU onto a single core; skipped on
+    # wide scans at real scale) and the fixture encode FUSED into the
+    # decode stage via pre= (each extra Python stage costs ~0.25 s
+    # fixed at 32 tasks)
+    "mm_image_codec": 1,
     "text_bm25_topk": 3,
     "sim_centroid_outliers": 2,
     "dedup_incremental": 4,
@@ -78,20 +84,25 @@ _PINS = {
     # agg + counter agg + top-5 + probe-join + final min + the single-row
     # N broadcast. snap_merge_on_read's plan is the read side only (the
     # chain writes happen eagerly inside the fn): window over the
-    # compacted commit + final groupBy + order. mm_video_codec is scan →
-    # two Arrow stages, shuffle-free.
+    # compacted commit + final groupBy + order. mm_video_codec (r9) is
+    # scan → conditional fan-out exchange → ONE fused Arrow stage (the
+    # ~0.45 ms/row entropy decode is worth spreading; the encode fuses
+    # via pre=).
     "a_heavy_hitters_cms": 6,
     "snap_merge_on_read": 3,
-    "mm_video_codec": 0,
-    # r8 addition: scan → two Arrow stages (WAV fixture-encode + parse),
-    # shuffle-free like the other codec entries
+    "mm_video_codec": 1,
+    # r8 addition; r9: ONE fused Arrow stage (WAV fixture-encode
+    # composed into the parse via pre=), still shuffle-free — the
+    # ~20 µs/row decode CPU is below the fan-out exchange's fixed cost,
+    # so unlike image/video this query does NOT spread
     "mm_audio_codec": 0,
     # r8 addition: explode bigrams → one partial-aggregated count
     # exchange on a bounded-cardinality key; the global top-20 rides
     # TakeOrderedAndProject-style on the aggregated rows
     "text_bpe_pairs": 1,
-    # r8 addition: scan → two Arrow stages (GIF/BMP fixture-encode +
-    # parse), shuffle-free like the other codec entries
+    # r8 addition; r9: ONE fused Arrow stage (GIF/BMP fixture-encode
+    # composed into the parse via pre=), still shuffle-free — ~45 µs/row
+    # decode CPU, below the fan-out exchange's fixed cost
     "mm_gif_codec": 0,
 }
 
