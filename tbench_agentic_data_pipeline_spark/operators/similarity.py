@@ -618,34 +618,103 @@ def pq_train(
     ``clustering.save_pq_codebook``/``load_pq_codebook`` (the same
     versioned lifecycle as the coarse quantizer — codes written under
     book v_n stay decodable by pinning v_n).
-    This is the index-BUILD half (m·iters jobs, run offline on a
-    corpus sample at 100 TB); :func:`codebook_from_df` collects the
-    tiny result for the encode/search closures. Trained codebooks are
-    the production quality path — the md5-derived constants in
-    :func:`pq_codeword` are the zero-training, oracle-replayable
-    floor."""
+    This is the index-BUILD half (run offline on a corpus sample at
+    100 TB); :func:`codebook_from_df` collects the tiny result for the
+    encode/search closures. Trained codebooks are the production
+    quality path — the md5-derived constants in :func:`pq_codeword`
+    are the zero-training, oracle-replayable floor.
+
+    r9: all m subspaces train JOINTLY — the corpus explodes once to a
+    (key, sub, subvector) table and each Lloyd's round is ONE
+    assignment job + ONE update job over every subspace at once,
+    instead of m sequential ``kmeans_fit`` chains (m·iters jobs whose
+    nested lazy lineage re-executed earlier rounds). Same deterministic
+    seeding as ``kmeans_fit`` (the k corpus rows with smallest
+    xxhash64(key) seed EVERY subspace — identical to what the
+    sequential per-sub chains chose, since the hash ignores the sub),
+    same min-struct argmin tie-break, same empty-cluster carry-forward;
+    equivalence vs the sequential path is pinned in
+    ``tests/test_ann.py``. The m·k centroid table localCheckpoints per
+    round (the BPE/CC lineage-truncation pattern), so round r+1's plan
+    does not recompute round r."""
     from tbench_agentic_data_pipeline_spark.operators.clustering import (
-        kmeans_fit,
+        _l2_sq,
     )
 
     ds = dim // m
-    parts = []
-    for sub in range(m):
-        sub_df = emb.select(
-            key_col, F.slice(F.col(vec_col), sub * ds + 1, ds).alias("sv")
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * ds + 1, ds) for s in range(m)]
+    )
+    subs = emb.select(
+        key_col, F.posexplode(slices).alias("sub", "sv")
+    )
+    seeds = (
+        emb.select(key_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(key_col)))
+        .orderBy("__h")
+        .limit(k)
+    )
+    # two steps: row_number must rank the k SEED rows, not the rows the
+    # generator expands them into (a same-select window + generator
+    # evaluates the window after the explode)
+    centroids = seeds.select(
+        (F.row_number().over(Window.orderBy("__h")) - 1).alias("code"),
+        F.col(vec_col),
+    ).select("code", F.posexplode(slices).alias("sub", "centroid")).select(
+        "sub", "code", "centroid"
+    )
+    for _ in range(iters):
+        scored = subs.join(
+            F.broadcast(
+                centroids.select(
+                    "sub",
+                    F.col("code").alias("__c"),
+                    F.col("centroid").alias("__cv"),
+                )
+            ),
+            "sub",
+        ).select(
+            key_col,
+            "sub",
+            F.struct(
+                _l2_sq(F.col("sv"), F.col("__cv")).alias("d"),
+                F.col("__c").alias("c"),
+            ).alias("__dc"),
         )
-        cents = kmeans_fit(sub_df, key_col, "sv", k=k, dim=ds, iters=iters)
-        parts.append(
-            cents.select(
-                F.lit(sub).alias("sub"),
-                F.col("cluster").alias("code"),
-                F.col("centroid"),
+        best = scored.groupBy(key_col, "sub").agg(F.min("__dc").alias("__b"))
+        assigned = subs.join(best, [key_col, "sub"]).select(
+            "sub", F.col("__b.c").alias("code"), "sv"
+        )
+        means = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("d", "x"))
+            .groupBy("sub", "code", "d")
+            .agg(F.avg("x").alias("m"))
+        )
+        updated = (
+            means.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select(
+                "sub", "code",
+                F.transform(F.col("dm"), lambda s: s["m"]).alias("centroid"),
             )
         )
-    out = parts[0]
-    for pdf in parts[1:]:
-        out = out.unionByName(pdf)
-    return out
+        # A (sub, code) cell that lost every member vanishes from the
+        # groupBy — keep its previous centroid so the book always has
+        # m·k rows with stable ids.
+        centroids = (
+            centroids.select(
+                "sub", "code", F.col("centroid").alias("__prev")
+            )
+            .join(updated, ["sub", "code"], "left")
+            .select(
+                "sub", "code",
+                F.coalesce(F.col("centroid"), F.col("__prev")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids
 
 
 def codebook_from_df(codebook_df: DataFrame, m: int, k: int, dim: int):

@@ -1212,3 +1212,44 @@ def test_dedup_embedding_multiprobe_is_nonvacuous_and_a_superset(spark):
     }
     assert single == base  # recovered really are the hamming-1 extras
     assert single < (base | recovered)
+
+
+def test_pq_train_joint_matches_sequential_per_sub_kmeans(spark):
+    """r9: pq_train trains all m subspaces in ONE assignment + ONE
+    update job per Lloyd's round (exploded (key, sub, sv) table)
+    instead of m sequential kmeans_fit chains. Seeding, argmin
+    tie-break, and empty-cluster carry-forward are the same by
+    construction; this pins the refactor to the sequential reference —
+    per-(sub, code) centroids equal to float tolerance (aggregation
+    order may differ, bit-exactness is not claimed)."""
+    import numpy as np
+
+    from tbench_agentic_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        as_double,
+        codebook_from_df,
+        pq_train,
+    )
+
+    m, k, dim, iters = 4, 8, 64, 2
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .where(F.col("vec_id") < 200)
+    )
+    joint = codebook_from_df(pq_train(emb, m, k, dim, iters=iters), m, k, dim)
+
+    ds = dim // m
+    seq = np.zeros((m, k, ds))
+    for sub in range(m):
+        sub_df = emb.select(
+            "vec_id", F.slice(F.col("emb"), sub * ds + 1, ds).alias("sv")
+        )
+        for r in kmeans_fit(
+            sub_df, "vec_id", "sv", k=k, dim=ds, iters=iters
+        ).collect():
+            seq[sub, int(r["cluster"])] = np.asarray(r["centroid"])
+
+    assert np.allclose(joint, seq, rtol=1e-9, atol=1e-12)

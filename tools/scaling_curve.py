@@ -166,6 +166,17 @@ EXTRA_CURVE = [
     "st_tumbling_window",
     "q12_priority_by_linestatus",
     "q14_promo_revenue",
+    # r9 (VERDICT r8 #6): the only remaining >=3-exchange un-curved
+    # queries are this round's two additions — the trained-PQ pipeline
+    # (its pq_train is an offline index build, so the curve reading is
+    # dominated by the per-round Lloyd's chains, not the search path)
+    # and the multi-probe dedup — plus the widest un-curved 2-exchange
+    # shapes: the two multi-join TPC-H flows and the md5 band twin
+    "sim_pq_trained_topk",
+    "dedup_embedding_multiprobe",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "dedup_minhash_bands",
 ]
 
 

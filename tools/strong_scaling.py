@@ -32,11 +32,17 @@ THREADS = (4, 8, 16, 32)
 # Heavy, compute/shuffle-bound shapes where parallelism should pay:
 # the banded-LSH contract pipeline, iterative pointer-jumping CC, the
 # co-partitioned semi/anti TPC-H join, and the LSH→CC→survivor chain.
+# r9 (VERDICT r8 #7): plus the two INDEX-LIFECYCLE paths — the composed
+# IVF+PQ query (coarse-stats build → snapshot commit → reload → probe →
+# cell-pruned ADC) and incremental dedup (persisted-index band join) —
+# so the build-vs-search serial fraction is a measured row, not prose.
 QUERIES = (
     "dedup_minhash_fast",
     "dedup_cluster_components",
     "q21_sole_late_supplier",
     "dedup_resolve_survivors",
+    "sim_ivfpq_topk",
+    "dedup_incremental",
 )
 START = "<!-- AUTOGEN:STRONG_SCALING -->"
 END = "<!-- /AUTOGEN:STRONG_SCALING -->"
