@@ -181,24 +181,37 @@ EXTRA_CURVE = [
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Measure the curve set at sf_dir through bench.py's fresh-subprocess
+    shard protocol (warmup inside each shard, best-of-3, streamed
+    per-query salvage). r9: the tool previously ran all three scales ×
+    two runs × the whole set in ONE session — 450+ executions whose
+    accumulated JVM/GC state inflated the late (sf1) stage 5-8× over
+    fresh-session readings (dedup_minhash_fast 84 s recorded vs 11 s
+    fresh). Sharding makes the curve column the same fresh-session truth
+    as the committed bench, which is also what makes the two comparable
+    at all."""
+    import subprocess
+
+    from bench import SHARD_SIZE, _parse_shard_output
+
     fns = {n: e.fn for n, e in registry.collect().items()}
     fns.update(_extra_queries())
     names = [n for n in HEADLINE + EXTRA_CURVE if n in fns]
-    # JVM/codegen/python-worker warmup, as in bench.py
-    try:
-        fns[names[0]](spark, sf_dir).count()
-    except Exception:
-        pass
+    bench_py = os.path.join(REPO, "bench.py")
     times: dict[str, float] = {}
-    for name in names:
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fns[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        times[name] = round(best, 3)
+    for i in range(0, len(names), SHARD_SIZE):
+        shard = names[i : i + SHARD_SIZE]
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, bench_py, "--shard", *shard],
+            capture_output=True, text=True, env=env,
+        )
+        s_times, s_errors, _ = _parse_shard_output(
+            shard, proc.stdout, proc.stderr, proc.returncode
+        )
+        if s_errors:
+            print(f"curve shard errors at {sf_dir}: {s_errors}", file=sys.stderr)
+        times.update(s_times)
     return times
 
 
@@ -213,13 +226,21 @@ def render_table(res: dict[str, dict[str, float]]) -> str:
         "| query | sf0.01 (s) | sf0.1 (s) | ~sf1 (s) | α(0.01→0.1) | α(0.1→1) |",
         "|---|---|---|---|---|---|",
     ]
+    # a query that errored in one scale's shard (salvage path) has no
+    # reading there — keep the table rectangular
     for name in res["sf0.01"]:
+        if any(name not in res[k] for k in ("sf0.1", "sf1")):
+            continue
         a, b, c = (res[k][name] for k in ("sf0.01", "sf0.1", "sf1"))
         lines.append(
             f"| `{name}` | {a:.2f} | {b:.2f} | {c:.2f} | "
             f"{exponent(a, b):.2f} | {exponent(b, c):.2f} |"
         )
-    tot = [sum(res[k].values()) for k in ("sf0.01", "sf0.1", "sf1")]
+    common = [
+        n for n in res["sf0.01"]
+        if n in res["sf0.1"] and n in res["sf1"]
+    ]
+    tot = [sum(res[k][n] for n in common) for k in ("sf0.01", "sf0.1", "sf1")]
     lines.append(
         f"| **total** | {tot[0]:.2f} | {tot[1]:.2f} | {tot[2]:.2f} | "
         f"{exponent(tot[0], tot[1]):.2f} | {exponent(tot[1], tot[2]):.2f} |"
