@@ -2972,7 +2972,7 @@ def _encode_gifbmp_fixture_payloads(
     alternate 1, 5, 1, 5, …, so both encoders run on every scale factor.
     (The r8 row split on ``% 2`` — unreachable under ``% 4 = 1``, which
     selects only odd ids — and the GIF branch never executed;
-    ``tests/test_multimodal.py`` now pins both-formats-present.)"""
+    ``tests/test_multimodal_codec.py`` now pins both-formats-present.)"""
     import pandas as pd
 
     for pdf in it:

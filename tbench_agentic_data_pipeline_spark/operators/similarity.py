@@ -1611,7 +1611,9 @@ def multiprobe_keys(subkey: Column, depth: Column) -> Column:
     recovers every candidate pair whose signatures differ in at most
     one bit: per-pair recall at cosine s rises from ``p^depth`` to
     ``p^depth + depth·p^(depth-1)(1-p)`` where ``p = 1 - arccos(s)/π``
-    (~0.995 vs ~0.96 at s=0.9, depth 4), at a bounded ``(1+depth)×``
+    (~0.90 multi vs ~0.54 single at s=0.9, depth 4; measured 0.498 vs
+    0.144 at the fixture's cos 0.3-0.6 band — SCALING.md), at a bounded
+    ``(1+depth)×``
     candidate-row cost — the standard multi-probe LSH trade (Lv et al.,
     VLDB'07). Each qualifying pair matches EXACTLY once (the base key
     if the subkeys are equal, else the unique flipped bit), so no
@@ -1813,7 +1815,7 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 (every cell is 44-59 rows → depth 2; sf0.1 → depth 4): the
     probes, the recovery, and the ``recovered`` marker column (pairs a
     single-probe join would have dropped) are all hash-checked, never
-    vacuous — ``tests/test_similarity.py`` additionally pins
+    vacuous — ``tests/test_ann.py`` additionally pins
     ``recovered`` to be nonzero at the smoke scale. The oracle replays
     signature, depth, probe expansion, and the capped join in pure SQL.
     Scale shape: identical to the single-probe query — one window/join

@@ -37,7 +37,6 @@ import math
 import os
 import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -180,7 +179,7 @@ EXTRA_CURVE = [
 ]
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(sf_dir: str) -> dict[str, float]:
     """Measure the curve set at sf_dir through bench.py's fresh-subprocess
     shard protocol (warmup inside each shard, best-of-3, streamed
     per-query salvage). r9: the tool previously ran all three scales ×
@@ -196,7 +195,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     fns = {n: e.fn for n, e in registry.collect().items()}
     fns.update(_extra_queries())
-    names = [n for n in HEADLINE + EXTRA_CURVE if n in fns]
+    # dict.fromkeys: HEADLINE and EXTRA_CURVE overlap (sim_ivfpq_topk,
+    # snap_merge_on_read) — a duplicate would burn a second fresh-JVM
+    # slot and let the later shard's reading silently win
+    names = [n for n in dict.fromkeys(HEADLINE + EXTRA_CURVE) if n in fns]
     bench_py = os.path.join(REPO, "bench.py")
     times: dict[str, float] = {}
     for i in range(0, len(names), SHARD_SIZE):
@@ -263,22 +265,25 @@ def update_md(table: str) -> None:
 
 def main() -> None:
     rebuild = "--rebuild" in sys.argv
-    spark = get_session("scaling-curve")
     if rebuild and os.path.isdir(SF_BIG):
         shutil.rmtree(SF_BIG)
     if not os.path.isdir(os.path.join(SF_BIG, "lineitem.parquet")):
+        # the only step that needs a session in THIS process — stop it
+        # before measuring so no idle local[32] JVM competes with the
+        # fresh shard subprocesses for memory/CPU
         print("building ~sf1 fixture...", file=sys.stderr)
+        spark = get_session("scaling-curve")
         build_sf1(spark)
+        spark.stop()
     res = {}
     for label, d in (("sf0.01", SF_SMALL), ("sf0.1", SF_MID), ("sf1", SF_BIG)):
         print(f"running headline set at {label}...", file=sys.stderr)
-        res[label] = run_queries(spark, d)
+        res[label] = run_queries(d)
     table = render_table(res)
     print(table)
     print(json.dumps(res))
     if "--update-md" in sys.argv:
         update_md(table)
-    spark.stop()
 
 
 if __name__ == "__main__":
