@@ -176,6 +176,19 @@ EXTRA_CURVE = [
     "q5_local_supplier_volume",
     "q7_nation_volume",
     "dedup_minhash_bands",
+    # r9 fill: the rest of the 2-exchange registry tail, so everything
+    # left un-curved is a trivial <=1-exchange scan-bound shape. (The
+    # fold-cosine `sim_knn_join` stays out by the standing r7 decision.)
+    "a6_error_rollup",
+    "a_approx_distinct",
+    "a_pivot_type_by_dow",
+    "a_value_histogram",
+    "f_map_gauntlet",
+    "j3_full_outer_reconciliation",
+    "q17_small_quantity_revenue",
+    "so5_intersect_nations",
+    "text_zipf_fluency",
+    "w7_ntile_quartiles",
 ]
 
 
