@@ -65,3 +65,33 @@ def test_noise_lines_are_ignored():
     times, errors, _ = _parse_shard_output(SHARD[:1], out, "", 1)
     assert times == {"q_a": 2.0}
     assert errors == {}
+
+
+def test_warmup_and_curve_names_exist_in_registry():
+    """A renamed query must not silently disable the shard warmers
+    (bench._run_shard skips unknown names without error) or drop a
+    scale-curve row: every name in bench._WARMUP, bench.HEADLINE, and
+    tools/scaling_curve.EXTRA_CURVE must resolve to a registry entry or
+    a bench extra."""
+    import importlib.util
+    import os
+    import sys
+
+    from bench import HEADLINE, _WARMUP, _extra_queries
+    from tbench_agentic_data_pipeline_spark import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "scaling_curve_for_test", os.path.join(repo, "tools", "scaling_curve.py")
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+
+    known = set(registry.collect()) | set(_extra_queries())
+    for group, names in (
+        ("_WARMUP", _WARMUP),
+        ("HEADLINE", HEADLINE),
+        ("EXTRA_CURVE", sc.EXTRA_CURVE),
+    ):
+        unknown = [n for n in names if n not in known]
+        assert not unknown, f"{group} references unregistered queries: {unknown}"
