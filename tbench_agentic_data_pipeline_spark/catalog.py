@@ -206,6 +206,28 @@ def spread_for_compute(
     return df.repartition(parallelism, key)
 
 
+def source_bytes(path: str) -> int | None:
+    """Total on-disk bytes of a scan source (file or directory), or None
+    when unknowable (object stores). For operators whose in-memory rows
+    BLOW UP relative to the compressed scan (shingle/token arrays run
+    30-60x parquet bytes), Spark's file-size-based join estimation will
+    happily broadcast a multi-hundred-MB relation — callers use this to
+    switch join strategy BEFORE the estimator walks off that cliff."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+    except OSError:
+        return None
+    return None
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import (
     load_table,
+    source_bytes,
     spread_for_compute,
     table_path,
 )
@@ -634,6 +635,22 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingles").alias("sh_b"),
         F.col("xb").alias("xb_b"),
     )
+    # Join-strategy guard (r9): Spark sizes the verify join's build side
+    # from the COMPRESSED parquet bytes, but the enriched rows (shingle
+    # string arrays + band keys) run 30-60x that, so on mid-size corpora
+    # the planner broadcasts a multi-hundred-MB relation through the
+    # driver (measured: ~sf1's 5.7 MB file -> ~10 s whole-corpus
+    # broadcast; ~150 MB of parquet would hit the 8 GB broadcast hard
+    # cap and fail outright). Above ~2 MB of source (≳100 MB enriched)
+    # pin both sides to shuffle joins — measured faster at ~sf1 (10.6 s
+    # vs 12.2 s) and the only shape that survives real scale, where the
+    # estimator's file-size heuristic would eventually be wrong by two
+    # orders of magnitude. Below the threshold the planner's broadcast
+    # is genuinely best (and keeps the 5-exchange fixture plan).
+    src_bytes = source_bytes(table_path(sf_dir, "documents"))
+    if src_bytes is None or src_bytes > 2_000_000:
+        sa = sa.hint("shuffle_hash")
+        sb = sb.hint("shuffle_hash")
     return (
         cand.join(sa, "key_a")
         .join(sb, "key_b")
