@@ -128,6 +128,29 @@ def minhash_signatures(
     )
 
 
+# Compressed-parquet bytes above which a verify-join side carrying token/
+# shingle arrays must NOT be left to the planner's broadcast decision: the
+# in-memory rows run 30-60x the scan bytes, so Spark's file-size estimate
+# broadcasts a multi-hundred-MB relation through the driver on mid-size
+# corpora (measured ~sf1: 5.7 MB file -> ~300 MB, ~10 s; ~150 MB of
+# parquet would hit the 8 GB broadcast hard cap and fail outright).
+_VERIFY_BROADCAST_MAX_SRC = 2_000_000
+
+
+def _verify_join_sides(sf_dir: str, *sides: DataFrame) -> tuple[DataFrame, ...]:
+    """Join-strategy guard for exact-verify joins over array-exploded text
+    (r9): below the threshold the planner's broadcast is genuinely best
+    (and keeps the small fixture plans exchange-lean); above it — and
+    whenever the source size is unknowable — pin shuffle joins, the only
+    shape that survives real scale (measured faster from ~sf1 up:
+    dedup_minhash_fast 14.6 -> 9.8 s). Same file-size decision pattern
+    as ``catalog.spread_for_compute``."""
+    src = source_bytes(table_path(sf_dir, "documents"))
+    if src is None or src > _VERIFY_BROADCAST_MAX_SRC:
+        return tuple(s.hint("shuffle_hash") for s in sides)
+    return sides
+
+
 def minhash_band_df(
     df: DataFrame, key_col: str, shingle_col: str,
     num_hashes: int, bands: int, rows_per_band: int,
@@ -635,22 +658,7 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingles").alias("sh_b"),
         F.col("xb").alias("xb_b"),
     )
-    # Join-strategy guard (r9): Spark sizes the verify join's build side
-    # from the COMPRESSED parquet bytes, but the enriched rows (shingle
-    # string arrays + band keys) run 30-60x that, so on mid-size corpora
-    # the planner broadcasts a multi-hundred-MB relation through the
-    # driver (measured: ~sf1's 5.7 MB file -> ~10 s whole-corpus
-    # broadcast; ~150 MB of parquet would hit the 8 GB broadcast hard
-    # cap and fail outright). Above ~2 MB of source (≳100 MB enriched)
-    # pin both sides to shuffle joins — measured faster at ~sf1 (10.6 s
-    # vs 12.2 s) and the only shape that survives real scale, where the
-    # estimator's file-size heuristic would eventually be wrong by two
-    # orders of magnitude. Below the threshold the planner's broadcast
-    # is genuinely best (and keeps the 5-exchange fixture plan).
-    src_bytes = source_bytes(table_path(sf_dir, "documents"))
-    if src_bytes is None or src_bytes > 2_000_000:
-        sa = sa.hint("shuffle_hash")
-        sb = sb.hint("shuffle_hash")
+    sa, sb = _verify_join_sides(sf_dir, sa, sb)
     return (
         cand.join(sa, "key_a")
         .join(sb, "key_b")
@@ -734,6 +742,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup_minhash_bands(spark, sf_dir)
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    ta, tb = _verify_join_sides(sf_dir, ta, tb)
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -1014,6 +1023,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup_minhash_bands(spark, sf_dir)
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    ta, tb = _verify_join_sides(sf_dir, ta, tb)
     scored = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -1239,6 +1249,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     tn = t.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_n"))
     te = t.select(F.col("doc_id").alias("dup_of"), F.col("toks").alias("toks_e"))
+    tn, te = _verify_join_sides(sf_dir, tn, te)
     return (
         cand.join(tn, "new_id")
         .join(te, "dup_of")
