@@ -115,88 +115,82 @@ def query(
 # (newest file = _WINDOW_ROUND). At each round start, bump this stamp
 # FIRST — the staleness test then prints the exact mandatory block the
 # new window must contain (tools/next_window.py computes it any time).
-_WINDOW_ROUND: int = 9
+_WINDOW_ROUND: int = 10
 
-# Round-9 rotation (tools/next_window.py at r8-close printed exactly this
+# Round-10 rotation (tools/next_window.py at r9-close printed exactly this
 # mandatory block):
-# - the 42 queries whose newest external row is round 6 — staleness
-#   ceiling, non-negotiable: the full p*/u* id-query block, j2/j3/j4,
-#   so2/so3, w2/w4/w5/w6, st1, x7/x_fail_first, the a8*/a_percentiles/
-#   a_salted_sum/a_stats_gauntlet aggregates, events_funnel,
-#   pipeline_corpus_build, snap_merge_on_read, dedup_simhash/
-#   dedup_ngram_jaccard, text_contamination/tfidf/zipf, and the four
-#   sim_* queries that ceded their r8 prefill slots;
-# - changed-semantics / changed-oracle queries re-entering:
-#   mm_gif_codec (r8 verdict #1: the % 4 = 1 sample contained no even
-#   doc_id so the GIF branch never ran — format now splits on a residue
-#   INSIDE the sample), sim_pq_trained_topk (r8 verdict #3: oracle
-#   widened from 3 contract-boolean rows to per-query exact-cosine
-#   values restated from embeddings);
-# - round-7 greens prefilled to flatten round 10's mandatory block
-#   (47 r7 rows would otherwise all expire at once), preferring files
-#   that churn this round (similarity.py, multimodal.py, bench.py's
-#   shard protocol) and the two index-lifecycle paths being
-#   strong-scaled. dedup_embedding_multiprobe (new this round) takes
-#   text_bm25_topk's prefill slot when it lands.
+# - the 42 queries whose newest external row is round 7 — staleness
+#   ceiling, non-negotiable: the TPC-H q* family (q2/q4/q6-q9/q11-q22),
+#   the f_* gauntlets, j_asof/j_range, so4/so5, w7/w8, the three
+#   streaming twins (tumbling/session/watermark-dedup), text_bm25_topk,
+#   u1_keyed_patch, events_attribution, sim_centroid_outliers,
+#   dedup_exact/minhash_bands/resolve_survivors, and the a_* rollups
+#   (conditional_distinct, cube, heavy_hitters_cms);
+# - round-8 greens prefilled to flatten round 11's mandatory block
+#   (48 r8 rows would otherwise all expire at once), preferring files
+#   that churn this round (dedup.py: the near-dup corpus composition and
+#   the derived broadcast threshold; similarity.py: multi-probe recall
+#   promotion; multimodal.py: GIF disposal compositing) — new queries
+#   registered this round take prefill slots when they land, so the
+#   mandatory block is never displaced.
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r6: staleness ceiling forces these 42 ----------------
-    "a8_distinct_users_per_type",
-    "a8_pytest_summary_parse",
-    "a_percentiles",
-    "a_salted_sum",
-    "a_stats_gauntlet",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_funnel",
-    "j2_anti_join_customers_without_orders",
-    "j3_full_outer_reconciliation",
-    "j4_parent_child_counts",
-    "p1_point_lookup",
-    "p2_filter_project",
-    "p3_first_match_claim",
-    "p4_existence_guard",
-    "p5_stage_predicate",
-    "p6_timeout_predicate",
-    "p7_ownership_predicate",
-    "p8_prefix_projection",
-    "pipeline_corpus_build",
-    "sim_ivf_probe",
-    "sim_lsh_buckets",
-    "sim_quantized_topk",
-    "sim_topk_cosine",
-    "snap_merge_on_read",
-    "so2_delete_by_key",
-    "so3_key_set_difference",
-    "st1_claim_assignment",
-    "text_contamination",
-    "text_tfidf_topk",
-    "text_zipf_fluency",
-    "u2_map_mutation",
-    "u3_claim_transition",
-    "u4_complete_transition",
-    "u6_timeout_release",
-    "u8_production_derivation",
-    "w2_global_topn",
-    "w4_fifo_claim_order",
-    "w5_running_total",
-    "w6_lag_gap_seconds",
-    "x7_validation_pipeline",
-    "x_fail_first_policy",
-    # -- changed semantics / changed oracle this round: window-mandatory ----
-    "mm_gif_codec",
-    "sim_pq_trained_topk",
-    # -- round-7 greens prefilled (churned files / lifecycle paths) ---------
-    "sim_pq_adc_topk",
-    "mm_video_codec",
-    "mm_decode_features",
-    "snap_compact_vacuum",
-    "dedup_incremental",
-    # -- new this round: multi-probe recovery for the bounded cosine split --
-    "dedup_embedding_multiprobe",
+    # -- newest row is r7: staleness ceiling forces these 42 ----------------
+    "a_conditional_distinct",
+    "a_cube_priority_status",
+    "a_heavy_hitters_cms",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_resolve_survivors",
+    "events_attribution",
+    "f_array_gauntlet",
+    "f_datetime_gauntlet",
+    "f_json_gauntlet",
+    "f_map_gauntlet",
+    "f_string_gauntlet",
+    "j_asof_last_view",
+    "j_range_incident_window",
+    "q11_important_part_value",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "sim_centroid_outliers",
+    "so4_array_difference",
+    "so5_intersect_nations",
+    "st_dedup_watermark",
+    "st_session_windows",
+    "st_tumbling_window",
+    "text_bm25_topk",
+    "u1_keyed_patch",
+    "w7_ntile_quartiles",
+    "w8_trailing_week_activity",
+    # -- round-8 greens prefilled (churned files this round); new queries ----
+    # -- registered this round replace prefills from the BOTTOM up ----------
+    "dedup_minhash_fast",
+    "dedup_cluster_components",
+    "dedup_threshold_sweep",
+    "dedup_embedding_cosine",
+    "corpus_leakage_safe_split",
+    "mm_image_codec",
+    "sim_ivfpq_topk",
+    "flagship_pricing_summary",
 )
 
 
