@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.operators.dedup import (
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_band_df,
+    resolve_near_duplicates,
+    shingles,
+)
 from tbench_agentic_data_pipeline_spark.operators.text import STOPWORDS
 from tbench_agentic_data_pipeline_spark.registry import query
 
@@ -73,7 +80,20 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-stratified downsampling (en to 50%, rest to 90%) → per-language
     docs/token accounting. One content-hash exchange + one tiny final
     groupBy; everything else rides the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    deduped = _quality_deduped(load_table(spark, sf_dir, "documents"))
+    sampled = deduped.where(_sample_bucket() < _sample_rate())
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.min("quality_milli").cast("bigint").alias("min_quality_milli"),
+    )
+
+
+def _quality_deduped(docs: DataFrame) -> DataFrame:
+    """Shared front of the corpus builds: quality gate (≥600 milli, the
+    Gopher-style char-length/stopword/uniqueness bands) then exact dedup
+    on the full-content hash keeping the lowest doc_id. Pure projection +
+    ONE content-hash window exchange."""
     w = F.split("text", " ")
     n_tok = F.size(w).cast("bigint")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -95,19 +115,187 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = scored.where(F.col("quality_milli") >= 600)
     dd_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
+    return (
         kept.withColumn("__rn", F.row_number().over(dd_w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    bucket = (
+
+
+def _sample_bucket() -> F.Column:
+    """Deterministic 0-99 sampling bucket from the doc key (hash-stratified
+    downsampling both engines compute identically)."""
+    return (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint") % 100
     )
-    rate = F.when(F.col("lang") == "en", 50).otherwise(90)
-    sampled = deduped.where(bucket < rate)
+
+
+def _sample_rate() -> F.Column:
+    """Per-language keep rate: en downsampled to 50%, the rest to 90%."""
+    return F.when(F.col("lang") == "en", 50).otherwise(90)
+
+
+@query(
+    "pipeline_corpus_build_neardup",
+    survey="P2,A1,SO2,W3,J1,P4",
+    oracle="""
+        WITH RECURSIVE q AS (
+            SELECT doc_id, lang, text, n_chars,
+                   len(string_split(text, ' ')) AS n_tok,
+                   (len(list_filter(string_split(text, ' '),
+                        t -> list_contains(['the','a','of','and','to'], t)))
+                        * 1000) // len(string_split(text, ' '))
+                       AS stop_milli,
+                   (len(list_distinct(string_split(text, ' '))) * 1000)
+                        // len(string_split(text, ' ')) AS uniq_milli
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, text, n_tok,
+                   (CASE WHEN n_chars BETWEEN 100 AND 450 THEN 400 ELSE 0 END)
+                 + (CASE WHEN stop_milli BETWEEN 20 AND 400 THEN 300 ELSE 0 END)
+                 + (CASE WHEN uniq_milli >= 300 THEN 300 ELSE 0 END)
+                       AS quality_milli
+            FROM q
+        ),
+        kept AS (SELECT * FROM scored WHERE quality_milli >= 600),
+        deduped AS (
+            SELECT * FROM kept
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) = 1
+        ),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM deduped
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS shingles
+            FROM toks WHERE len(w) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   [list_min(list_transform(shingles,
+                        s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                    for h in range(0, 8)] AS mh
+            FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+            FROM sig, range(0, 4) t(b)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+                          AND a.doc_id < b2.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        lab AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM lab GROUP BY cluster_id
+        ),
+        labeled AS (
+            SELECT d.*, l.cluster_id
+            FROM deduped d LEFT JOIN lab l USING (doc_id)
+        ),
+        surv AS (
+            SELECT * FROM labeled
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY COALESCE(cluster_id, doc_id)
+                ORDER BY strlen(text) DESC, doc_id) = 1
+        ),
+        sampled AS (
+            SELECT s.*, z.n_members
+            FROM surv s LEFT JOIN sizes z USING (cluster_id)
+            WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 100
+                  < CASE WHEN s.lang = 'en' THEN 50 ELSE 90 END
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS docs_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+               CAST(COUNT(cluster_id) AS BIGINT) AS neardup_survivors,
+               CAST(SUM(COALESCE(n_members, 1)) AS BIGINT)
+                   AS members_represented,
+               CAST(MIN(quality_milli) AS BIGINT) AS min_quality_milli
+        FROM sampled
+        GROUP BY lang
+    """,
+)
+def pipeline_corpus_build_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data build — the single query shape a 100 TB
+    corpus run actually executes (reference north star; each rung is
+    individually green elsewhere, this pins the COMPOSITION end to end):
+
+        quality gate → exact dedup → MinHash bands → LSH candidate pairs
+        → connected components → survivor resolution (keep the LONGEST
+        variant per near-dup cluster) → hash-stratified downsampling →
+        per-language accounting.
+
+    The accounting is value-bearing for every stage: ``docs_kept`` /
+    ``tokens_total`` pin the survivor+sample set, ``neardup_survivors``
+    counts sampled docs that came out of a near-dup cluster,
+    ``members_represented`` weights each survivor by its cluster size
+    (singletons count 1) so a wrong component labeling or a wrong
+    keep-longest choice shifts the sums, and ``min_quality_milli`` pins
+    the gate.
+
+    Scale shape: one content-hash window exchange (exact dedup), one band
+    exchange + pair distinct inside the checkpointed edge build, CC's
+    per-round cost is O(clustered nodes) with pointer jumping, the label
+    and cluster-size tables broadcast below 5M clustered nodes (above
+    that the keyed shuffle joins return), one survivor window, one
+    final groupBy on lang. The quality→dedup front runs twice (once into
+    the checkpointed edge list, once on the survivors side) — at real
+    scale the deduped slice is persisted between the two, here the
+    second pass rides the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = _quality_deduped(docs)
+    toks = F.split("text", " ")
+    shingled = (
+        deduped.select("doc_id", toks.alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id", shingles(F.col("w"), 3, guard_short=False).alias("sh")
+        )
+    )
+    with_bands = minhash_band_df(shingled, "doc_id", "sh", 8, 4, 2, hash_fn="md5")
+    pairs = lsh_candidate_pairs(with_bands, "doc_id", "bands")
+    clusters = connected_components(
+        pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+    )
+    surv = resolve_near_duplicates(
+        deduped, clusters, "doc_id",
+        prefer=[F.length("text").desc()],
+        keep_cluster_col="cluster_id",
+    )
+    sizes = clusters.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    sampled = (
+        surv.join(F.broadcast(sizes), "cluster_id", "left")
+        .where(_sample_bucket() < _sample_rate())
+    )
     return sampled.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
         F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.count("cluster_id").cast("bigint").alias("neardup_survivors"),
+        F.sum(F.coalesce("n_members", F.lit(1))).cast("bigint")
+            .alias("members_represented"),
         F.min("quality_milli").cast("bigint").alias("min_quality_milli"),
     )

@@ -1103,6 +1103,7 @@ def resolve_near_duplicates(
     key_col: str = "doc_id",
     prefer: list | None = None,
     keep_cluster_col: str | None = None,
+    broadcast_labels_below: int = 5_000_000,
 ) -> DataFrame:
     """The dedup ladder's final act: given near-dup cluster assignments
     (``connected_components`` output: (node, label)), return the corpus
@@ -1119,10 +1120,22 @@ def resolve_near_duplicates(
     of the corpus — unclustered rows join nothing and pass through as
     their own singleton cluster via ``coalesce``), one window over the
     effective cluster id. No driver-side state, no collect; output schema
-    is exactly the input docs schema."""
+    is exactly the input docs schema.
+
+    JOIN STRATEGY mirrors :func:`connected_components`: both callers pass
+    its localCheckpointed output, which carries NO size stats, so Catalyst
+    would shuffle-join even a few-hundred-row label table (r10: measured
+    two avoidable full-corpus exchanges in the survivor composition).
+    Counting the materialized cluster table is a cheap scalar action;
+    below ``broadcast_labels_below`` the labels broadcast and the corpus
+    side never leaves its upstream partitioning — above it the keyed
+    shuffle join remains, the only shape that works at billions of
+    clustered nodes."""
     lab = clusters.select(
         F.col("node").alias("__k"), F.col("label").alias("__cluster")
     )
+    if clusters.count() <= broadcast_labels_below:
+        lab = F.broadcast(lab)
     joined = docs.join(lab, docs[key_col] == F.col("__k"), "left")
     eff_cluster = F.coalesce(F.col("__cluster"), F.col(key_col))
     order = list(prefer) if prefer else []

@@ -190,7 +190,8 @@ _FRONT_ORDER: tuple[str, ...] = (
     "corpus_leakage_safe_split",
     "mm_image_codec",
     "sim_ivfpq_topk",
-    "flagship_pricing_summary",
+    # -- new this round: the full near-dup corpus build composition --------
+    "pipeline_corpus_build_neardup",
 )
 
 

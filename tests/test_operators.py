@@ -483,3 +483,70 @@ def test_cms_in_plan_estimate_never_undercounts(spark, tmp_path):
         .count()
     )
     assert under == 0
+
+
+def test_corpus_neardup_composition_stage_is_active(spark):
+    """Guard for the full-build composition (r8 mm_gif_codec lesson: a
+    pipeline stage that silently no-ops can still hash-match a mirrored
+    oracle). At the driver's oracle SF the near-dup stage must have
+    actually fired: sampled survivors that came out of a cluster exist,
+    cluster-weighted accounting exceeds plain doc counts, and the
+    near-dup build keeps a strict subset of what the exact-only build
+    keeps (survivors ⊆ deduped and sampling is per-doc deterministic,
+    so ⊆ is an invariant; strictness proves removals happened)."""
+    from tbench_agentic_data_pipeline_spark.operators.corpus import (
+        pipeline_corpus_build,
+        pipeline_corpus_build_neardup,
+    )
+    from tests.conftest import SF_ORACLE
+
+    nd = {
+        r["lang"]: r
+        for r in pipeline_corpus_build_neardup(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["lang"]: r for r in pipeline_corpus_build(spark, SF_ORACLE).collect()
+    }
+    assert set(nd) == set(exact) and nd
+    assert sum(r["neardup_survivors"] for r in nd.values()) > 0
+    assert (
+        sum(r["members_represented"] for r in nd.values())
+        > sum(r["docs_kept"] for r in nd.values())
+    )
+    for lang, r in nd.items():
+        assert r["docs_kept"] <= exact[lang]["docs_kept"], lang
+    assert (
+        sum(r["docs_kept"] for r in nd.values())
+        < sum(r["docs_kept"] for r in exact.values())
+    )
+
+
+def test_resolve_near_duplicates_broadcasts_small_label_tables(spark):
+    """The label join strategy is size-aware (r10): a localCheckpointed
+    cluster table carries no stats, so below the threshold the resolver
+    must broadcast it explicitly (the corpus side then never leaves its
+    upstream partitioning); forcing the threshold to 0 must hand the
+    join back to the planner's shuffle path."""
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        resolve_near_duplicates,
+    )
+    from tbench_agentic_data_pipeline_spark.plans.explain import (
+        has_broadcast_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i % 7 + 1)) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    clusters = connected_components(
+        spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]),
+        src="doc_a",
+        dst="doc_b",
+    )
+    assert has_broadcast_join(
+        resolve_near_duplicates(docs, clusters)
+    )
+    assert not has_broadcast_join(
+        resolve_near_duplicates(docs, clusters, broadcast_labels_below=0)
+    )

@@ -48,6 +48,7 @@ COMMENTARY = {
     "sim_ivfpq_topk": "IVF+PQ composed: the cell id rides through the Arrow encode stage (carry_cols — no recovery join), probes broadcast with driver-built LUTs, and the cell-equality join prunes the ADC scan to probed cells; WindowGroupLimit cuts top-k before the single rank exchange.",
     "dedup_incremental": "New-batch bands equi-join the persisted index bands (new×existing only, cost ∝ batch); token join-back verifies integer-milli Jaccard.",
     "a_profile_documents": "Every column's nulls/distinct/min/max in ONE Expand-style aggregate (single scan); long format via zero-shuffle stack.",
+    "pipeline_corpus_build_neardup": "The full training-data build: quality→exact-dedup window, LSH pair build + connected components run inside the localCheckpoint (edge list materialized once), labels + cluster sizes broadcast below 5M nodes, one survivor window, one final lang aggregate — 4 exchanges end to end.",
 }
 
 SF = "/root/testdata/sf0.01"
