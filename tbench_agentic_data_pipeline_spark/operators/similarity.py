@@ -1611,9 +1611,11 @@ def multiprobe_keys(subkey: Column, depth: Column) -> Column:
     recovers every candidate pair whose signatures differ in at most
     one bit: per-pair recall at cosine s rises from ``p^depth`` to
     ``p^depth + depth·p^(depth-1)(1-p)`` where ``p = 1 - arccos(s)/π``
-    (~0.90 multi vs ~0.54 single at s=0.9, depth 4; measured 0.498 vs
-    0.144 at the fixture's cos 0.3-0.6 band — SCALING.md), at a bounded
-    ``(1+depth)×``
+    (MEASURED at the near-dup operating point, r10
+    ``tools/multiprobe_recall.py``: 0.93 multi vs 0.67 single over
+    planted cos ≥ 0.85 pairs at depth 4, closed forms within 0.03;
+    0.498 vs 0.144 at the hard cos 0.3-0.6 band — SCALING.md), at a
+    bounded ``(1+depth)×``
     candidate-row cost — the standard multi-probe LSH trade (Lv et al.,
     VLDB'07). Each qualifying pair matches EXACTLY once (the base key
     if the subkeys are equal, else the unique flipped bit), so no
@@ -1686,7 +1688,11 @@ def multiprobe_keys(subkey: Column, depth: Column) -> Column:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs with a BOUNDED pair join: candidates
+    """Embedding-cosine near-dup pairs with a BOUNDED pair join — the
+    lower-cost single-probe variant (r10: the documented production
+    default for embedding near-dup is :func:`dedup_embedding_multiprobe`,
+    which recovers ~half the pairs this one drops above the cap for a
+    bounded (1+depth)× candidate cost). Candidates
     bucket by the coarse partition (label ≙ centroid id) refined by
     :func:`bounded_cell_keys` — cells past 64 rows split on hyperplane
     sign bits with per-cell adaptive depth, so the within-bucket
@@ -1802,7 +1808,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe variant of :func:`dedup_embedding_cosine` (r8 advice:
+    """The documented PRODUCTION DEFAULT for embedding near-dup (r10:
+    measured 0.93 vs 0.67 per-pair recall over planted cos ≥ 0.85 pairs
+    at the depth-4 operating point — `tools/multiprobe_recall.py`; the
+    single-probe sibling remains as the lower-cost recall-tolerant
+    variant). Multi-probe variant of :func:`dedup_embedding_cosine` (r8 advice:
     the bounded split silently drops true near-dup pairs that land in
     different hyperplane sub-buckets, ~0.85^depth per pair at cos 0.9).
     One side of the pair self-match keeps its exact (cell, subkey); the
