@@ -54,6 +54,134 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
 
 
+def broadcast_build_sides(df: DataFrame) -> list[dict]:
+    """Every BroadcastExchange's build-side subtree, as
+    ``{"names": [node names], "details": str}`` — the parsed form of
+    what a human checks when auditing a broadcast decision: what feeds
+    the exchange (operator names, top-down) and the full expression
+    details of every node under it (scan locations, projected
+    expressions). Parsed from ``explain('formatted')``: the tree section
+    gives structure by indentation, the numbered details sections give
+    per-node text. Used by the registry-wide token-array broadcast
+    audit in ``tests/test_plans.py`` (the r9 planner-underestimation
+    hazard: a build side whose rows blow up 30-60× relative to the
+    parquet bytes the estimator sees)."""
+    plan = formatted_plan(df)
+    # Tree lines end in "(<id>)"; their depth is the column where the
+    # node name starts (after the :/+- branch drawing). Details sections
+    # start at column 0 as "(<id>) <Name>".
+    nodes = []  # (depth, name, id) in tree order
+    for line in plan.splitlines():
+        m = re.match(r"^([:\s+\-*]*)(\w[\w ]*?)\s*\((\d+)\)\s*$", line)
+        if m and not line.startswith("("):
+            nodes.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
+    details = {
+        m.group(1): m.group(0)
+        for m in re.finditer(
+            r"^\((\d+)\) .*?(?=^\(\d+\) |\Z)", plan, re.M | re.S
+        )
+    }
+    out = []
+    for i, (depth, name, _nid) in enumerate(nodes):
+        if name.startswith("BroadcastExchange"):
+            sub = []
+            for d2, n2, id2 in nodes[i + 1:]:
+                if d2 <= depth:
+                    break
+                sub.append((n2, id2))
+            out.append(
+                {
+                    "names": [n for n, _ in sub],
+                    "details": "\n".join(details.get(i2, "") for _, i2 in sub),
+                }
+            )
+    return out
+
+
+# Array-producing expression heads for the token-array taint walk: a
+# derived column stays in the hazard class only while it is still an
+# ARRAY built over tokenized text (split / shingle constructions);
+# scalars over those arrays (size, hashes, band keys) collapse the
+# blow-up and leave the class.
+_ARRAY_FNS = frozenset(
+    "split array_distinct transform array filter slice concat sort_array "
+    "array_sort array_union array_intersect array_except flatten "
+    "array_remove array_compact shuffle reverse".split()
+)
+
+
+def _expr_before_as(text: str, as_pos: int) -> str:
+    """The balanced expression immediately preceding an ``AS col#id``
+    marker inside a bracketed projection list (backward scan stopping at
+    an enclosing open bracket or a top-level comma)."""
+    depth = 0
+    i = as_pos - 1
+    while i >= 0:
+        c = text[i]
+        if c in ")]":
+            depth += 1
+        elif c in "([":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            break
+        i -= 1
+    return text[i + 1:as_pos].strip()
+
+
+def token_array_columns(plan: str) -> set[str]:
+    """Column ids (``name#id``) holding token/shingle STRING-ARRAYS
+    derived from a text column — the broadcast-underestimation hazard
+    class (SCALING.md: in-memory token arrays run 30-60× the parquet
+    bytes the size estimator sees; numeric arrays ≈1× and stay out).
+    Seeds are ``split(<col>`` projections; taint propagates through
+    array-producing heads (``_ARRAY_FNS``) that reference a tainted id,
+    and stops at everything else (size/hash/explode collapse the
+    blow-up)."""
+    defs = []
+    for m in re.finditer(r" AS (\w+#\d+)", plan):
+        defs.append((_expr_before_as(plan, m.start()), m.group(1)))
+    tainted = {
+        col for expr, col in defs if expr.startswith("split(")
+    }
+    changed = True
+    while changed:
+        changed = False
+        for expr, col in defs:
+            if col in tainted:
+                continue
+            head = expr.split("(", 1)[0]
+            if head in _ARRAY_FNS and any(t in expr for t in tainted):
+                tainted.add(col)
+                changed = True
+    return tainted
+
+
+def token_array_broadcasts(df: DataFrame) -> list[str]:
+    """BroadcastExchanges whose build-side INPUT still carries a
+    token-array column (``token_array_columns``) scanned from a
+    documents-style text table — the plan-level form of the
+    ``dedup._verify_join_sides`` hand audit: these are exactly the
+    broadcasts whose size the planner underestimates by the token
+    blow-up factor. Returns one ``Input [...]`` detail string per
+    offending exchange (empty list = plan is clean)."""
+    plan = formatted_plan(df)
+    tainted = token_array_columns(plan)
+    if not tainted:
+        return []
+    offenders = []
+    for m in re.finditer(
+        r"^\(\d+\) BroadcastExchange\n(.*?)(?=^\(\d+\) |\Z)", plan, re.M | re.S
+    ):
+        body = m.group(1)
+        inp = re.search(r"Input \[\d+\]: \[([^\n]*)\]", body)
+        cols = inp.group(1) if inp else ""
+        if any(t in cols for t in tainted):
+            offenders.append(cols)
+    return offenders
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen spans (``[codegen id : N]`` markers in formatted
     mode) — fewer/wider is better for scalar pipelines."""

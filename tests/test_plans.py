@@ -192,6 +192,50 @@ def test_no_query_exceeds_exchange_budget(spark):
     assert over_budget == {}, over_budget
 
 
+def test_no_token_array_broadcast_at_scale(spark, monkeypatch):
+    """Registry-wide form of the r9 broadcast-underestimation hand audit
+    (dedup._verify_join_sides): token/shingle string-arrays occupy 30-60×
+    the parquet bytes the size estimator sees, so a BroadcastExchange
+    whose build side still CARRIES such an array is a plan that works at
+    fixture scale and fails (or floods the driver) on a real corpus.
+    Simulate the big-corpus regime by forcing the guard's source-size
+    probe high, then assert NO registered query's plan broadcasts a
+    token-array build side — so the next token-array join added to the
+    registry cannot silently reintroduce the hazard. (The detector is
+    validated positively elsewhere: below the threshold the guard
+    deliberately allows these broadcasts, and `token_array_broadcasts`
+    flags dedup_minhash_fast's shingle verify join there.)"""
+    from tbench_agentic_data_pipeline_spark import registry
+    from tbench_agentic_data_pipeline_spark.operators import dedup
+    from tbench_agentic_data_pipeline_spark.plans.explain import (
+        token_array_broadcasts,
+    )
+
+    monkeypatch.setattr(dedup, "source_bytes", lambda path: 1 << 40)
+    offenders = {}
+    for name, entry in registry.collect().items():
+        hits = token_array_broadcasts(entry.fn(spark, SF_ORACLE))
+        if hits:
+            offenders[name] = hits
+    assert offenders == {}, offenders
+
+
+def test_token_array_broadcast_detector_flags_unguarded_plan(spark):
+    """Positive control for the audit above: below the source-size
+    threshold the guard deliberately leaves the planner's broadcast in
+    place (exchange-lean fixture plans), and the detector must see that
+    shingle-array build side — otherwise the registry-wide assertion is
+    vacuously green."""
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        dedup_minhash_fast,
+    )
+    from tbench_agentic_data_pipeline_spark.plans.explain import (
+        token_array_broadcasts,
+    )
+
+    assert token_array_broadcasts(dedup_minhash_fast(spark, SF_ORACLE))
+
+
 def test_q2_window_decorrelation_single_fact_exchange(spark):
     # The correlated-MIN decorrelates to ONE partkey window over ONE
     # fact lineage: all dims broadcast, and the only hash exchanges are
