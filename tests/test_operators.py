@@ -550,3 +550,59 @@ def test_resolve_near_duplicates_broadcasts_small_label_tables(spark):
     assert not has_broadcast_join(
         resolve_near_duplicates(docs, clusters, broadcast_labels_below=0)
     )
+
+
+def test_verify_broadcast_threshold_derivation():
+    """The verify-join broadcast threshold is a FORMULA (r10), not a
+    one-machine constant: min(1% of driver heap, half the 8 GB relation
+    cap) / measured blow-up, floored at the r9 perf-crossover 2 MB.
+    Both regimes pinned: small/unknown drivers sit on the floor (this
+    box's 8g derives 1.4 MB -> floor, so r9's measured shuffle-faster
+    behavior at ~sf1 is preserved), big drivers derive real headroom."""
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        _BROADCAST_RELATION_CAP,
+        _VERIFY_BLOWUP,
+        _VERIFY_BROADCAST_FLOOR,
+        _mem_bytes,
+        _verify_broadcast_max_src,
+    )
+
+    # floor regime: unknown, unparsable, and small-heap drivers
+    assert _verify_broadcast_max_src(None) == _VERIFY_BROADCAST_FLOOR
+    assert _verify_broadcast_max_src("weird") == _VERIFY_BROADCAST_FLOOR
+    assert _verify_broadcast_max_src("1g") == _VERIFY_BROADCAST_FLOOR
+    assert _verify_broadcast_max_src("8g") == _VERIFY_BROADCAST_FLOOR
+
+    # derived regime: scales with the heap...
+    big = _verify_broadcast_max_src("256g")
+    assert big == int(0.01 * (256 << 30)) // _VERIFY_BLOWUP > _VERIFY_BROADCAST_FLOOR
+    # ...but never past the broadcast-relation hard cap's half
+    huge = _verify_broadcast_max_src("100t")
+    assert huge == (_BROADCAST_RELATION_CAP // 2) // _VERIFY_BLOWUP
+    assert _verify_broadcast_max_src("1t") <= huge
+
+    assert _mem_bytes("512m") == 512 << 20
+    assert _mem_bytes("1048576") == 1 << 20
+
+
+def test_verify_join_sides_pins_shuffle_above_threshold(spark, monkeypatch):
+    """Behavioral pin of both guard regimes through the real join-shape
+    decision: above the derived threshold (or with unknowable source
+    size) every side carries the shuffle_hash hint; below it the sides
+    pass through untouched for the planner."""
+    from tbench_agentic_data_pipeline_spark.operators import dedup
+
+    df = spark.range(4).toDF("doc_id")
+
+    monkeypatch.setattr(dedup, "source_bytes", lambda p: 1 << 40)
+    (hinted,) = dedup._verify_join_sides("/root/testdata/sf0.001", df)
+    assert "hints=[shuffle_hash" in hinted._jdf.queryExecution().logical().toString() \
+        or "UnresolvedHint shuffle_hash" in hinted._jdf.queryExecution().logical().toString()
+
+    monkeypatch.setattr(dedup, "source_bytes", lambda p: 1_000)
+    (plain,) = dedup._verify_join_sides("/root/testdata/sf0.001", df)
+    assert plain is df
+
+    monkeypatch.setattr(dedup, "source_bytes", lambda p: None)
+    (unknown,) = dedup._verify_join_sides("/root/testdata/sf0.001", df)
+    assert unknown is not df
