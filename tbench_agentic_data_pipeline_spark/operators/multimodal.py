@@ -288,30 +288,45 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def _gif_frames(buf: bytes):
-    """Iterate a GIF87a/89a's image blocks, yielding (w, h, rgb_raster)
-    per frame — each frame decoded as its OWN raster (no inter-frame
-    compositing of disposal methods/offsets; honest scope for feature
-    extraction and frame sampling, documented). Extensions are skipped
+def _gif_blocks(buf: bytes):
+    """Low-level GIF87a/89a walk: yields one
+    ``("screen", width, height, gct, bg_index)`` header item, then one
+    ``("frame", left, top, w, h, index_raster, table, transparent_idx,
+    disposal)`` per image block — LZW decoded, local color table
+    resolved (wins over global), graphic-control-extension state
+    (disposal method, transparency index) attached to exactly the one
+    following image per the 89a spec. Extensions are skipped
     block-correctly; interlaced frames are rejected."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    sw = int.from_bytes(buf[6:8], "little")
+    sh = int.from_bytes(buf[8:10], "little")
     packed = buf[10]
+    bg_index = buf[11]
     pos = 13
     gct = None
     if packed >> 7:
         n = 2 ** ((packed & 7) + 1)
         gct = buf[pos : pos + 3 * n]
         pos += 3 * n
+    yield ("screen", sw, sh, gct, bg_index)
+    transp: int | None = None
+    disposal = 0
     seen = False
     while pos < len(buf):
         b0 = buf[pos]
         if b0 == 0x21:  # extension: label byte then sub-blocks
+            if buf[pos + 1] == 0xF9 and pos + 6 < len(buf) and buf[pos + 2] >= 4:
+                gce = buf[pos + 3]
+                disposal = (gce >> 2) & 7
+                transp = buf[pos + 6] if gce & 1 else None
             pos += 2
             while pos < len(buf) and buf[pos] != 0:
                 pos += 1 + buf[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
+            left = int.from_bytes(buf[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(buf[pos + 3 : pos + 5], "little")
             w = int.from_bytes(buf[pos + 5 : pos + 7], "little")
             h = int.from_bytes(buf[pos + 7 : pos + 9], "little")
             ipacked = buf[pos + 9]
@@ -334,20 +349,10 @@ def _gif_frames(buf: bytes):
                 pos += 1 + n
             pos += 1  # block terminator
             idx = _lzw_decode(bytes(data), min_code, w * h)
-            n_colors = len(table) // 3
-            rgb = bytearray(w * h * 3)
-            for j, i in enumerate(idx):
-                if i >= n_colors:
-                    # a short table[o:o+3] slice would silently SHRINK
-                    # the raster and misalign every later pixel — this
-                    # is corrupt data, not a decodable image
-                    raise ValueError(
-                        f"pixel index {i} outside {n_colors}-color table"
-                    )
-                o = 3 * i
-                rgb[3 * j : 3 * j + 3] = table[o : o + 3]
             seen = True
-            yield w, h, bytes(rgb)
+            yield ("frame", left, top, w, h, idx, table, transp, disposal)
+            transp = None  # GCE state applies to ONE image
+            disposal = 0
         elif b0 == 0x3B:  # trailer
             break
         else:
@@ -356,10 +361,98 @@ def _gif_frames(buf: bytes):
         raise ValueError("no image data in GIF")
 
 
+def _gif_index_to_rgb(
+    w: int, h: int, idx: bytes, table: bytes
+) -> bytes:
+    """Map an index raster through its color table, rejecting
+    out-of-table indices (a short ``table[o:o+3]`` slice would silently
+    SHRINK the raster and misalign every later pixel — that is corrupt
+    data, not a decodable image)."""
+    n_colors = len(table) // 3
+    rgb = bytearray(w * h * 3)
+    for j, i in enumerate(idx):
+        if i >= n_colors:
+            raise ValueError(f"pixel index {i} outside {n_colors}-color table")
+        o = 3 * i
+        rgb[3 * j : 3 * j + 3] = table[o : o + 3]
+    return bytes(rgb)
+
+
+def _gif_frames(buf: bytes):
+    """Iterate a GIF's image blocks as STANDALONE rasters, yielding
+    (w, h, rgb) per frame at the frame's own dimensions — the single-
+    frame codec path (``mm_gif_codec`` fixtures have one full-screen
+    frame, where this is exact). For animations with frame offsets,
+    transparency, or disposal methods, :func:`_gif_frames_composited`
+    yields the CORRECT rendered rasters."""
+    it = iter(_gif_blocks(buf))
+    next(it)  # screen header
+    for _, _left, _top, w, h, idx, table, _transp, _disposal in it:
+        yield w, h, _gif_index_to_rgb(w, h, idx, table)
+
+
+def _gif_frames_composited(buf: bytes):
+    """Iterate an animated GIF as RENDERED frames (r10, closing the r9
+    documented scope gap): every yield is the full logical-screen RGB
+    canvas after drawing the next image block — frame offsets honored,
+    transparent pixels leave the canvas untouched, and GIF89a disposal
+    methods applied between frames: 0/1 composite over the previous
+    raster, 2 restores the frame's rect to the background color, 3
+    restores the canvas state from before the frame. The initial canvas
+    is the logical background color (global-table entry at the header's
+    background index; black without one)."""
+    it = iter(_gif_blocks(buf))
+    _, sw, sh, gct, bg_index = next(it)
+    if gct is not None and bg_index < len(gct) // 3:
+        bg = bytes(gct[3 * bg_index : 3 * bg_index + 3])
+    else:
+        bg = b"\x00\x00\x00"
+    canvas = bytearray(bg * (sw * sh))
+    for _, left, top, w, h, idx, table, transp, disposal in it:
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"frame rect {w}x{h}@{left},{top} outside "
+                f"{sw}x{sh} logical screen"
+            )
+        prev = bytes(canvas) if disposal == 3 else None
+        if transp is None:
+            # bulk path: decode the block raster once, blit row slices
+            rgb = _gif_index_to_rgb(w, h, idx, table)
+            for row in range(h):
+                dst = 3 * ((top + row) * sw + left)
+                src = 3 * row * w
+                canvas[dst : dst + 3 * w] = rgb[src : src + 3 * w]
+        else:
+            n_colors = len(table) // 3
+            for row in range(h):
+                base = (top + row) * sw + left
+                for col in range(w):
+                    i = idx[row * w + col]
+                    if i == transp:
+                        continue
+                    if i >= n_colors:
+                        raise ValueError(
+                            f"pixel index {i} outside {n_colors}-color table"
+                        )
+                    o = 3 * i
+                    d = 3 * (base + col)
+                    canvas[d : d + 3] = table[o : o + 3]
+        yield sw, sh, bytes(canvas)
+        if disposal == 2:
+            for row in range(h):
+                d = 3 * ((top + row) * sw + left)
+                canvas[d : d + 3 * w] = bg * w
+        elif disposal == 3:
+            canvas = bytearray(prev)
+
+
 def _parse_gif(buf: bytes) -> tuple[str, int, int, float, float, float]:
     """GIF feature extraction: dims + channel means of the FIRST frame
-    (animations: frame 0)."""
-    w, h, rgb = next(iter(_gif_frames(buf)))
+    as RENDERED (animations: frame 0 composited onto the logical-screen
+    canvas — offsets/transparency/background honored; for the
+    full-screen single-frame common case this is byte-identical to the
+    standalone raster)."""
+    w, h, rgb = next(iter(_gif_frames_composited(buf)))
     if w * h == 0:
         return "gif", w, h, 0.0, 0.0, 0.0
     n_px = w * h
@@ -2424,10 +2517,11 @@ def frame_sample_gif(media: DataFrame, stride: int = 1) -> DataFrame:
     the 1→N explode shape of video keyframe sampling with an actual
     decoder behind it. Payloads that fail to parse yield ONE quarantine
     row (frame_idx -1, original payload) so failures stay visible
-    downstream. Frames are decoded as independent rasters — no
-    inter-frame compositing (disposal/offsets), which is the documented
-    scope; pyav/ffmpeg replace this one stage for real video
-    containers."""
+    downstream. Frames are COMPOSITED rasters (r10): each emitted PPM is
+    the full logical-screen canvas with frame offsets, transparency, and
+    GIF89a disposal methods 0-3 applied, so a partial-frame update
+    animation samples to correct renders, not fragments; pyav/ffmpeg
+    replace this one stage for real video containers."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -2438,7 +2532,7 @@ def frame_sample_gif(media: DataFrame, stride: int = 1) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = b"" if payload is None else bytes(payload)
                 try:
-                    for i, (w, h, rgb) in enumerate(_gif_frames(p)):
+                    for i, (w, h, rgb) in enumerate(_gif_frames_composited(p)):
                         if i % stride:
                             continue
                         out["doc_id"].append(int(doc_id))

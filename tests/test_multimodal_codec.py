@@ -1570,3 +1570,174 @@ def test_mm_gif_codec_query_decodes_both_formats(spark):
         for r in mm_gif_codec(spark, SF_SMOKE).select("status").distinct().collect()
     }
     assert statuses == {"ok"}
+
+
+# --- animated GIF: disposal-method compositing (r10) -----------------------
+
+
+def encode_animated_gif_ex(screen_w, screen_h, bg_color, frames):
+    """Multi-frame GIF89a fixture with the full animation surface the
+    composited decoder must honor: per-frame offsets, disposal methods,
+    and a transparency index (pixels given as None). Written
+    independently of the decoder (same convention as the other fixture
+    encoders in this file)."""
+    colors = {bg_color}
+    for f in frames:
+        for row in f["pixels"]:
+            colors.update(px for px in row if px is not None)
+    palette = sorted(colors)
+    transp_idx = len(palette)  # dedicated slot, arbitrary color
+    n_entries = len(palette) + 1
+    bits = max(1, (n_entries - 1).bit_length())
+    color_idx = {c: i for i, c in enumerate(palette)}
+    min_code_size = max(2, bits)
+
+    out = bytearray(b"GIF89a")
+    out += screen_w.to_bytes(2, "little") + screen_h.to_bytes(2, "little")
+    out.append(0x80 | (bits - 1))
+    out.append(color_idx[bg_color])  # background color index
+    out.append(0)
+    for c in palette:
+        out += bytes(c)
+    out += b"\x00\x00\x00" * ((1 << bits) - len(palette))
+    for f in frames:
+        pixels = f["pixels"]
+        w, h = len(pixels[0]), len(pixels)
+        has_transp = any(px is None for row in pixels for px in row)
+        gce_packed = (f.get("disposal", 0) << 2) | (1 if has_transp else 0)
+        out += b"\x21\xf9\x04"
+        out.append(gce_packed)
+        out += b"\x0a\x00"  # 100 ms delay
+        out.append(transp_idx if has_transp else 0)
+        out.append(0)
+        out += b"\x2c"
+        out += f.get("left", 0).to_bytes(2, "little")
+        out += f.get("top", 0).to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out.append(0)
+        out.append(min_code_size)
+        idx = bytes(
+            transp_idx if px is None else color_idx[px]
+            for row in pixels
+            for px in row
+        )
+        data = lzw_encode(idx, min_code_size)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _grid(w, h, raster):
+    return [
+        [tuple(raster[3 * (r * w + c) : 3 * (r * w + c) + 3]) for c in range(w)]
+        for r in range(h)
+    ]
+
+
+def test_gif_disposal_compositing_pixel_exact():
+    """Disposal 1 (keep) + 2 (restore rect to background) + transparency
+    + frame offsets, pinned pixel-exact on a partial-frame-update
+    animation — the r9 documented scope gap, closed."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _gif_frames_composited,
+    )
+
+    A, B, C, BG = (200, 0, 0), (0, 200, 0), (0, 0, 200), (9, 9, 9)
+    gif = encode_animated_gif_ex(
+        4, 3, BG,
+        [
+            {"pixels": [[A] * 4] * 3, "disposal": 1},           # full screen
+            {"left": 1, "top": 1, "pixels": [[B, B]], "disposal": 2},
+            {"left": 2, "top": 0, "pixels": [[None, C]], "disposal": 0},
+        ],
+    )
+    got = list(_gif_frames_composited(gif))
+    assert [(w, h) for w, h, _ in got] == [(4, 3)] * 3
+    assert _grid(4, 3, got[0][2]) == [[A] * 4, [A] * 4, [A] * 4]
+    # frame 1 composites the 2x1 patch over the kept frame-0 canvas
+    assert _grid(4, 3, got[1][2]) == [[A] * 4, [A, B, B, A], [A] * 4]
+    # frame 1's disposal=2 restores ITS rect to background; frame 2's
+    # transparent pixel leaves the canvas (A) visible under it
+    assert _grid(4, 3, got[2][2]) == [
+        [A, A, A, C],
+        [A, BG, BG, A],
+        [A] * 4,
+    ]
+
+
+def test_gif_disposal_restore_previous():
+    """Disposal 3: the canvas state from BEFORE the frame is restored,
+    so a transient overlay leaves no trace in the next render."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _gif_frames_composited,
+    )
+
+    A, B, C, BG = (200, 0, 0), (0, 200, 0), (0, 0, 200), (9, 9, 9)
+    gif = encode_animated_gif_ex(
+        3, 2, BG,
+        [
+            {"pixels": [[A] * 3] * 2, "disposal": 1},
+            {"left": 0, "top": 0, "pixels": [[B, B]], "disposal": 3},
+            {"left": 2, "top": 1, "pixels": [[C]], "disposal": 0},
+        ],
+    )
+    got = [_grid(w, h, rgb) for w, h, rgb in _gif_frames_composited(gif)]
+    assert got[1] == [[B, B, A], [A] * 3]
+    assert got[2] == [[A] * 3, [A, A, C]]  # B overlay fully disposed
+
+
+def test_gif_background_initial_canvas_and_bounds():
+    """The first render of a PARTIAL first frame sits on the background
+    color; a frame rect escaping the logical screen is corrupt data."""
+    import pytest
+
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _gif_frames_composited,
+    )
+
+    A, BG = (200, 0, 0), (9, 9, 9)
+    gif = encode_animated_gif_ex(
+        3, 2, BG, [{"left": 1, "top": 0, "pixels": [[A]], "disposal": 0}]
+    )
+    (frame,) = _gif_frames_composited(gif)
+    assert _grid(3, 2, frame[2]) == [[BG, A, BG], [BG] * 3]
+
+    bad = encode_animated_gif_ex(
+        3, 2, BG, [{"left": 3, "top": 0, "pixels": [[A]], "disposal": 0}]
+    )
+    with pytest.raises(ValueError, match="outside"):
+        list(_gif_frames_composited(bad))
+
+
+def test_frame_sample_gif_stage_composites_partial_updates(spark):
+    """The Spark stage emits full logical-screen renders for a
+    partial-update animation: every sampled PPM has the SCREEN dims and
+    the composited pixel content, not per-frame fragments."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        frame_sample_gif,
+    )
+
+    A, B, BG = (200, 0, 0), (0, 200, 0), (9, 9, 9)
+    gif = encode_animated_gif_ex(
+        4, 3, BG,
+        [
+            {"pixels": [[A] * 4] * 3, "disposal": 1},
+            {"left": 1, "top": 1, "pixels": [[B, B]], "disposal": 1},
+        ],
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(gif))], "doc_id long, payload binary"
+    )
+    got = sorted(
+        ((r["frame_idx"], bytes(r["frame"]), r["width"], r["height"])
+         for r in frame_sample_gif(media).collect())
+    )
+    assert [(i, w, h) for i, _, w, h in got] == [(0, 4, 3), (1, 4, 3)]
+    for _, frame, w, h in got:
+        assert frame.startswith(b"P6\n4 3\n255\n")
+    raster1 = got[1][1].split(b"\n255\n", 1)[1]
+    assert _grid(4, 3, raster1) == [[A] * 4, [A, B, B, A], [A] * 4]
