@@ -2510,8 +2510,26 @@ GIF_FRAME_SCHEMA = T.StructType(
     ]
 )
 
+GIF_FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
 
-def frame_sample_gif(media: DataFrame, stride: int = 1) -> DataFrame:
+
+def frame_sample_gif(
+    media: DataFrame,
+    stride: int = 1,
+    pre: "object | None" = None,
+    features: bool = False,
+) -> DataFrame:
     """REAL frame sampling for animated GIFs: decode every ``stride``-th
     frame (full LZW per frame) and emit it re-encoded as a binary PPM —
     the 1→N explode shape of video keyframe sampling with an actual
@@ -2521,36 +2539,61 @@ def frame_sample_gif(media: DataFrame, stride: int = 1) -> DataFrame:
     the full logical-screen canvas with frame offsets, transparency, and
     GIF89a disposal methods 0-3 applied, so a partial-frame update
     animation samples to correct renders, not fragments; pyav/ffmpeg
-    replace this one stage for real video containers."""
+    replace this one stage for real video containers.
+
+    ``pre`` fuses a batch-generator in front of the decode inside the
+    same Arrow pass (the :func:`decode_image_features` pattern — fixture
+    encodes compose Python-side instead of paying a second stage).
+    ``features=True`` emits per-frame channel means instead of the PPM
+    payload (sample + featurize in one pass — the decoded raster is
+    already in hand, so the means are free)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        if pre is not None:
+            it = pre(it)
         for pdf in it:
-            out = {"doc_id": [], "frame_idx": [], "frame": [],
-                   "width": [], "height": [], "status": []}
+            out: dict = {"doc_id": [], "frame_idx": [],
+                         "width": [], "height": [], "status": []}
+            if features:
+                out.update({"mean_r": [], "mean_g": [], "mean_b": []})
+            else:
+                out["frame"] = []
+
+            def emit(doc_id, idx, w, h, rgb, status, raw=b""):
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(idx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["status"].append(status)
+                if features:
+                    n_px = w * h
+                    out["mean_r"].append(sum(rgb[0::3]) / n_px if n_px else 0.0)
+                    out["mean_g"].append(sum(rgb[1::3]) / n_px if n_px else 0.0)
+                    out["mean_b"].append(sum(rgb[2::3]) / n_px if n_px else 0.0)
+                else:
+                    out["frame"].append(
+                        _encode_ppm(w, h, rgb) if status == "ok" else raw
+                    )
+
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = b"" if payload is None else bytes(payload)
                 try:
                     for i, (w, h, rgb) in enumerate(_gif_frames_composited(p)):
                         if i % stride:
                             continue
-                        out["doc_id"].append(int(doc_id))
-                        out["frame_idx"].append(i)
-                        out["frame"].append(_encode_ppm(w, h, rgb))
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["status"].append("ok")
+                        emit(doc_id, i, w, h, rgb, "ok")
                 except Exception as e:  # noqa: BLE001 — quarantine row
-                    out["doc_id"].append(int(doc_id))
-                    out["frame_idx"].append(-1)
-                    out["frame"].append(p)
-                    out["width"].append(0)
-                    out["height"].append(0)
-                    out["status"].append(f"error:{e}")
-            yield pd.DataFrame(out)
+                    emit(doc_id, -1, 0, 0, b"", f"error:{e}", raw=p)
+            yield pd.DataFrame(out)[
+                [f.name for f in
+                 (GIF_FRAME_FEATURE_SCHEMA if features else GIF_FRAME_SCHEMA)]
+            ]
 
-    return media.mapInPandas(batches, GIF_FRAME_SCHEMA)
+    return media.mapInPandas(
+        batches, GIF_FRAME_FEATURE_SCHEMA if features else GIF_FRAME_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3031,6 +3074,64 @@ def _encode_gif_rgb(w: int, h: int, raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _encode_animated_gif(
+    screen_w: int, screen_h: int, bg: tuple, frames: list
+) -> bytes:
+    """Animated GIF89a fixture encoder: global color table (background
+    color at the header's background index, plus one dedicated
+    transparency slot), then per frame a graphic-control extension
+    (disposal method, transparency flag) and an offset image descriptor
+    with LZW data. ``frames`` entries: ``{"left", "top", "w", "h",
+    "pixels": [(r,g,b) | None, ...], "disposal"}`` (None = transparent).
+    Cross-checked against the test suite's independently written
+    animated encoder (tests/test_multimodal_codec.py)."""
+    colors = {tuple(bg)}
+    for f in frames:
+        colors.update(tuple(px) for px in f["pixels"] if px is not None)
+    palette = sorted(colors)
+    transp_idx = len(palette)
+    n_entries = len(palette) + 1
+    if n_entries > 256:
+        raise ValueError("more than 256 distinct colors")
+    bits = max(1, (n_entries - 1).bit_length())
+    color_idx = {c: i for i, c in enumerate(palette)}
+    min_code_size = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += screen_w.to_bytes(2, "little") + screen_h.to_bytes(2, "little")
+    out.append(0x80 | (bits - 1))
+    out.append(color_idx[tuple(bg)])  # background index
+    out.append(0)
+    for c in palette:
+        out += bytes(c)
+    out += b"\x00\x00\x00" * ((1 << bits) - len(palette))
+    for f in frames:
+        has_transp = any(px is None for px in f["pixels"])
+        gce = (f.get("disposal", 0) << 2) | (1 if has_transp else 0)
+        out += b"\x21\xf9\x04"
+        out.append(gce)
+        out += b"\x0a\x00"  # delay
+        out.append(transp_idx if has_transp else 0)
+        out.append(0)
+        out += b"\x2c"
+        out += f.get("left", 0).to_bytes(2, "little")
+        out += f.get("top", 0).to_bytes(2, "little")
+        out += f["w"].to_bytes(2, "little") + f["h"].to_bytes(2, "little")
+        out.append(0)
+        out.append(min_code_size)
+        idx = bytes(
+            transp_idx if px is None else color_idx[tuple(px)]
+            for px in f["pixels"]
+        )
+        data = _lzw_encode(idx, min_code_size)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _encode_bmp(w: int, h: int, raw: bytes) -> bytes:
     """Uncompressed 24-bit bottom-up BMP from a raw RGB raster: BGR
     rows padded to 4-byte boundaries under the standard 14+40-byte
@@ -3146,6 +3247,133 @@ def mm_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, pre=_encode_gifbmp_fixture_payloads
     ).select(
         "doc_id", "format", "width", "height",
+        F.round(F.col("mean_r") * (1 + F.lit(5e-13)), 4).alias("mean_r"),
+        F.round(F.col("mean_g") * (1 + F.lit(5e-13)), 4).alias("mean_g"),
+        F.round(F.col("mean_b") * (1 + F.lit(5e-13)), 4).alias("mean_b"),
+        "status",
+    )
+
+
+def _encode_animgif_fixture_payloads(
+    it: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """Fixture-encode stage for :func:`mm_gif_frames`: a 3-frame 4×4
+    animation per document whose colors come from the first 12 text
+    bytes (c0 = bytes 1-3, c1 = 4-6, c2 = 7-9, background = 10-12):
+
+    - frame 0: full-screen c0, disposal 1 (keep);
+    - frame 1: 2×2 c1 patch at (1,1), disposal 2 (restore rect to
+      background);
+    - frame 2: 1×2 block at (2,0) — a TRANSPARENT pixel then c2,
+      disposal 0.
+
+    Every disposal/transparency/offset path runs on EVERY document, and
+    the composited per-frame means are exact rationals of the byte
+    values (multiples of 1/16), so the oracle restates them in SQL:
+    frame 0 → c0; frame 1 → (12·c0 + 4·c1)/16;
+    frame 2 → (11·c0 + 4·bg + c2)/16."""
+    import pandas as pd
+
+    for pdf in it:
+        payloads = []
+        for raw in pdf["raw"]:
+            b = bytes(raw)
+            c0, c1, c2, bg = (tuple(b[i : i + 3]) for i in (0, 3, 6, 9))
+            payloads.append(
+                _encode_animated_gif(
+                    4, 4, bg,
+                    [
+                        {"w": 4, "h": 4, "pixels": [c0] * 16, "disposal": 1},
+                        {"left": 1, "top": 1, "w": 2, "h": 2,
+                         "pixels": [c1] * 4, "disposal": 2},
+                        {"left": 2, "top": 0, "w": 2, "h": 1,
+                         "pixels": [None, c2], "disposal": 0},
+                    ],
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@query(
+    "mm_gif_frames",
+    survey="X4,X5,S4",
+    oracle="""
+        WITH raster AS (
+            -- a quarter of the corpus; % 4 = 2 is disjoint from
+            -- mm_gif_codec's % 4 = 1 sample
+            SELECT doc_id, rpad(substr(text, 1, 12), 12, ' ') AS bytes
+            FROM documents
+            WHERE doc_id % 4 = 2
+        ),
+        c AS (
+            SELECT doc_id,
+                   ord(substr(bytes, 1, 1)) AS r0, ord(substr(bytes, 2, 1)) AS g0,
+                   ord(substr(bytes, 3, 1)) AS b0,
+                   ord(substr(bytes, 4, 1)) AS r1, ord(substr(bytes, 5, 1)) AS g1,
+                   ord(substr(bytes, 6, 1)) AS b1,
+                   ord(substr(bytes, 7, 1)) AS r2, ord(substr(bytes, 8, 1)) AS g2,
+                   ord(substr(bytes, 9, 1)) AS b2,
+                   ord(substr(bytes, 10, 1)) AS rb, ord(substr(bytes, 11, 1)) AS gb,
+                   ord(substr(bytes, 12, 1)) AS bb
+            FROM raster
+        ),
+        f AS (
+            -- frame 0: full-screen c0
+            SELECT doc_id, 0 AS frame_idx,
+                   CAST(r0 AS DOUBLE) AS mr, CAST(g0 AS DOUBLE) AS mg,
+                   CAST(b0 AS DOUBLE) AS mb
+            FROM c
+            UNION ALL
+            -- frame 1: 2x2 c1 patch composited over the kept c0 canvas
+            SELECT doc_id, 1,
+                   (12 * r0 + 4 * r1) / 16.0, (12 * g0 + 4 * g1) / 16.0,
+                   (12 * b0 + 4 * b1) / 16.0
+            FROM c
+            UNION ALL
+            -- frame 2: frame 1's rect restored to BACKGROUND (disposal
+            -- 2), one c2 pixel at (3,0), the transparent pixel at (2,0)
+            -- leaving c0 visible
+            SELECT doc_id, 2,
+                   (11 * r0 + 4 * rb + r2) / 16.0,
+                   (11 * g0 + 4 * gb + g2) / 16.0,
+                   (11 * b0 + 4 * bb + b2) / 16.0
+            FROM c
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+               ROUND(mr * (1 + 5e-13), 4) AS mean_r,
+               ROUND(mg * (1 + 5e-13), 4) AS mean_g,
+               ROUND(mb * (1 + 5e-13), 4) AS mean_b,
+               'ok' AS status
+        FROM f
+    """,
+)
+def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling with DISPOSAL COMPOSITING, external
+    oracle row (r10 — the r9 scope note's replacement): each document
+    fixture-encodes to a 3-frame animation exercising disposal 1 (keep),
+    disposal 2 (restore rect to background), a transparent pixel, and a
+    frame offset; :func:`frame_sample_gif` decodes, composites, and
+    featurizes every frame in ONE fused Arrow stage (fixture encode via
+    ``pre=``, means via ``features=True`` — the raster is in hand, so
+    the means are free). The composited means are exact rationals of
+    the seed bytes, restated analytically by the oracle — a
+    non-compositing decoder (per-frame fragments, the pre-r10 behavior)
+    fails the hash on frames 1 and 2 at every scale factor. Plan: 0
+    exchanges, one Arrow stage — the mm_gif_codec shape with a 1→3
+    explode inside it."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 4 == 2
+    )
+    raw = F.encode(F.rpad(F.substring("text", 1, 12), 12, " "), "UTF-8")
+    media = docs.select("doc_id", raw.alias("raw"))
+    frames = frame_sample_gif(
+        media, pre=_encode_animgif_fixture_payloads, features=True
+    )
+    return frames.select(
+        "doc_id", "frame_idx", "width", "height",
         F.round(F.col("mean_r") * (1 + F.lit(5e-13)), 4).alias("mean_r"),
         F.round(F.col("mean_g") * (1 + F.lit(5e-13)), 4).alias("mean_g"),
         F.round(F.col("mean_b") * (1 + F.lit(5e-13)), 4).alias("mean_b"),

@@ -189,9 +189,10 @@ _FRONT_ORDER: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "corpus_leakage_safe_split",
     "mm_image_codec",
-    "sim_ivfpq_topk",
-    # -- new this round: the full near-dup corpus build composition --------
+    # -- new this round: the full near-dup corpus build composition and ----
+    # -- animated-GIF disposal compositing with an analytic oracle ---------
     "pipeline_corpus_build_neardup",
+    "mm_gif_frames",
 )
 
 
