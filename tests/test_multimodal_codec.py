@@ -1741,3 +1741,36 @@ def test_frame_sample_gif_stage_composites_partial_updates(spark):
         assert frame.startswith(b"P6\n4 3\n255\n")
     raster1 = got[1][1].split(b"\n255\n", 1)[1]
     assert _grid(4, 3, raster1) == [[A] * 4, [A, B, B, A], [A] * 4]
+
+
+def test_package_animated_encoder_matches_test_encoder():
+    """The package fixture encoder (_encode_animated_gif, flat pixel
+    lists + explicit dims) and this file's independently written one
+    (encode_animated_gif_ex, row grids) must decode to identical
+    composited rasters for the same animation — the cross-check that
+    keeps the mm_gif_frames fixture honest."""
+    from tbench_agentic_data_pipeline_spark.operators.multimodal import (
+        _encode_animated_gif,
+        _gif_frames_composited,
+    )
+
+    A, B, C, BG = (200, 10, 0), (0, 200, 30), (7, 0, 200), (9, 9, 9)
+    pkg = _encode_animated_gif(
+        4, 3, BG,
+        [
+            {"w": 4, "h": 3, "pixels": [A] * 12, "disposal": 1},
+            {"left": 1, "top": 1, "w": 2, "h": 1,
+             "pixels": [B, B], "disposal": 2},
+            {"left": 2, "top": 0, "w": 2, "h": 1,
+             "pixels": [None, C], "disposal": 0},
+        ],
+    )
+    ind = encode_animated_gif_ex(
+        4, 3, BG,
+        [
+            {"pixels": [[A] * 4] * 3, "disposal": 1},
+            {"left": 1, "top": 1, "pixels": [[B, B]], "disposal": 2},
+            {"left": 2, "top": 0, "pixels": [[None, C]], "disposal": 0},
+        ],
+    )
+    assert list(_gif_frames_composited(pkg)) == list(_gif_frames_composited(ind))
