@@ -264,6 +264,10 @@ def _parse_shard_output(
                 times[cand["q"]] = cand["t"]
             elif "err" in cand:
                 errors[cand["q"]] = cand["err"]
+            if cand["q"] == running:
+                # the query finished (well or badly): a later crash is
+                # between-queries/teardown, not this query's fault
+                running = None
     if summary is not None:
         return (
             summary.get("times", {}),
@@ -271,16 +275,19 @@ def _parse_shard_output(
             summary.get("cc_rounds"),
         )
     tail = (stderr or stdout or "").strip()[-200:]
+    if running is not None:
+        where = f"during {running}"
+    elif times or errors:
+        where = "between queries/session teardown"
+    else:
+        where = "during session startup"
     for n in shard:
         if n in times or n in errors:
             continue
         if n == running:
             errors[n] = f"shard died running this query (rc={returncode}): {tail}"
         else:
-            errors[n] = (
-                f"not run: shard died during "
-                f"{running or 'session startup'} (rc={returncode})"
-            )
+            errors[n] = f"not run: shard died {where} (rc={returncode})"
     return times, errors, None
 
 

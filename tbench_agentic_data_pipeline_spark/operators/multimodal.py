@@ -35,6 +35,7 @@ JVM-side and prune before any Python runs.
 from __future__ import annotations
 
 import functools as _functools
+import types as _types
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -546,8 +547,10 @@ def _jpeg_huffman_codes(bits, vals):
     Cached on the (hashable tuple) table definition: real-world JPEGs
     overwhelmingly ship the T.81 Annex K example tables, so per-image
     reconstruction was pure waste — profiled at ~30% of the whole
-    decode stage on the fixture corpus. Callers treat the returned dict
-    as read-only."""
+    decode stage on the fixture corpus. Returned as a MappingProxyType
+    (r9 ADVICE): the cached table is shared by every caller for the
+    process lifetime, so an accidental mutation must raise instead of
+    silently poisoning all subsequent decodes."""
     if sum(bits) != len(vals):
         raise ValueError("DHT counts do not match value list")
     codes, code, k = {}, 0, 0
@@ -557,7 +560,7 @@ def _jpeg_huffman_codes(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    return codes
+    return _types.MappingProxyType(codes)
 
 
 @_functools.lru_cache(maxsize=1)
@@ -819,15 +822,20 @@ class _JpegDecodeTable:
 
     __slots__ = ("codes", "lut")
 
-    def __init__(self, fwd: dict) -> None:
-        self.codes = {lc: sym for sym, lc in fwd.items()}
+    def __init__(self, fwd) -> None:
+        # both structures are shared process-wide through the
+        # _jpeg_decode_table cache (r9 ADVICE): immutable types so a
+        # mutating caller raises instead of corrupting every decode
+        self.codes = _types.MappingProxyType(
+            {lc: sym for sym, lc in fwd.items()}
+        )
         lut: list = [None] * 256
         for sym, (length, code) in fwd.items():
             if length <= 8:
                 base = code << (8 - length)
                 for suffix in range(1 << (8 - length)):
                     lut[base | suffix] = (sym, length)
-        self.lut = lut
+        self.lut = tuple(lut)
 
 
 @_functools.lru_cache(maxsize=256)

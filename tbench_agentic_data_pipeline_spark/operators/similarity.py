@@ -1340,6 +1340,56 @@ def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVFPQ_RUN_COUNTER = itertools.count()
 
+# Same-pid run dirs older than this are swept on the next call: a plan
+# left uncollected for an hour in the SAME process is abandoned work,
+# and the bound keeps a long-lived process (deep-parity pytest, a
+# notebook) from accumulating snapshot dirs for its whole lifetime.
+_IVFPQ_RUN_TTL_SECONDS = 3600.0
+
+
+def _sweep_stale_ivfpq_runs(base: str) -> None:
+    """Entry-time reaper for ivfpq snapshot run dirs (r9 ADVICE: atexit
+    alone leaks — a SIGKILLed process never runs it, and a long-lived
+    one accumulates until exit). Two exact-or-safe rules, preserving
+    the no-delete-while-uncollected guarantee for live work:
+
+    - another pid's dir is removed iff that pid NO LONGER EXISTS (no
+      process can still collect its plan; a recycled pid errs toward
+      keeping the dir);
+    - this pid's dirs are removed past ``_IVFPQ_RUN_TTL_SECONDS`` of
+      mtime age — concurrent sibling calls are hour-scale younger."""
+    import os
+    import re
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        m = re.fullmatch(r"run_(\d+)_\d+", name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        path = os.path.join(base, name)
+        if pid == os.getpid():
+            try:
+                stale = now - os.stat(path).st_mtime > _IVFPQ_RUN_TTL_SECONDS
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(path, ignore_errors=True)
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue  # alive or unknowable (e.g. EPERM): keep
+
+
 @query(
     "sim_ivfpq_topk",
     survey="J5,W3",
@@ -1503,18 +1553,21 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Per-call run directory (pid + monotonic counter), NOT a shared
-    # fixed path, and NO call-time sweep: the returned DataFrame lazily
-    # reads the committed snapshot, so nothing may delete any run dir
-    # while a sibling call's plan is still uncollected — including a
-    # sibling in THIS process (threads sharing one SparkSession). Each
-    # call registers atexit cleanup of only its OWN dir; other pids'
-    # dirs are left for tmp reaping.
+    # fixed path: the returned DataFrame lazily reads the committed
+    # snapshot, so nothing may delete a LIVE run dir while a sibling
+    # call's plan is still uncollected — including a sibling in THIS
+    # process (threads sharing one SparkSession). Each call registers
+    # atexit cleanup of its OWN dir; entry-time reaping of provably-dead
+    # work (dirs of no-longer-existing pids — the SIGKILL leak atexit
+    # can never cover — and this pid's hour-stale dirs) is
+    # _sweep_stale_ivfpq_runs above (r9 ADVICE #1).
     base = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_snapshots",
         os.path.basename(os.path.normpath(sf_dir)) or "sf",
         "ivfpq_index",
     )
+    _sweep_stale_ivfpq_runs(base)
     run = f"run_{os.getpid()}_{next(_IVFPQ_RUN_COUNTER)}"
     root = os.path.join(base, run)
     os.makedirs(root, exist_ok=True)

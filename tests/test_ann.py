@@ -1253,3 +1253,37 @@ def test_pq_train_joint_matches_sequential_per_sub_kmeans(spark):
             seq[sub, int(r["cluster"])] = np.asarray(r["centroid"])
 
     assert np.allclose(joint, seq, rtol=1e-9, atol=1e-12)
+
+
+def test_ivfpq_stale_run_dir_sweep(tmp_path):
+    """r9 ADVICE #1: entry-time reaping of provably-dead ivfpq run dirs.
+    Dead-pid dirs go; live-pid (another process: use init's pid 1),
+    own-pid fresh, and non-matching names stay; own-pid dirs past the
+    TTL go."""
+    import os
+    import time
+
+    from tbench_agentic_data_pipeline_spark.operators import similarity
+
+    base = tmp_path / "ivfpq_index"
+    base.mkdir()
+    me = os.getpid()
+    dead_pid = 4_000_000  # above any real pid_max
+    for name in (
+        f"run_{dead_pid}_0",
+        "run_1_0",
+        f"run_{me}_0",
+        f"run_{me}_1",
+        "v3_something_else",
+    ):
+        (base / name).mkdir()
+        (base / name / "x").write_text("payload")
+    old = time.time() - similarity._IVFPQ_RUN_TTL_SECONDS - 60
+    os.utime(base / f"run_{me}_0", (old, old))
+
+    similarity._sweep_stale_ivfpq_runs(str(base))
+    left = sorted(p.name for p in base.iterdir())
+    assert left == ["run_1_0", f"run_{me}_1", "v3_something_else"]
+
+    # nonexistent base is a no-op, not an error
+    similarity._sweep_stale_ivfpq_runs(str(tmp_path / "missing"))

@@ -95,3 +95,21 @@ def test_warmup_and_curve_names_exist_in_registry():
     ):
         unknown = [n for n in names if n not in known]
         assert not unknown, f"{group} references unregistered queries: {unknown}"
+
+
+def test_dead_shard_between_queries_blames_no_finished_query():
+    """r9 ADVICE: a crash AFTER a query's result line (cc_rounds
+    snapshot, summary printing) must not blame the finished query —
+    its timing is salvaged AND the not-run attribution says the death
+    was between queries, not during one."""
+    out = _lines(
+        {"start": "q_a"},
+        {"q": "q_a", "t": 0.8},
+        {"start": "q_b"},
+        {"q": "q_b", "t": 1.2},
+    )
+    times, errors, _ = _parse_shard_output(SHARD, out, "killed", 137)
+    assert times == {"q_a": 0.8, "q_b": 1.2}
+    assert errors["q_c"] == errors["q_d"] == (
+        "not run: shard died between queries/session teardown (rc=137)"
+    )
