@@ -101,6 +101,13 @@ HEADLINE = [
     # reasoning that keeps the fold-cosine sim_knn_join off the bench).
     # The search half it feeds (encode + ADC + rerank) is covered by
     # sim_pq_adc_topk / sim_ivfpq_topk above.
+    # round-10 additions, benched from birth: the FULL near-dup corpus
+    # build (quality → exact dedup → LSH pairs → connected components →
+    # survivor resolution → sample → accounting — the end-to-end
+    # training-data-build shape) and the composited animated-GIF frame
+    # sampler (1→3 explode + featurize in one fused Arrow stage)
+    "pipeline_corpus_build_neardup",
+    "mm_gif_frames",
 ]
 
 

@@ -49,6 +49,7 @@ COMMENTARY = {
     "dedup_incremental": "New-batch bands equi-join the persisted index bands (new×existing only, cost ∝ batch); token join-back verifies integer-milli Jaccard.",
     "a_profile_documents": "Every column's nulls/distinct/min/max in ONE Expand-style aggregate (single scan); long format via zero-shuffle stack.",
     "pipeline_corpus_build_neardup": "The full training-data build: quality→exact-dedup window, LSH pair build + connected components run inside the localCheckpoint (edge list materialized once), labels + cluster sizes broadcast below 5M nodes, one survivor window, one final lang aggregate — 4 exchanges end to end.",
+    "mm_gif_frames": "Composited animated-GIF frame sampling: fixture encode + LZW decode + disposal compositing + per-frame means in ONE fused Arrow stage (pre= and features=True) — zero shuffles, the embarrassingly-parallel binary-scan shape with a 1→3 explode inside the Python stage.",
 }
 
 SF = "/root/testdata/sf0.01"

@@ -189,6 +189,12 @@ EXTRA_CURVE = [
     "so5_intersect_nations",
     "text_zipf_fluency",
     "w7_ntile_quartiles",
+    # r10: this round's >=2-exchange addition — the full near-dup corpus
+    # build (quality -> exact dedup -> LSH pairs -> CC -> survivors ->
+    # sample -> accounting; 4 exchanges). mm_gif_frames (the other r10
+    # addition) is a 0-exchange fused Arrow scan, exempt by the standing
+    # <=1-exchange rule.
+    "pipeline_corpus_build_neardup",
 ]
 
 
