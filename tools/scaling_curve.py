@@ -28,6 +28,7 @@ second times makes the 0.01→0.1 step mostly an overhead floor reading;
 the 0.1→1 step is the signal.
 
 Usage: python tools/scaling_curve.py [--rebuild] [--update-md]
+       python tools/scaling_curve.py --merge-best run1.json run2.json ... [--update-md]
 """
 
 from __future__ import annotations
@@ -282,7 +283,38 @@ def update_md(table: str) -> None:
     open(path, "w").write(text)
 
 
+def merge_best(paths: list[str]) -> dict[str, dict[str, float]]:
+    """Min-merge the result JSONs of several tool runs, per (scale,
+    query) cell. This box hosts an intermittent CPU-heavy neighbor
+    (SCALING.md bench notes) and a ~28-minute three-stage sweep
+    reliably catches it in SOME stage of SOME run; contention only ever
+    ADDS time, so the per-cell minimum over runs is the quiet-box
+    estimate — the same best-of discipline the bench applies within a
+    run, lifted across runs. (r10: three runs each read one noisy
+    stage; e.g. sim_knn_join_auto at sf1 read 2.24/9.79/2.59 s across
+    runs with identical code.)"""
+    runs = [json.load(open(p)) for p in paths]
+    out: dict[str, dict[str, float]] = {}
+    for sf in ("sf0.01", "sf0.1", "sf1"):
+        cells: dict[str, float] = {}
+        for r in runs:
+            for q, t in r.get(sf, {}).items():
+                cells[q] = min(cells.get(q, t), t)
+        out[sf] = cells
+    return out
+
+
 def main() -> None:
+    if "--merge-best" in sys.argv:
+        paths = sys.argv[sys.argv.index("--merge-best") + 1:]
+        paths = [p for p in paths if not p.startswith("--")]
+        res = merge_best(paths)
+        table = render_table(res)
+        print(table)
+        print(json.dumps(res))
+        if "--update-md" in sys.argv:
+            update_md(table)
+        return
     rebuild = "--rebuild" in sys.argv
     if rebuild and os.path.isdir(SF_BIG):
         shutil.rmtree(SF_BIG)
