@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import load_table
 from tbench_agentic_data_pipeline_spark.operators.dedup import (
+    _BROADCAST_LABELS_BELOW,
     connected_components,
     lsh_candidate_pairs,
     minhash_band_df,
@@ -279,16 +280,23 @@ def pipeline_corpus_build_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     clusters = connected_components(
         pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
     )
+    n_labels = clusters.count()  # checkpointed: a cheap scalar action
     surv = resolve_near_duplicates(
         deduped, clusters, "doc_id",
         prefer=[F.length("text").desc()],
         keep_cluster_col="cluster_id",
+        n_labels=n_labels,
     )
+    # at most one row per cluster; same size-aware decision as the label
+    # join — a forced broadcast would fail at exactly the >5M-cluster
+    # scale where the label join already falls back to shuffle
     sizes = clusters.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+    if n_labels <= _BROADCAST_LABELS_BELOW:
+        sizes = F.broadcast(sizes)
     sampled = (
-        surv.join(F.broadcast(sizes), "cluster_id", "left")
+        surv.join(sizes, "cluster_id", "left")
         .where(_sample_bucket() < _sample_rate())
     )
     return sampled.groupBy("lang").agg(

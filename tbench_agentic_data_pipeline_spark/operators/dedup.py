@@ -157,11 +157,16 @@ _MEM_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
 
 def _mem_bytes(mem: str) -> int:
-    """Parse a Spark memory string ('8g', '512m', '1048576') to bytes."""
+    """Parse a Spark memory string ('8g', '512m', '262144') to bytes.
+    An UNSUFFIXED value is MiB, matching Spark's own parsing of
+    spark.driver.memory (bytesConf with a MiB default unit) — treating
+    it as bytes would underestimate by 2^20 and silently pin the
+    derived threshold to the floor on exactly the big-driver configs
+    the derivation exists for."""
     mem = mem.strip().lower().removesuffix("b")
     if mem and mem[-1] in _MEM_UNITS:
         return int(float(mem[:-1]) * _MEM_UNITS[mem[-1]])
-    return int(mem)
+    return int(mem) * _MEM_UNITS["m"]
 
 
 def _verify_broadcast_max_src(driver_mem: str | None) -> int:
@@ -805,12 +810,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cluster-table broadcast ceiling shared by the CC loop, the survivor
+# resolver's label join, and the cluster-size joins built on their
+# output: label/size tables are component-scale (a small fraction of the
+# corpus) up to millions of clustered nodes, beyond which every one of
+# these joins must revert to its keyed shuffle form together.
+_BROADCAST_LABELS_BELOW = 5_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 20,
-    broadcast_labels_below: int = 5_000_000,
+    broadcast_labels_below: int = _BROADCAST_LABELS_BELOW,
 ) -> DataFrame:
     """Min-label propagation connected components over an undirected edge
     list: every node ends up labeled with the smallest node id in its
@@ -1150,7 +1163,8 @@ def resolve_near_duplicates(
     key_col: str = "doc_id",
     prefer: list | None = None,
     keep_cluster_col: str | None = None,
-    broadcast_labels_below: int = 5_000_000,
+    broadcast_labels_below: int = _BROADCAST_LABELS_BELOW,
+    n_labels: int | None = None,
 ) -> DataFrame:
     """The dedup ladder's final act: given near-dup cluster assignments
     (``connected_components`` output: (node, label)), return the corpus
@@ -1173,15 +1187,21 @@ def resolve_near_duplicates(
     its localCheckpointed output, which carries NO size stats, so Catalyst
     would shuffle-join even a few-hundred-row label table (r10: measured
     two avoidable full-corpus exchanges in the survivor composition).
-    Counting the materialized cluster table is a cheap scalar action;
-    below ``broadcast_labels_below`` the labels broadcast and the corpus
-    side never leaves its upstream partitioning — above it the keyed
-    shuffle join remains, the only shape that works at billions of
-    clustered nodes."""
+    Below ``broadcast_labels_below`` labels the table broadcasts and the
+    corpus side never leaves its upstream partitioning — above it the
+    keyed shuffle join remains, the only shape that works at billions of
+    clustered nodes. Pass ``n_labels`` when the caller already counted
+    the cluster table (the composition does); otherwise this counts it —
+    a cheap scalar action on a MATERIALIZED (checkpointed/persisted)
+    cluster table, but a full re-execution of the upstream pipeline on a
+    lazy one, so callers with expensive lazy inputs should count once
+    themselves and pass it in."""
     lab = clusters.select(
         F.col("node").alias("__k"), F.col("label").alias("__cluster")
     )
-    if clusters.count() <= broadcast_labels_below:
+    if n_labels is None:
+        n_labels = clusters.count()
+    if n_labels <= broadcast_labels_below:
         lab = F.broadcast(lab)
     joined = docs.join(lab, docs[key_col] == F.col("__k"), "left")
     eff_cluster = F.coalesce(F.col("__cluster"), F.col(key_col))
@@ -1391,19 +1411,26 @@ def dedup_resolve_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
+    n_labels = clusters.count()  # checkpointed: a cheap scalar action
     docs = load_table(spark, sf_dir, "documents")
     surv = resolve_near_duplicates(
         docs, clusters, "doc_id",
         prefer=[F.length("text").desc()],
         keep_cluster_col="cluster_id",
+        n_labels=n_labels,
     ).where(F.col("cluster_id").isNotNull())
-    # cluster-size table: component-count rows — broadcast-sized by the
-    # same argument as the label table inside connected_components
+    # cluster-size table: at most one row per cluster — broadcastable by
+    # the same measured bound as the label table, and subject to the
+    # same shuffle fallback above it (r10: a forced broadcast here would
+    # be exactly the estimator-independent blow-up hazard the label join
+    # guards against)
     sizes = clusters.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+    if n_labels <= _BROADCAST_LABELS_BELOW:
+        sizes = F.broadcast(sizes)
     return (
-        surv.join(F.broadcast(sizes), "cluster_id")
+        surv.join(sizes, "cluster_id")
         .select(
             "cluster_id",
             F.col("doc_id").alias("survivor_doc_id"),

@@ -317,7 +317,10 @@ def _gif_blocks(buf: bytes):
     while pos < len(buf):
         b0 = buf[pos]
         if b0 == 0x21:  # extension: label byte then sub-blocks
-            if buf[pos + 1] == 0xF9 and pos + 6 < len(buf) and buf[pos + 2] >= 4:
+            # bounds BEFORE any dereference: a payload truncated at a
+            # lone 0x21 introducer must raise the codec's ValueError
+            # contract (via the block walk below), not IndexError
+            if pos + 6 < len(buf) and buf[pos + 1] == 0xF9 and buf[pos + 2] >= 4:
                 gce = buf[pos + 3]
                 disposal = (gce >> 2) & 7
                 transp = buf[pos + 6] if gce & 1 else None

@@ -54,50 +54,6 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
 
 
-def broadcast_build_sides(df: DataFrame) -> list[dict]:
-    """Every BroadcastExchange's build-side subtree, as
-    ``{"names": [node names], "details": str}`` — the parsed form of
-    what a human checks when auditing a broadcast decision: what feeds
-    the exchange (operator names, top-down) and the full expression
-    details of every node under it (scan locations, projected
-    expressions). Parsed from ``explain('formatted')``: the tree section
-    gives structure by indentation, the numbered details sections give
-    per-node text. Used by the registry-wide token-array broadcast
-    audit in ``tests/test_plans.py`` (the r9 planner-underestimation
-    hazard: a build side whose rows blow up 30-60× relative to the
-    parquet bytes the estimator sees)."""
-    plan = formatted_plan(df)
-    # Tree lines end in "(<id>)"; their depth is the column where the
-    # node name starts (after the :/+- branch drawing). Details sections
-    # start at column 0 as "(<id>) <Name>".
-    nodes = []  # (depth, name, id) in tree order
-    for line in plan.splitlines():
-        m = re.match(r"^([:\s+\-*]*)(\w[\w ]*?)\s*\((\d+)\)\s*$", line)
-        if m and not line.startswith("("):
-            nodes.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
-    details = {
-        m.group(1): m.group(0)
-        for m in re.finditer(
-            r"^\((\d+)\) .*?(?=^\(\d+\) |\Z)", plan, re.M | re.S
-        )
-    }
-    out = []
-    for i, (depth, name, _nid) in enumerate(nodes):
-        if name.startswith("BroadcastExchange"):
-            sub = []
-            for d2, n2, id2 in nodes[i + 1:]:
-                if d2 <= depth:
-                    break
-                sub.append((n2, id2))
-            out.append(
-                {
-                    "names": [n for n, _ in sub],
-                    "details": "\n".join(details.get(i2, "") for _, i2 in sub),
-                }
-            )
-    return out
-
-
 # Array-producing expression heads for the token-array taint walk: a
 # derived column stays in the hazard class only while it is still an
 # ARRAY built over tokenized text (split / shingle constructions);
@@ -130,20 +86,51 @@ def _expr_before_as(text: str, as_pos: int) -> str:
     return text[i + 1:as_pos].strip()
 
 
+def _id_in(col_id: str, text: str) -> bool:
+    """Boundary-safe column-id containment: ``w#45`` must not match
+    inside ``w#455`` (trailing digit) or ``raw#45`` (leading word
+    char)."""
+    return re.search(rf"(?<!\w){re.escape(col_id)}(?!\d)", text) is not None
+
+
+def _is_array_expr(expr: str) -> bool:
+    """Does this projection expression produce an ARRAY? Head in the
+    array-producing set, or a CASE/coalesce wrapper whose branches do
+    (the ``shingles(guard_short=True)`` form renders as
+    ``CASE WHEN size(...) THEN array_distinct(transform(...)) ELSE``) —
+    detected by any array head appearing immediately after THEN/ELSE/
+    coalesce(."""
+    head = expr.split("(", 1)[0].strip()
+    if head in _ARRAY_FNS:
+        return True
+    return bool(
+        re.search(
+            r"(?:THEN |ELSE |coalesce\()\s*(?:" + "|".join(_ARRAY_FNS) + r")\(",
+            expr,
+        )
+    )
+
+
 def token_array_columns(plan: str) -> set[str]:
     """Column ids (``name#id``) holding token/shingle STRING-ARRAYS
     derived from a text column — the broadcast-underestimation hazard
     class (SCALING.md: in-memory token arrays run 30-60× the parquet
     bytes the size estimator sees; numeric arrays ≈1× and stay out).
-    Seeds are ``split(<col>`` projections; taint propagates through
-    array-producing heads (``_ARRAY_FNS``) that reference a tainted id,
-    and stops at everything else (size/hash/explode collapse the
-    blow-up)."""
+    Seeds are array-valued projections computed over ``split(`` —
+    whether the split is the whole expression, nested inline
+    (``array_distinct(transform(split(...)...))``), or behind the
+    guarded-shingles CASE — and taint then propagates through
+    array-producing heads referencing a tainted id. Scalar consumers
+    (size/hash/band keys/explode) collapse the blow-up and leave the
+    class."""
     defs = []
     for m in re.finditer(r" AS (\w+#\d+)", plan):
         defs.append((_expr_before_as(plan, m.start()), m.group(1)))
     tainted = {
-        col for expr, col in defs if expr.startswith("split(")
+        col
+        for expr, col in defs
+        if "split(" in expr
+        and (expr.startswith("split(") or _is_array_expr(expr))
     }
     changed = True
     while changed:
@@ -151,8 +138,7 @@ def token_array_columns(plan: str) -> set[str]:
         for expr, col in defs:
             if col in tainted:
                 continue
-            head = expr.split("(", 1)[0]
-            if head in _ARRAY_FNS and any(t in expr for t in tainted):
+            if _is_array_expr(expr) and any(_id_in(t, expr) for t in tainted):
                 tainted.add(col)
                 changed = True
     return tainted
@@ -177,7 +163,7 @@ def token_array_broadcasts(df: DataFrame) -> list[str]:
         body = m.group(1)
         inp = re.search(r"Input \[\d+\]: \[([^\n]*)\]", body)
         cols = inp.group(1) if inp else ""
-        if any(t in cols for t in tainted):
+        if any(_id_in(t, cols) for t in tainted):
             offenders.append(cols)
     return offenders
 

@@ -1268,10 +1268,16 @@ def test_ivfpq_stale_run_dir_sweep(tmp_path):
     base = tmp_path / "ivfpq_index"
     base.mkdir()
     me = os.getpid()
-    dead_pid = 4_000_000  # above any real pid_max
+    # a LIVE foreign pid that is guaranteed visible from this process's
+    # pid namespace for the test's duration: our parent (pid 1 can be
+    # namespace-masked in containers, and merely "big" pids like
+    # 4_000_000 can be live under systemd's default kernel.pid_max)
+    live_pid = os.getppid()
+    # above PID_MAX_LIMIT (4194304), the kernel's HARD ceiling
+    dead_pid = 4_194_305
     for name in (
         f"run_{dead_pid}_0",
-        "run_1_0",
+        f"run_{live_pid}_0",
         f"run_{me}_0",
         f"run_{me}_1",
         "v3_something_else",
@@ -1283,7 +1289,9 @@ def test_ivfpq_stale_run_dir_sweep(tmp_path):
 
     similarity._sweep_stale_ivfpq_runs(str(base))
     left = sorted(p.name for p in base.iterdir())
-    assert left == ["run_1_0", f"run_{me}_1", "v3_something_else"]
+    assert left == sorted(
+        [f"run_{live_pid}_0", f"run_{me}_1", "v3_something_else"]
+    )
 
     # nonexistent base is a no-op, not an error
     similarity._sweep_stale_ivfpq_runs(str(tmp_path / "missing"))

@@ -582,7 +582,11 @@ def test_verify_broadcast_threshold_derivation():
     assert _verify_broadcast_max_src("1t") <= huge
 
     assert _mem_bytes("512m") == 512 << 20
-    assert _mem_bytes("1048576") == 1 << 20
+    # unsuffixed is MiB, matching Spark's parsing of spark.driver.memory
+    # — so `--conf spark.driver.memory=262144` (262144 MiB = 256 GiB)
+    # derives the big-driver threshold instead of collapsing to the floor
+    assert _mem_bytes("262144") == 256 << 30
+    assert _verify_broadcast_max_src("262144") == _verify_broadcast_max_src("256g")
 
 
 def test_verify_join_sides_pins_shuffle_above_threshold(spark, monkeypatch):

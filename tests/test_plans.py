@@ -438,3 +438,39 @@ def test_package_uses_no_private_jvm_apis():
             ):
                 offenders.append(f"{path.name}:{tok.start[0]}: .{tok.string}")
     assert offenders == [], offenders
+
+
+def test_token_array_taint_covers_guarded_and_inline_forms():
+    """Unit pin of the taint walk's hazard coverage (r10 self-review):
+    the guarded-shingles CASE form, inline-nested split, and plain
+    chained projections must all taint; scalar consumers (size over
+    split, band keys) must not; column-id matching must respect
+    boundaries (w#4 is not inside w#45)."""
+    from tbench_agentic_data_pipeline_spark.plans.explain import (
+        _id_in,
+        token_array_columns,
+    )
+
+    plan = """
+(4) Project
+Output [2]: [doc_id#0L, split(text#1,  , -1) AS w#4]
+
+(5) Project
+Output [2]: [doc_id#0L, CASE WHEN (size(w#4, false) >= 3) THEN array_distinct(transform(sequence(0, 1), x -> concat(element_at(w#4, x)))) ELSE array(repeat( , 3)) END AS sh#5]
+
+(6) Project
+Output [2]: [doc_id#0L, array_distinct(transform(split(text#1,  , -1), t -> upper(t))) AS toks#6]
+
+(7) Project
+Output [3]: [doc_id#0L, size(split(text#1,  , -1), false) AS n_tok#7, md5(concat(element_at(sh#5, 1))) AS band#8]
+
+(8) Project
+Output [2]: [doc_id#0L, sort_array(w#45, true) AS w2#9]
+"""
+    tainted = token_array_columns(plan)
+    assert {"w#4", "sh#5", "toks#6"} <= tainted
+    assert "n_tok#7" not in tainted and "band#8" not in tainted
+    # w#45 is NOT w#4: the chained sort_array references an untainted id
+    assert "w2#9" not in tainted
+    assert _id_in("w#4", "a, w#4, b") and not _id_in("w#4", "a, w#45, b")
+    assert not _id_in("w#4", "raw#4")
