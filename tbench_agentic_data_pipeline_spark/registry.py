@@ -115,84 +115,81 @@ def query(
 # (newest file = _WINDOW_ROUND). At each round start, bump this stamp
 # FIRST — the staleness test then prints the exact mandatory block the
 # new window must contain (tools/next_window.py computes it any time).
-_WINDOW_ROUND: int = 10
+_WINDOW_ROUND: int = 11
 
-# Round-10 rotation (tools/next_window.py at r9-close printed exactly this
+# Round-11 rotation (tools/next_window.py at r10-close printed exactly this
 # mandatory block):
-# - the 42 queries whose newest external row is round 7 — staleness
-#   ceiling, non-negotiable: the TPC-H q* family (q2/q4/q6-q9/q11-q22),
-#   the f_* gauntlets, j_asof/j_range, so4/so5, w7/w8, the three
-#   streaming twins (tumbling/session/watermark-dedup), text_bm25_topk,
-#   u1_keyed_patch, events_attribution, sim_centroid_outliers,
-#   dedup_exact/minhash_bands/resolve_survivors, and the a_* rollups
-#   (conditional_distinct, cube, heavy_hitters_cms);
-# - round-8 greens prefilled to flatten round 11's mandatory block
-#   (48 r8 rows would otherwise all expire at once), preferring files
-#   that churn this round (dedup.py: the near-dup corpus composition and
-#   the derived broadcast threshold; similarity.py: multi-probe recall
-#   promotion; multimodal.py: GIF disposal compositing) — new queries
-#   registered this round take prefill slots when they land, so the
-#   mandatory block is never displaced.
+# - the 42 queries whose newest external row is round 8 — staleness
+#   ceiling, non-negotiable: the text_* curation family, the a_*
+#   rollup/approx family, q3/q5/q10, j1/j5, w1/w3, so1, the two
+#   remaining streaming twins (interval/sliding), sim_ivfpq_topk,
+#   sim_knn_join, flagship_pricing_summary, mm_audio_codec,
+#   x1/x6, f_line_cleanup/markdown_render/substring_extract;
+# - round-9 greens prefilled to flatten round 12's mandatory block
+#   (50 r9 rows would otherwise all expire at once), preferring files
+#   that churn this round (corpus.py: the persisted deduped front and
+#   the embedding near-dup composition; similarity.py/clustering.py:
+#   incremental IVF maintenance; dedup.py: CC chain fixtures) — new
+#   queries registered this round take prefill slots when they land, so
+#   the mandatory block is never displaced.
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r7: staleness ceiling forces these 42 ----------------
-    "a_conditional_distinct",
-    "a_cube_priority_status",
-    "a_heavy_hitters_cms",
-    "dedup_exact",
-    "dedup_minhash_bands",
-    "dedup_resolve_survivors",
-    "events_attribution",
-    "f_array_gauntlet",
-    "f_datetime_gauntlet",
-    "f_json_gauntlet",
-    "f_map_gauntlet",
-    "f_string_gauntlet",
-    "j_asof_last_view",
-    "j_range_incident_window",
-    "q11_important_part_value",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "sim_centroid_outliers",
-    "so4_array_difference",
-    "so5_intersect_nations",
-    "st_dedup_watermark",
-    "st_session_windows",
-    "st_tumbling_window",
-    "text_bm25_topk",
-    "u1_keyed_patch",
-    "w7_ntile_quartiles",
-    "w8_trailing_week_activity",
-    # -- round-8 greens prefilled (churned files this round); new queries ----
+    # -- newest row is r8: staleness ceiling forces these 42 ----------------
+    "a1_status_histogram_zero_filled",
+    "a4_completion_rate",
+    "a5_map_value_sum_check",
+    "a6_error_rollup",
+    "a_approx_distinct",
+    "a_approx_percentile",
+    "a_pivot_type_by_dow",
+    "a_profile_documents",
+    "a_retention_cohorts",
+    "a_rollup_revenue",
+    "a_value_histogram",
+    "f_line_cleanup",
+    "f_markdown_render",
+    "f_substring_extract",
+    "flagship_pricing_summary",
+    "j1_semi_join_customers_with_orders",
+    "j5_broadcast_dim_join",
+    "mm_audio_codec",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sim_ivfpq_topk",
+    "sim_knn_join",
+    "so1_union_by_name",
+    "st_interval_join",
+    "st_sliding_window",
+    "text_bpe_pairs",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid",
+    "text_mixture_weights",
+    "text_normalize",
+    "text_pii_redaction",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_sequence_packing",
+    "text_stratified_sample",
+    "text_token_count",
+    "w1_ordered_scan",
+    "w3_pergroup_topn",
+    "x1_ast_test_discovery",
+    "x6_test_codegen",
+    # -- round-9 greens prefilled (churned files this round); new queries ----
     # -- registered this round replace prefills from the BOTTOM up ----------
-    "dedup_minhash_fast",
-    "dedup_cluster_components",
-    "dedup_threshold_sweep",
-    "dedup_embedding_cosine",
-    "corpus_leakage_safe_split",
-    "mm_image_codec",
-    # -- new this round: the full near-dup corpus build composition and ----
-    # -- animated-GIF disposal compositing with an analytic oracle ---------
-    "pipeline_corpus_build_neardup",
-    "mm_gif_frames",
+    "pipeline_corpus_build",
+    "dedup_embedding_multiprobe",
+    "dedup_incremental",
+    "sim_ivf_probe",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_lsh_buckets",
+    "mm_gif_codec",
 )
 
 
