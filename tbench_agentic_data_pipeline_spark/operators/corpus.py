@@ -261,12 +261,17 @@ def pipeline_corpus_build_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     per-round cost is O(clustered nodes) with pointer jumping, the label
     and cluster-size tables broadcast below 5M clustered nodes (above
     that the keyed shuffle joins return), one survivor window, one
-    final groupBy on lang. The quality→dedup front runs twice (once into
-    the checkpointed edge list, once on the survivors side) — at real
-    scale the deduped slice is persisted between the two, here the
-    second pass rides the scan."""
+    final groupBy on lang. The quality→dedup front is MATERIALIZED ONCE
+    (localCheckpoint — at real scale a persist() or snapshot write) and
+    feeds both the edge build and the survivors side, so the composition
+    scans the corpus parquet exactly once; the r10 form recomputed the
+    front on the survivors side, i.e. two full corpus scans + two dedup
+    window shuffles where one of each suffices (r10 verdict task #3).
+    Executor-storage cost is the post-gate post-dedup slice — already a
+    fraction of the corpus, and the checkpoint truncates the window
+    lineage exactly like connected_components' edge checkpoint."""
     docs = load_table(spark, sf_dir, "documents")
-    deduped = _quality_deduped(docs)
+    deduped = _quality_deduped(docs).localCheckpoint()
     toks = F.split("text", " ")
     shingled = (
         deduped.select("doc_id", toks.alias("w"))

@@ -521,6 +521,27 @@ def test_corpus_neardup_composition_stage_is_active(spark):
     )
 
 
+def test_corpus_neardup_scans_corpus_once(spark):
+    """The quality→exact-dedup front is materialized once (localCheckpoint)
+    and feeds BOTH the LSH edge build and the survivors side, so the
+    composition reads the corpus parquet exactly once — at checkpoint
+    time. Pin: the final plan contains ZERO parquet scans (everything
+    downstream rides the checkpointed RDDs); the r10 form re-scanned and
+    re-deduped the corpus on the survivors side (r10 verdict task #3)."""
+    from tbench_agentic_data_pipeline_spark.operators.corpus import (
+        pipeline_corpus_build_neardup,
+    )
+    from tbench_agentic_data_pipeline_spark.plans.explain import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(pipeline_corpus_build_neardup(spark, SF_ORACLE))
+    assert "Scan parquet" not in plan, (
+        "survivors side re-scans the corpus — the deduped front must be "
+        "materialized once and reused"
+    )
+    assert "ExistingRDD" in plan  # the checkpointed front is what it reads
+
+
 def test_resolve_near_duplicates_broadcasts_small_label_tables(spark):
     """The label join strategy is size-aware (r10): a localCheckpointed
     cluster table carries no stats, so below the threshold the resolver

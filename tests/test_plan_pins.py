@@ -104,13 +104,16 @@ _PINS = {
     # composed into the parse via pre=), still shuffle-free — ~45 µs/row
     # decode CPU, below the fan-out exchange's fixed cost
     "mm_gif_codec": 0,
-    # r10 additions. The near-dup corpus build: exact-dedup window +
-    # docs-side re-shuffle for the survivor window + cluster-size agg +
-    # final lang agg (labels and sizes broadcast; the LSH/CC edge build
-    # runs inside the localCheckpoint and is not in the final plan).
+    # r10 additions; r11: the quality→exact-dedup front is checkpointed
+    # ONCE and feeds both sides, so the dedup window exchange left the
+    # final plan (4 → 3) and the corpus parquet is scanned exactly once
+    # (test_operators.test_corpus_neardup_scans_corpus_once pins that).
+    # Remaining: survivor-window shuffle + cluster-size agg + final lang
+    # agg (labels and sizes broadcast; the LSH/CC edge build runs inside
+    # localCheckpoints and is not in the final plan).
     # mm_gif_frames: one fused Arrow stage (fixture encode via pre=,
     # sampling + compositing + means in-pass), shuffle-free.
-    "pipeline_corpus_build_neardup": 4,
+    "pipeline_corpus_build_neardup": 3,
     "mm_gif_frames": 0,
 }
 
