@@ -157,13 +157,23 @@ _MEM_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
 
 def _mem_bytes(mem: str) -> int:
-    """Parse a Spark memory string ('8g', '512m', '262144') to bytes.
-    An UNSUFFIXED value is MiB, matching Spark's own parsing of
+    """Parse a Spark memory string ('8g', '512m', '262144', '8589934592b')
+    to bytes. An UNSUFFIXED value is MiB, matching Spark's own parsing of
     spark.driver.memory (bytesConf with a MiB default unit) — treating
     it as bytes would underestimate by 2^20 and silently pin the
     derived threshold to the floor on exactly the big-driver configs
-    the derivation exists for."""
-    mem = mem.strip().lower().removesuffix("b")
+    the derivation exists for. A BARE trailing 'b' is Spark's explicit
+    bytes suffix (unit 1): strip the 'b' only when it follows a unit
+    letter (kb/mb/gb/tb) — stripping it unconditionally would leave a
+    bare number re-parsed as MiB, a 2^20 OVERestimate that derives a
+    ~71 MB broadcast threshold on an 8 GiB driver and re-enables the
+    exact token-array broadcast blow-up this guard exists to prevent."""
+    mem = mem.strip().lower()
+    if mem.endswith("b"):
+        if len(mem) >= 2 and mem[-2] in _MEM_UNITS:
+            mem = mem[:-1]
+        else:
+            return int(float(mem[:-1]))  # explicit bytes suffix
     if mem and mem[-1] in _MEM_UNITS:
         return int(float(mem[:-1]) * _MEM_UNITS[mem[-1]])
     return int(mem) * _MEM_UNITS["m"]

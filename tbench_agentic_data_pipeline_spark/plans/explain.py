@@ -111,6 +111,55 @@ def _is_array_expr(expr: str) -> bool:
     )
 
 
+_EXTRACTOR_RE = re.compile(r"(?<!\w)(?:try_)?element_at\(")
+
+
+def _mask_literal_extractions(expr: str) -> str:
+    """Blank scalar extractions with LITERAL indices — ``element_at(arr,
+    3)`` and ``arr#4[0]`` — before the taint walk looks for tainted-id
+    references: a fixed number of extracted token SCALARS is not an
+    array blow-up, and the ambiguous heads (concat/reverse are string
+    functions too) otherwise false-taint scalar string projections that
+    merely pick elements out of a tainted array (r10 ADVICE #3:
+    ``concat(element_at(w#4, 1), element_at(w#4, 2)) AS s#9`` is a
+    string, not a token array). Extractions whose index is NOT a
+    literal (``element_at(w#4, x)`` under a transform lambda) are kept:
+    that is exactly how shingle arrays are BUILT, and masking them
+    would blind the detector to the unguarded inline-shingle form."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _EXTRACTOR_RE.search(expr, pos)
+        if not m:
+            out.append(expr[pos:])
+            break
+        j, depth = m.end(), 1
+        while j < len(expr) and depth:
+            if expr[j] == "(":
+                depth += 1
+            elif expr[j] == ")":
+                depth -= 1
+            j += 1
+        inner = expr[m.end():j - 1]
+        # backward scan for the last TOP-LEVEL comma → the index argument
+        k, d = len(inner) - 1, 0
+        while k >= 0:
+            c = inner[k]
+            if c in ")]":
+                d += 1
+            elif c in "([":
+                d -= 1
+            elif c == "," and d == 0:
+                break
+            k -= 1
+        idx = inner[k + 1:].strip()
+        out.append(expr[pos:m.start()])
+        if not re.fullmatch(r"-?\d+", idx):
+            out.append(expr[m.start():j])  # derived index: keep for taint
+        pos = j
+    return re.sub(r"(?<!\w)\w+#\d+\[\s*-?\d+\s*\]", "", "".join(out))
+
+
 def token_array_columns(plan: str) -> set[str]:
     """Column ids (``name#id``) holding token/shingle STRING-ARRAYS
     derived from a text column — the broadcast-underestimation hazard
@@ -125,20 +174,27 @@ def token_array_columns(plan: str) -> set[str]:
     class."""
     defs = []
     for m in re.finditer(r" AS (\w+#\d+)", plan):
-        defs.append((_expr_before_as(plan, m.start()), m.group(1)))
+        expr = _expr_before_as(plan, m.start())
+        # literal-index element extraction is a scalar consumer: both the
+        # seed check and propagation look at the masked form, so picking
+        # two tokens out of an array does not drag a string column into
+        # the hazard class (r10 ADVICE #3)
+        defs.append((expr, _mask_literal_extractions(expr), m.group(1)))
     tainted = {
         col
-        for expr, col in defs
-        if "split(" in expr
+        for expr, masked, col in defs
+        if "split(" in masked
         and (expr.startswith("split(") or _is_array_expr(expr))
     }
     changed = True
     while changed:
         changed = False
-        for expr, col in defs:
+        for expr, masked, col in defs:
             if col in tainted:
                 continue
-            if _is_array_expr(expr) and any(_id_in(t, expr) for t in tainted):
+            if _is_array_expr(expr) and any(
+                _id_in(t, masked) for t in tainted
+            ):
                 tainted.add(col)
                 changed = True
     return tainted

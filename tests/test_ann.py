@@ -1256,10 +1256,13 @@ def test_pq_train_joint_matches_sequential_per_sub_kmeans(spark):
 
 
 def test_ivfpq_stale_run_dir_sweep(tmp_path):
-    """r9 ADVICE #1: entry-time reaping of provably-dead ivfpq run dirs.
-    Dead-pid dirs go; live-pid (another process: use init's pid 1),
-    own-pid fresh, and non-matching names stay; own-pid dirs past the
-    TTL go."""
+    """r9 ADVICE #1 + r10 ADVICE #2: entry-time reaping of provably-dead
+    ivfpq run dirs. Dead-pid dirs go; live-pid (another process: use our
+    parent), own-pid fresh, and non-matching names stay; own-pid dirs
+    past the TTL go — UNLESS their result DataFrame is still referenced
+    (the _IVFPQ_LIVE_RUNS exemption: a lazy plan held uncollected >1h in
+    a notebook must not get read-after-delete from a sibling call), and
+    the exemption lapses once the reference set drops the dir."""
     import os
     import time
 
@@ -1280,18 +1283,51 @@ def test_ivfpq_stale_run_dir_sweep(tmp_path):
         f"run_{live_pid}_0",
         f"run_{me}_0",
         f"run_{me}_1",
+        f"run_{me}_2",
         "v3_something_else",
     ):
         (base / name).mkdir()
         (base / name / "x").write_text("payload")
     old = time.time() - similarity._IVFPQ_RUN_TTL_SECONDS - 60
     os.utime(base / f"run_{me}_0", (old, old))
+    os.utime(base / f"run_{me}_2", (old, old))
+    held = str(base / f"run_{me}_2")  # TTL-stale but still referenced
+    similarity._IVFPQ_LIVE_RUNS.add(held)
+    try:
+        similarity._sweep_stale_ivfpq_runs(str(base))
+        left = sorted(p.name for p in base.iterdir())
+        assert left == sorted(
+            [
+                f"run_{live_pid}_0",
+                f"run_{me}_1",
+                f"run_{me}_2",
+                "v3_something_else",
+            ]
+        )
+    finally:
+        similarity._IVFPQ_LIVE_RUNS.discard(held)
 
+    # once the result object is gone the TTL applies again
     similarity._sweep_stale_ivfpq_runs(str(base))
-    left = sorted(p.name for p in base.iterdir())
-    assert left == sorted(
-        [f"run_{live_pid}_0", f"run_{me}_1", "v3_something_else"]
-    )
+    assert f"run_{me}_2" not in {p.name for p in base.iterdir()}
 
     # nonexistent base is a no-op, not an error
     similarity._sweep_stale_ivfpq_runs(str(tmp_path / "missing"))
+
+
+def test_ivfpq_topk_registers_and_finalizes_live_run(spark):
+    """The registered query adds its run dir to _IVFPQ_LIVE_RUNS while
+    the result DataFrame is alive and discards it on garbage collection
+    (weakref.finalize) — the mechanism the sweep exemption rests on."""
+    import gc
+
+    from tbench_agentic_data_pipeline_spark.operators import similarity
+
+    before = set(similarity._IVFPQ_LIVE_RUNS)
+    df = similarity.sim_ivfpq_topk(spark, SF_SMOKE)
+    created = set(similarity._IVFPQ_LIVE_RUNS) - before
+    assert len(created) == 1
+    df.limit(1).collect()  # the plan must still read its snapshot
+    del df
+    gc.collect()
+    assert not (set(similarity._IVFPQ_LIVE_RUNS) & created)

@@ -608,6 +608,14 @@ def test_verify_broadcast_threshold_derivation():
     # derives the big-driver threshold instead of collapsing to the floor
     assert _mem_bytes("262144") == 256 << 30
     assert _verify_broadcast_max_src("262144") == _verify_broadcast_max_src("256g")
+    # a BARE trailing 'b' is Spark's explicit bytes suffix — it must NOT
+    # fall through to the unsuffixed-MiB rule (a 2^20 overestimate that
+    # would derive a ~71 MB threshold on an 8 GiB driver and re-enable
+    # the token-array broadcast blow-up); 'kb/mb/gb/tb' still work
+    assert _mem_bytes("8589934592b") == 8 << 30
+    assert _verify_broadcast_max_src("8589934592b") == _verify_broadcast_max_src("8g")
+    assert _mem_bytes("8gb") == _mem_bytes("8g")
+    assert _mem_bytes("1024kb") == 1 << 20
 
 
 def test_verify_join_sides_pins_shuffle_above_threshold(spark, monkeypatch):

@@ -466,11 +466,29 @@ Output [3]: [doc_id#0L, size(split(text#1,  , -1), false) AS n_tok#7, md5(concat
 
 (8) Project
 Output [2]: [doc_id#0L, sort_array(w#45, true) AS w2#9]
+
+(9) Project
+Output [3]: [doc_id#0L, concat(element_at(w#4, 1), element_at(w#4, 2)) AS s#10, concat(w#4[0], w#4[1]) AS s2#11]
+
+(10) Project
+Output [2]: [doc_id#0L, array_distinct(transform(sequence(1, 5), x -> concat(element_at(w#4, x), element_at(w#4, (x + 1))))) AS sh2#12]
+
+(11) Project
+Output [2]: [doc_id#0L, slice(w#4, 1, 100) AS head#13]
 """
     tainted = token_array_columns(plan)
     assert {"w#4", "sh#5", "toks#6"} <= tainted
     assert "n_tok#7" not in tainted and "band#8" not in tainted
     # w#45 is NOT w#4: the chained sort_array references an untainted id
     assert "w2#9" not in tainted
+    # r10 ADVICE #3: concat is ALSO a string function — a scalar string
+    # assembled from literal-index extractions (element_at or bracket
+    # indexing) out of a tainted array is not itself a token array
+    assert "s#10" not in tainted and "s2#11" not in tainted
+    # ...but LAMBDA-index extraction inside an array constructor is the
+    # inline shingle build and must stay in the hazard class
+    assert "sh2#12" in tainted
+    # and a genuine sub-array of tokens is still an array of tokens
+    assert "head#13" in tainted
     assert _id_in("w#4", "a, w#4, b") and not _id_in("w#4", "a, w#45, b")
     assert not _id_in("w#4", "raw#4")
