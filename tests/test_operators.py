@@ -214,6 +214,35 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     assert rounds is not None and rounds <= 8, rounds
 
 
+def test_connected_components_deep_chain_worst_case(spark):
+    """Adversarial convergence fixture (r10 verdict task #5): every
+    committed CC run converges in ~2 rounds because LSH near-dup
+    clusters are star/clique-shaped, so the O(log diameter) claim was
+    untested on its worst case. A 2^11-node PATH graph (diameter 2047 —
+    far past max_iters=20 for one-hop propagation) must close in
+    ~log2(n) rounds with exact labels: pointer jumping halves the
+    remaining distance each round, so rounds is logarithmic in the
+    chain depth, not linear."""
+    import math
+
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 2048
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components(edges).collect()
+    assert len(out) == n
+    assert all(r["label"] == 0 for r in out)
+    rounds = connected_components.last_rounds
+    # log2(2047) ≈ 11; head-start init folds the first hop in, and the
+    # +2 absorbs the final no-change confirmation round. Anything near
+    # linear (tens of rounds) means the pointer jump regressed.
+    assert rounds is not None and 4 <= rounds <= math.ceil(math.log2(n)) + 2, rounds
+
+
 def test_connected_components_random_graphs_match_union_find(spark):
     import random
 
