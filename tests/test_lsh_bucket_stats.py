@@ -182,6 +182,33 @@ def test_cap_costs_only_the_mega_bucket_recall(spark):
     assert s.max_bucket_size == 50
 
 
+def test_cap_bounds_per_task_pair_cost(spark):
+    """The straggler pin behind the r11 skew stress
+    (`tools/lsh_skew_stress.py`, SCALING.md AUTOGEN:LSH_SKEW): the cap
+    must bound each pair-build task's quadratic emission cost — kept
+    buckets hold <= cap keys, so no task can owe more than
+    C(cap,2)·(its bucket count) work — while uncapped the mega-bucket
+    lands C(family,2) on one task per band. Task ownership uses the
+    tool's analytic murmur3-mod assignment (what the Exchange does at
+    scale; AQE coalesces this fixture-sized shuffle to one partition,
+    which would hide the skew)."""
+    from tools.lsh_skew_stress import _per_task_cost
+
+    df, _, _ = _skewed_corpus(spark)
+    banded, _ = _near_dup_pairs(df, max_bucket=20)
+    cap = 20
+    max_c, med_c, ratio_c = _per_task_cost(banded, cap, 32)
+    max_u, med_u, ratio_u = _per_task_cost(banded, None, 32)
+    # hard bound: a kept bucket is <= cap keys; this fixture's tasks own
+    # at most a handful, and the hot family is gone entirely
+    assert max_c <= cap * (cap - 1) // 2 * 4, max_c
+    # the measured contract: capped max/median within ~4x; uncapped the
+    # mega-bucket dominates by an order of magnitude
+    assert ratio_c <= 4.0, (max_c, med_c)
+    assert ratio_u > 10 * ratio_c, (ratio_u, ratio_c)
+    assert max_u >= 50 * 49 // 2  # C(family,2) really sits on one task
+
+
 def test_default_cap_is_free_on_unskewed_corpora(spark):
     """At the production default (max_bucket=1000) nothing in a corpus
     without a >1000-doc template family is dropped: capped and uncapped
