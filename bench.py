@@ -108,6 +108,11 @@ HEADLINE = [
     # sampler (1→3 explode + featurize in one fused Arrow stage)
     "pipeline_corpus_build_neardup",
     "mm_gif_frames",
+    # round-11 addition, benched from birth: incremental IVF maintenance
+    # (existing half trains the integer-milli quantizer, arriving half is
+    # assigned to it — broadcast crossJoin + argmin fold + per-cell drift
+    # report; the corpus side never shuffles for the assignment)
+    "sim_ivf_incremental",
 ]
 
 

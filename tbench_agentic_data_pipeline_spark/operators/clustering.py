@@ -118,15 +118,21 @@ def save_ivf_index(centroids: DataFrame, root: str) -> int:
     instead of re-running Lloyd's. Versioning comes from
     :class:`SnapshotTable` (atomic manifest flip, previous index = the
     rollback), so an index refresh is a commit and readers pin a version
-    for reproducible retrieval. Returns the committed version."""
+    for reproducible retrieval. Returns the committed version.
+
+    If the centroid frame carries :func:`ivf_train_stats` columns
+    (``n_train``, ``train_mean_dist_sq``) they are persisted alongside —
+    the drift baseline :func:`ivf_append_batch` judges new batches
+    against."""
     from tbench_agentic_data_pipeline_spark.sources.snapshot import (
         SnapshotTable,
     )
 
+    cols = ["cluster", "centroid"] + [
+        c for c in ("n_train", "train_mean_dist_sq") if c in centroids.columns
+    ]
     table = SnapshotTable(centroids.sparkSession, root)
-    return table.commit(
-        centroids.select("cluster", "centroid"), operation="ivf_index"
-    )
+    return table.commit(centroids.select(*cols), operation="ivf_index")
 
 
 def load_ivf_index(
@@ -140,6 +146,82 @@ def load_ivf_index(
     )
 
     return SnapshotTable(spark, root).read(version)
+
+
+# Drift threshold: batch inertia per row above this multiple of the
+# training baseline signals the quantizer no longer fits the arriving
+# distribution. 1.5 = the batch's average cell is half again as loose as
+# at training time — probes start missing true neighbors well before the
+# assignments become nonsense, so retrain early. Callers tune per corpus.
+IVF_DRIFT_RETRAIN = 1.5
+
+
+def ivf_train_stats(assigned: DataFrame) -> DataFrame:
+    """Per-cell training baseline, persisted NEXT TO the centroids
+    (:func:`save_ivf_index` keeps these columns): member count and mean
+    squared distance at training time — the denominator of the drift
+    ratio every incremental batch is judged against. One
+    map-side-combined aggregation over the assigned corpus; k rows out."""
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        F.avg("dist_sq").alias("train_mean_dist_sq"),
+    )
+
+
+def ivf_drift_ratio(assigned_batch: DataFrame, index: DataFrame) -> float:
+    """Batch inertia per row over training inertia per row (the training
+    side weighted by cell mass from the persisted stats). ~1.0 = the
+    batch comes from the training distribution; well above 1 = the
+    distribution moved and the quantizer is stale — retrain when it
+    exceeds :data:`IVF_DRIFT_RETRAIN`. Two scalar driver actions (one
+    over the batch aggregate, one over the k-row index), nothing else."""
+    if "train_mean_dist_sq" not in index.columns:
+        raise ValueError(
+            "index has no training stats — save it with ivf_train_stats "
+            "columns attached (see save_ivf_index)"
+        )
+    batch_mean = assigned_batch.agg(F.avg("dist_sq")).collect()[0][0]
+    train_mean = (
+        index.agg(
+            F.sum(F.col("n_train") * F.col("train_mean_dist_sq"))
+            / F.sum("n_train")
+        ).collect()[0][0]
+    )
+    return float(batch_mean) / float(train_mean)
+
+
+def ivf_append_batch(
+    index_root: str,
+    assignments_root: str,
+    batch: DataFrame,
+    key_col: str,
+    vec_col: str,
+) -> tuple[int, float]:
+    """O(batch) IVF index maintenance — the embedding twin of the MinHash
+    index's incremental path (``dedup.minhash_index`` +
+    ``dedup_incremental``): assign ONLY the arriving batch to the SAVED
+    quantizer (broadcast centroids; the historical corpus is never
+    re-read or re-trained), APPEND the assigned rows to the
+    cell-assignment snapshot — searches read that table and see the new
+    rows immediately — and return ``(committed version, drift ratio)``.
+    The caller retrains (a fresh :func:`kmeans_fit` +
+    :func:`save_ivf_index` commit; readers keep the pinned old version
+    until the flip) when the ratio exceeds :data:`IVF_DRIFT_RETRAIN`.
+    Cost: one broadcast-assign pass over the batch plus one delta-chained
+    parquet write of ONLY the new rows (``append_delta``, not the COW
+    ``append`` that rewrites the whole table) — never a function of
+    corpus size."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    spark = batch.sparkSession
+    index = load_ivf_index(spark, index_root)
+    assigned = assign_clusters(batch, key_col, vec_col, index)
+    version = SnapshotTable(spark, assignments_root).append_delta(
+        assigned.select(key_col, vec_col, "cluster", "dist_sq")
+    )
+    return version, ivf_drift_ratio(assigned, index)
 
 
 def save_pq_codebook(codebook: DataFrame, root: str) -> int:

@@ -1637,6 +1637,149 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query(
+    "sim_ivf_incremental",
+    survey="J5,A4",
+    oracle="""
+        WITH iv AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                       AS iv
+            FROM embeddings
+        ),
+        ex AS (SELECT * FROM iv WHERE vec_id % 2 = 0),
+        cellsum AS (
+            SELECT label, r.i, SUM(iv[CAST(r.i AS INT)]) AS s
+            FROM ex, range(1, 65) r(i)
+            GROUP BY label, r.i
+        ),
+        celln AS (SELECT label, COUNT(*) AS n FROM ex GROUP BY label),
+        cent AS (
+            SELECT cs.label AS cluster,
+                   list(CAST(FLOOR(1000.0 * cs.s / cn.n) AS BIGINT)
+                        ORDER BY cs.i) AS cv
+            FROM cellsum cs JOIN celln cn USING (label)
+            GROUP BY cs.label, cn.n
+        ),
+        scored AS (
+            SELECT v.vec_id, v.vec_id % 2 = 1 AS is_batch, ct.cluster,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (v.iv[CAST(i AS INT)] * 1000
+                               - ct.cv[CAST(i AS INT)])
+                            * (v.iv[CAST(i AS INT)] * 1000
+                               - ct.cv[CAST(i AS INT)]))) AS d
+            FROM iv v CROSS JOIN cent ct
+        ),
+        best AS (
+            SELECT * FROM scored
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, cluster) = 1
+        )
+        SELECT cluster,
+               CAST(COUNT(*) FILTER (NOT is_batch) AS BIGINT) AS n_train,
+               CAST(COUNT(*) FILTER (is_batch) AS BIGINT) AS n_batch,
+               CAST(SUM(d) FILTER (NOT is_batch)
+                    // NULLIF(COUNT(*) FILTER (NOT is_batch), 0)
+                    AS BIGINT) AS train_mean_d,
+               CAST(SUM(d) FILTER (is_batch)
+                    // NULLIF(COUNT(*) FILTER (is_batch), 0)
+                    AS BIGINT) AS batch_mean_d
+        FROM best
+        GROUP BY cluster
+        ORDER BY cluster
+    """,
+)
+def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance, oracle-exact twin (r10 verdict task
+    #7; production path = ``clustering.ivf_append_batch``, the embedding
+    mirror of ``dedup_incremental``'s O(batch) shape): an EXISTING
+    corpus half (vec_id even) trains the coarse quantizer — per-label
+    integer-milli centroids, ``floor(1000·S/n)`` so both engines agree
+    to the last bit — and the ARRIVING half (vec_id odd) is assigned to
+    the SAVED centroids, never retrained. The output is the per-cell
+    maintenance report a real pipeline logs on every batch: training
+    and batch member counts plus integer floor-mean squared distances —
+    the exact numerators/denominators of the drift ratio
+    (``clustering.ivf_drift_ratio``; the float ratio itself stays out
+    of the hash contract, pinned by unit tests instead).
+
+    Scale shape: quantizer build is one map-side-combined aggregation
+    over the existing half (|cells| rows out); assignment is a
+    broadcast crossJoin of the tiny centroid table (the corpus side
+    never shuffles) folded to an argmin via a partial-aggregated
+    min-struct; the report is one groupBy over |cells| keys. All
+    distances integer-exact (components milli-quantized, centroid
+    components milli-milli), sums positive, so truncating div ==
+    floor division in both engines."""
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.transform("emb", lambda x: F.floor(x * 1000)).alias("iv"),
+        (F.col("vec_id") % 2 == 1).alias("is_batch"),
+    )
+    existing = base.where(~F.col("is_batch"))
+    cellsum = existing.groupBy(F.col("label").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("iv", i + 1)).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    cent = cellsum.select(
+        "cluster",
+        F.array(
+            *[
+                F.floor(F.col(f"s{i}") * 1000 / F.col("n"))
+                for i in range(dim)
+            ]
+        ).alias("cv"),
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col("iv"), F.col("cv"),
+            lambda a, b: (a * 1000 - b) * (a * 1000 - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "is_batch",
+        F.struct(d.alias("d"), F.col("cluster").alias("c")).alias("dc"),
+    )
+    best = scored.groupBy("vec_id", "is_batch").agg(F.min("dc").alias("b"))
+    t_sum = F.sum(F.when(~F.col("is_batch"), F.col("b.d")))
+    b_sum = F.sum(F.when(F.col("is_batch"), F.col("b.d")))
+    t_n = F.count(F.when(~F.col("is_batch"), 1))
+    b_n = F.count(F.when(F.col("is_batch"), 1))
+    return (
+        best.groupBy(F.col("b.c").alias("cluster"))
+        .agg(
+            t_n.cast("bigint").alias("n_train"),
+            b_n.cast("bigint").alias("n_batch"),
+            t_sum.alias("__ts"),
+            b_sum.alias("__bs"),
+        )
+        .select(
+            "cluster",
+            "n_train",
+            "n_batch",
+            F.expr("CAST(__ts div NULLIF(n_train, 0) AS BIGINT)").alias(
+                "train_mean_d"
+            ),
+            F.expr("CAST(__bs div NULLIF(n_batch, 0) AS BIGINT)").alias(
+                "batch_mean_d"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
 _DEDUP_COS_MAX_CELL = 64
 
 

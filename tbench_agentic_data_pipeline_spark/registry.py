@@ -130,8 +130,10 @@ _WINDOW_ROUND: int = 11
 #   that churn this round (corpus.py: the persisted deduped front and
 #   the embedding near-dup composition; similarity.py/clustering.py:
 #   incremental IVF maintenance; dedup.py: CC chain fixtures) — new
-#   queries registered this round take prefill slots when they land, so
-#   the mandatory block is never displaced.
+#   queries registered this round take prefill slots when they land
+#   (sim_ivf_incremental replaced the mm_gif_codec prefill; mm_gif_codec
+#   is r9-green and safely waits for r12), so the mandatory block is
+#   never displaced.
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
@@ -189,7 +191,9 @@ _FRONT_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "sim_lsh_buckets",
-    "mm_gif_codec",
+    # -- new this round: incremental IVF maintenance (assign arriving ------
+    # -- batch to the saved quantizer + per-cell drift accounting) ---------
+    "sim_ivf_incremental",
 )
 
 

@@ -409,6 +409,123 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     assert load_ivf_index(spark, root, version=1).count() == 4
 
 
+def test_ivf_incremental_maintenance_lifecycle(spark, tmp_path):
+    """r10 verdict task #7: the IVF index gets the MinHash index's
+    incremental path. Save (centroids + training stats) → append an
+    arriving batch with ivf_append_batch (assign-to-saved-centroids +
+    delta-chained write of ONLY the batch) → a search over the
+    assignment table must include the new rows; an in-distribution
+    batch reads drift ≈ 1 (no retrain)."""
+    from tbench_agentic_data_pipeline_spark.operators.clustering import (
+        IVF_DRIFT_RETRAIN,
+        assign_clusters,
+        ivf_append_batch,
+        ivf_train_stats,
+        kmeans_fit,
+        save_ivf_index,
+    )
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        ivf_search_topk,
+    )
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    train = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "emb"
+    )
+
+    cents = kmeans_fit(train, "vec_id", "emb", k=4, dim=64, iters=2)
+    assigned_train = assign_clusters(train, "vec_id", "emb", cents)
+    index_root = str(tmp_path / "ivf_index")
+    asg_root = str(tmp_path / "ivf_assignments")
+    save_ivf_index(
+        cents.join(ivf_train_stats(assigned_train), "cluster"), index_root
+    )
+    SnapshotTable(spark, asg_root).commit(
+        assigned_train.select("vec_id", "emb", "cluster", "dist_sq"),
+        operation="ivf_assignments",
+    )
+
+    version, drift = ivf_append_batch(
+        index_root, asg_root, batch, "vec_id", "emb"
+    )
+    assert version == 2
+    # the delta version holds ONLY the batch (O(batch) write)…
+    snap = SnapshotTable(spark, asg_root)
+    assert snap.read(version).count() == train.count() + batch.count()
+    assert (
+        spark.read.parquet(str(tmp_path / "ivf_assignments" / "v=2")).count()
+        == batch.count()
+    )
+    # …the batch is in-distribution, so no retrain signal
+    assert 0.5 < drift < IVF_DRIFT_RETRAIN, drift
+
+    # search over the maintained table sees the new rows: query AT a new
+    # vector's position must return that exact row as its top hit
+    from tbench_agentic_data_pipeline_spark.operators.clustering import (
+        load_ivf_index,
+    )
+
+    corpus = snap.read()
+    probe_vec = batch.limit(1).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, probe_vec["emb"])], "q_id long, q_emb array<double>"
+    )
+    top = ivf_search_topk(
+        corpus, queries, load_ivf_index(spark, index_root), k=1, nprobe=2
+    ).collect()
+    assert top and top[0]["vec_id"] == probe_vec["vec_id"]
+
+
+def test_ivf_drift_ratio_signals_retrain_on_shifted_batch(spark, tmp_path):
+    """The drift trigger itself: a batch from a SHIFTED distribution
+    (every component displaced by several training standard deviations)
+    must push the inertia ratio past IVF_DRIFT_RETRAIN, while the
+    unshifted twin of the same batch stays under it."""
+    from tbench_agentic_data_pipeline_spark.operators.clustering import (
+        IVF_DRIFT_RETRAIN,
+        assign_clusters,
+        ivf_drift_ratio,
+        ivf_train_stats,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    cents = kmeans_fit(emb, "vec_id", "emb", k=4, dim=64, iters=2)
+    index = cents.join(
+        ivf_train_stats(assign_clusters(emb, "vec_id", "emb", cents)),
+        "cluster",
+    )
+
+    same = assign_clusters(emb.limit(40), "vec_id", "emb", cents)
+    assert ivf_drift_ratio(same, index) < IVF_DRIFT_RETRAIN
+
+    shifted = emb.limit(40).select(
+        "vec_id", F.transform("emb", lambda x: x + F.lit(3.0)).alias("emb")
+    )
+    moved = assign_clusters(shifted, "vec_id", "emb", cents)
+    assert ivf_drift_ratio(moved, index) > IVF_DRIFT_RETRAIN
+
+    # an index saved without stats must refuse, not silently divide
+    import pytest
+
+    with pytest.raises(ValueError, match="training stats"):
+        ivf_drift_ratio(same, cents)
+
+
 def test_knn_join_paths_agree_on_null_buckets(spark):
     """A NULL bucket key is its own group in knn_join_arrow's groupBy; the
     blocked path's broadcast count-join must be null-safe so the two

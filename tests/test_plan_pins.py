@@ -115,6 +115,10 @@ _PINS = {
     # sampling + compositing + means in-pass), shuffle-free.
     "pipeline_corpus_build_neardup": 3,
     "mm_gif_frames": 0,
+    # r11 addition: quantizer-build agg over the existing half + argmin
+    # partial-agg + per-cell report agg + ordered output; the assignment
+    # itself is a broadcast crossJoin (corpus side never shuffles)
+    "sim_ivf_incremental": 4,
 }
 
 
