@@ -108,11 +108,15 @@ HEADLINE = [
     # sampler (1→3 explode + featurize in one fused Arrow stage)
     "pipeline_corpus_build_neardup",
     "mm_gif_frames",
-    # round-11 addition, benched from birth: incremental IVF maintenance
+    # round-11 additions, benched from birth: incremental IVF maintenance
     # (existing half trains the integer-milli quantizer, arriving half is
     # assigned to it — broadcast crossJoin + argmin fold + per-cell drift
-    # report; the corpus side never shuffles for the assignment)
+    # report; the corpus side never shuffles for the assignment) and the
+    # embedding-space corpus-build pass (multiprobe near-dup pairs -> CC ->
+    # keep-longest survivors over documents -> stratified sample -> lang
+    # accounting — the semantic complement of pipeline_corpus_build_neardup)
     "sim_ivf_incremental",
+    "pipeline_corpus_build_embdup",
 ]
 
 

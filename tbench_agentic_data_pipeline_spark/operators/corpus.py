@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.catalog import (
+    load_table,
+    spread_for_compute,
+    table_path,
+)
 from tbench_agentic_data_pipeline_spark.operators.dedup import (
     _BROADCAST_LABELS_BELOW,
     connected_components,
@@ -27,6 +31,10 @@ from tbench_agentic_data_pipeline_spark.operators.dedup import (
     minhash_band_df,
     resolve_near_duplicates,
     shingles,
+)
+from tbench_agentic_data_pipeline_spark.operators.similarity import (
+    as_double,
+    embedding_multiprobe_pairs,
 )
 from tbench_agentic_data_pipeline_spark.operators.text import STOPWORDS
 from tbench_agentic_data_pipeline_spark.registry import query
@@ -311,4 +319,180 @@ def pipeline_corpus_build_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.coalesce("n_members", F.lit(1))).cast("bigint")
             .alias("members_represented"),
         F.min("quality_milli").cast("bigint").alias("min_quality_milli"),
+    )
+
+
+@query(
+    "pipeline_corpus_build_embdup",
+    survey="P2,A1,J1,P4,J5",
+    oracle="""
+        WITH RECURSIVE c AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        planes AS (
+            SELECT p, [CAST((('0x' || substr(md5('plane' || CAST(p AS VARCHAR)
+                        || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 2001
+                        - 1000) AS DOUBLE) / 1000.0
+                       for d in range(0, 64)] AS plane
+            FROM range(0, 8) t(p)
+        ),
+        sigs AS (
+            SELECT c.vec_id,
+                   CAST(SUM(CASE WHEN list_dot_product(c.emb, p.plane) > 0
+                            THEN (1::BIGINT << p.p) ELSE 0 END) AS BIGINT)
+                       AS bucket
+            FROM c, planes p
+            GROUP BY c.vec_id
+        ),
+        keyed AS (
+            -- bounded_cell_keys at cap 16 + hamming-1 multi-probe: the
+            -- production embedding near-dup operating point, replayed
+            -- exactly as dedup_embedding_multiprobe's oracle does
+            SELECT vec_id, label, emb, depth,
+                   bucket & ((1::BIGINT << depth) - 1) AS subkey
+            FROM (
+                SELECT c.vec_id, c.label, c.emb, s.bucket,
+                       GREATEST(0::BIGINT, LEAST(8::BIGINT,
+                           CAST(CEIL(LOG2((COUNT(*) OVER (PARTITION BY
+                                c.label)) / 16.0)) AS BIGINT))) AS depth
+                FROM c JOIN sigs s USING (vec_id)
+            )
+        ),
+        probed AS (
+            SELECT vec_id, label, emb, subkey AS b_subkey,
+                   UNNEST(list_prepend(subkey,
+                       [xor(subkey, 1::BIGINT << CAST(i AS INTEGER))
+                        for i in range(0, depth)])) AS probe
+            FROM keyed
+        ),
+        pairs AS (
+            -- zero-norm vectors are DEFINED as cosine 0.0 (mirrors the
+            -- guarded Spark-side cosine)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM keyed a
+            JOIN probed b ON a.label = b.label AND a.subkey = b.probe
+                          AND a.vec_id < b.vec_id
+            WHERE CASE WHEN list_dot_product(a.emb, a.emb) > 0
+                        AND list_dot_product(b.emb, b.emb) > 0
+                       THEN list_dot_product(a.emb, b.emb)
+                            / (sqrt(list_dot_product(a.emb, a.emb))
+                               * sqrt(list_dot_product(b.emb, b.emb)))
+                       ELSE 0.0 END >= 0.3
+        ),
+        edges AS (
+            SELECT vec_a AS s, vec_b AS d FROM pairs
+            UNION ALL
+            SELECT vec_b AS s, vec_a AS d FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+            UNION
+            SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+        ),
+        lab AS (
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM lab GROUP BY cluster_id
+        ),
+        dd AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        labeled AS (
+            SELECT dd.*, l.cluster_id
+            FROM dd LEFT JOIN lab l USING (doc_id)
+        ),
+        surv AS (
+            SELECT * FROM labeled
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY COALESCE(cluster_id, doc_id)
+                ORDER BY strlen(text) DESC, doc_id) = 1
+        ),
+        sampled AS (
+            SELECT s.*, z.n_members
+            FROM surv s LEFT JOIN sizes z USING (cluster_id)
+            WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 100
+                  < CASE WHEN s.lang = 'en' THEN 50 ELSE 90 END
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS docs_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+               CAST(COUNT(cluster_id) AS BIGINT) AS embdup_survivors,
+               CAST(SUM(COALESCE(n_members, 1)) AS BIGINT)
+                   AS members_represented
+        FROM sampled
+        GROUP BY lang
+    """,
+)
+def pipeline_corpus_build_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-space corpus-build pass (r10 verdict task #4) — the
+    complement every real training-data build runs NEXT TO the token
+    pass (``pipeline_corpus_build_neardup``): token LSH catches lexical
+    near-dups; this catches semantic ones the shingles miss (same
+    content re-worded, translations, templated paraphrase):
+
+        embedding multi-probe near-dup pairs (the measured-and-promoted
+        production default, ``similarity.embedding_multiprobe_pairs`` at
+        the cap-16 / cos ≥ 0.3 operating point) → connected components
+        → survivor resolution over DOCUMENTS (vec_id ≙ doc_id; keep the
+        LONGEST variant per embedding cluster, docs without a vector
+        pass through as singletons) → hash-stratified downsampling →
+        per-language accounting.
+
+    Accounting is value-bearing for every stage exactly like the token
+    composition: ``embdup_survivors`` counts sampled docs that came out
+    of an embedding cluster, ``members_represented`` weights survivors
+    by cluster size (graph-node count — the oracle replays the same),
+    so wrong labeling or wrong survivor choice shifts the sums.
+
+    Scale shape: the pair build is one window/join exchange on the cell
+    key with a bounded (1+depth)× probe explode, all inside the CC
+    localCheckpoint; CC is pointer-jumping (O(log diameter) rounds);
+    label and cluster-size joins broadcast below 5M clustered nodes and
+    revert to keyed shuffles together above it; one survivor window,
+    one final lang groupBy. The corpus parquet is scanned once."""
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings"),
+        "vec_id",
+        source_path=table_path(sf_dir, "embeddings"),
+    ).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    pairs = embedding_multiprobe_pairs(emb, tau=0.3, max_cell=16)
+    clusters = connected_components(
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    n_labels = clusters.count()  # checkpointed: a cheap scalar action
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    surv = resolve_near_duplicates(
+        docs, clusters, "doc_id",
+        prefer=[F.length("text").desc()],
+        keep_cluster_col="cluster_id",
+        n_labels=n_labels,
+    )
+    sizes = clusters.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    if n_labels <= _BROADCAST_LABELS_BELOW:
+        sizes = F.broadcast(sizes)
+    sampled = (
+        surv.join(sizes, "cluster_id", "left")
+        .where(_sample_bucket() < _sample_rate())
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.count("cluster_id").cast("bigint").alias("embdup_survivors"),
+        F.sum(F.coalesce("n_members", F.lit(1))).cast("bigint")
+            .alias("members_represented"),
     )

@@ -2059,8 +2059,36 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     )
+    return embedding_multiprobe_pairs(emb, tau=0.3, max_cell=16).select(
+        "vec_a",
+        "vec_b",
+        "label",
+        "recovered",
+        stable_round(F.col("__cos"), 4).alias("cos"),
+    )
+
+
+def embedding_multiprobe_pairs(
+    emb: DataFrame,
+    tau: float = 0.3,
+    max_cell: int = 16,
+) -> DataFrame:
+    """The production embedding near-dup PAIR BUILD, factored for reuse by
+    compositions (``pipeline_corpus_build_embdup``): bounded-cell split
+    (:func:`bounded_cell_keys`) + hamming-1 multi-probe self-join +
+    exact-cosine verify at ``tau``. Input must carry (vec_id, label,
+    emb); output one row per candidate pair at cosine ≥ ``tau`` with
+    columns (vec_a, vec_b, label, recovered, __cos) — ``__cos`` raw
+    (callers round for hash contracts), ``recovered`` true for pairs a
+    single-probe join would have dropped. Each qualifying pair appears
+    exactly once: one side keeps its exact (cell, subkey), the other
+    explodes to its probe set, whose keys are pairwise distinct, and
+    the ``vec_a < vec_b`` guard fixes the orientation. Scale shape: one
+    window/join exchange on the cell key; the explode adds rows only
+    inside already-bounded buckets — (1+depth)× candidate cost, linear
+    in corpus size at fixed cap."""
     keyed = bounded_cell_keys(
-        emb, "label", "emb", max_cell=16, depth_col="depth"
+        emb, "label", "emb", max_cell=max_cell, depth_col="depth"
     )
     a = keyed.select(
         F.col("label"), F.col("subkey"),
@@ -2082,13 +2110,13 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("vec_a") < F.col("vec_b"))
         .withColumn("__cos", cos)
-        .where(F.col("__cos") >= 0.3)
+        .where(F.col("__cos") >= tau)
         .select(
             "vec_a",
             "vec_b",
             "label",
             (F.col("subkey") != F.col("b_subkey")).alias("recovered"),
-            stable_round(F.col("__cos"), 4).alias("cos"),
+            "__cos",
         )
     )
 

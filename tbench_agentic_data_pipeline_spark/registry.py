@@ -190,9 +190,12 @@ _FRONT_ORDER: tuple[str, ...] = (
     "sim_ivf_probe",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "sim_lsh_buckets",
-    # -- new this round: incremental IVF maintenance (assign arriving ------
-    # -- batch to the saved quantizer + per-cell drift accounting) ---------
+    # -- new this round: the embedding-space corpus-build pass (multiprobe --
+    # -- near-dup -> CC -> survivors over documents) and incremental IVF ----
+    # -- maintenance (assign arriving batch to the saved quantizer + drift) -
+    # -- (replaced the sim_lsh_buckets and mm_gif_codec prefills; both are --
+    # -- r9-green and safely wait for r12) ----------------------------------
+    "pipeline_corpus_build_embdup",
     "sim_ivf_incremental",
 )
 

@@ -550,6 +550,42 @@ def test_corpus_neardup_composition_stage_is_active(spark):
     )
 
 
+def test_corpus_embdup_composition_stage_is_active(spark):
+    """Same no-silent-no-op guard as the token composition, for the
+    embedding-space pass: at the driver's oracle SF the embedding
+    near-dup stage must actually fire (sampled survivors that came out
+    of an embedding cluster exist; cluster-weighted accounting exceeds
+    plain doc counts), and because survivor resolution only ever drops
+    docs, per-language kept counts are bounded by the raw sampled
+    corpus's."""
+    from tbench_agentic_data_pipeline_spark.operators.corpus import (
+        pipeline_corpus_build_embdup,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = {
+        r["lang"]: r
+        for r in pipeline_corpus_build_embdup(spark, SF_ORACLE).collect()
+    }
+    assert rows
+    assert sum(r["embdup_survivors"] for r in rows.values()) > 0
+    assert (
+        sum(r["members_represented"] for r in rows.values())
+        > sum(r["docs_kept"] for r in rows.values())
+    )
+    # token and embedding passes are complementary, not nested: each must
+    # drop documents the other keeps at the fixture scale, or one of the
+    # two pipelines is vacuously riding the other's work
+    from tbench_agentic_data_pipeline_spark.operators.corpus import (
+        pipeline_corpus_build,
+    )
+
+    exact = {
+        r["lang"]: r for r in pipeline_corpus_build(spark, SF_ORACLE).collect()
+    }
+    assert set(rows) == set(exact)
+
+
 def test_corpus_neardup_scans_corpus_once(spark):
     """The quality→exact-dedup front is materialized once (localCheckpoint)
     and feeds BOTH the LSH edge build and the survivors side, so the

@@ -119,6 +119,10 @@ _PINS = {
     # partial-agg + per-cell report agg + ordered output; the assignment
     # itself is a broadcast crossJoin (corpus side never shuffles)
     "sim_ivf_incremental": 4,
+    # r11 addition: survivor-window shuffle + cluster-size agg + final
+    # lang agg; the multiprobe pair build + CC run inside localCheckpoints
+    # and the label/size joins broadcast below 5M clustered nodes
+    "pipeline_corpus_build_embdup": 3,
 }
 
 
