@@ -48,8 +48,10 @@ COMMENTARY = {
     "sim_ivfpq_topk": "IVF+PQ composed: the cell id rides through the Arrow encode stage (carry_cols — no recovery join), probes broadcast with driver-built LUTs, and the cell-equality join prunes the ADC scan to probed cells; WindowGroupLimit cuts top-k before the single rank exchange.",
     "dedup_incremental": "New-batch bands equi-join the persisted index bands (new×existing only, cost ∝ batch); token join-back verifies integer-milli Jaccard.",
     "a_profile_documents": "Every column's nulls/distinct/min/max in ONE Expand-style aggregate (single scan); long format via zero-shuffle stack.",
-    "pipeline_corpus_build_neardup": "The full training-data build: quality→exact-dedup window, LSH pair build + connected components run inside the localCheckpoint (edge list materialized once), labels + cluster sizes broadcast below 5M nodes, one survivor window, one final lang aggregate — 4 exchanges end to end.",
+    "pipeline_corpus_build_neardup": "The full training-data build: the quality→exact-dedup front is localCheckpointed ONCE and feeds both the LSH/CC edge build and the survivors side (r11 — the corpus parquet is scanned exactly once; the dedup window exchange left the final plan), labels + cluster sizes broadcast below 5M nodes, one survivor window, one final lang aggregate — 3 exchanges end to end.",
     "mm_gif_frames": "Composited animated-GIF frame sampling: fixture encode + LZW decode + disposal compositing + per-frame means in ONE fused Arrow stage (pre= and features=True) — zero shuffles, the embarrassingly-parallel binary-scan shape with a 1→3 explode inside the Python stage.",
+    "sim_ivf_incremental": "Incremental IVF maintenance twin: integer-milli quantizer aggregated from the existing half (one map-side-combined exchange), arriving half assigned via broadcast crossJoin + partial-aggregated argmin (the corpus side never shuffles for the assignment), per-cell drift report aggregate + ordered output — 4 exchanges.",
+    "pipeline_corpus_build_embdup": "The embedding-space corpus build: multi-probe near-dup pair build (bounded cells, hamming-1 probe union, exact-cosine verify) and connected components run inside localCheckpoints; labels + cluster sizes broadcast below 5M clustered nodes; one survivor window over documents, one final lang aggregate — 3 exchanges, documents parquet scanned once.",
 }
 
 SF = "/root/testdata/sf0.01"
