@@ -327,6 +327,21 @@ SHARD_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_SHARD_SIZE", "14"))
 PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
 
+def _fold_pass(
+    times: dict[str, float],
+    errors: dict[str, str],
+    s_times: dict[str, float],
+    s_errors: dict[str, str],
+) -> None:
+    """Fold one shard result into the sweep accumulators: per-query
+    MINIMUM across passes for timings, last-message-wins for errors.
+    (Error attribution is resolved at the END of all passes: any query
+    with a timing from any pass drops out of the error map.)"""
+    for n, t in s_times.items():
+        times[n] = min(times[n], t) if n in times else t
+    errors.update(s_errors)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -353,9 +368,7 @@ def main() -> None:
             s_times, s_errors, s_cc = _parse_shard_output(
                 shard, proc.stdout, proc.stderr, proc.returncode
             )
-            for n, t in s_times.items():
-                times[n] = min(times[n], t) if n in times else t
-            errors.update(s_errors)
+            _fold_pass(times, errors, s_times, s_errors)
             if s_cc is not None:
                 cc_rounds = s_cc
     # A later pass's success clears an earlier pass's failure (and the

@@ -97,6 +97,34 @@ def test_warmup_and_curve_names_exist_in_registry():
         assert not unknown, f"{group} references unregistered queries: {unknown}"
 
 
+def test_two_pass_min_merge_and_error_clearing():
+    """r10 verdict task #2: the committed record is the per-query MINIMUM
+    across full sweep passes, a query timed by ANY pass is never
+    reported as an error, and only all-pass failures keep their error.
+    (The end-of-main filter `errors = {n: m for ... if n not in times}`
+    is replayed here exactly.)"""
+    from bench import _fold_pass
+
+    times: dict = {}
+    errors: dict = {}
+    # pass 1: q_a fast, q_b slow (neighbor burst), q_c fails
+    _fold_pass(times, errors, {"q_a": 1.0, "q_b": 9.9}, {"q_c": "OOM"})
+    # pass 2: q_a slower, q_b quiet, q_c still failing, q_d appears
+    _fold_pass(
+        times, errors, {"q_a": 1.4, "q_b": 1.1, "q_d": 0.5}, {"q_c": "OOM2"}
+    )
+    errors = {n: m for n, m in errors.items() if n not in times}
+    assert times == {"q_a": 1.0, "q_b": 1.1, "q_d": 0.5}
+    assert errors == {"q_c": "OOM2"}
+
+    # a query that failed pass 1 but succeeded pass 2 ends up timed-only
+    times2, errors2 = {}, {}
+    _fold_pass(times2, errors2, {}, {"q_e": "transient"})
+    _fold_pass(times2, errors2, {"q_e": 2.0}, {})
+    errors2 = {n: m for n, m in errors2.items() if n not in times2}
+    assert times2 == {"q_e": 2.0} and errors2 == {}
+
+
 def test_dead_shard_between_queries_blames_no_finished_query():
     """r9 ADVICE: a crash AFTER a query's result line (cc_rounds
     snapshot, summary printing) must not blame the finished query —
