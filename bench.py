@@ -334,12 +334,20 @@ def _fold_pass(
     s_errors: dict[str, str],
 ) -> None:
     """Fold one shard result into the sweep accumulators: per-query
-    MINIMUM across passes for timings, last-message-wins for errors.
-    (Error attribution is resolved at the END of all passes: any query
-    with a timing from any pass drops out of the error map.)"""
+    MINIMUM across passes for timings; for errors, a genuinely
+    ATTRIBUTED failure (the query was running, or ran and raised) always
+    beats a "not run:" infrastructure placeholder — pass 1's real OOM
+    must not be rewritten as "not run: shard died during session
+    startup" by a pass-2 transient. (Error attribution is resolved at
+    the END of all passes: any query with a timing from any pass drops
+    out of the error map.)"""
     for n, t in s_times.items():
         times[n] = min(times[n], t) if n in times else t
-    errors.update(s_errors)
+    for n, msg in s_errors.items():
+        have_real = n in errors and not errors[n].startswith("not run:")
+        if have_real and msg.startswith("not run:"):
+            continue
+        errors[n] = msg
 
 
 def main() -> None:

@@ -174,19 +174,29 @@ def ivf_drift_ratio(assigned_batch: DataFrame, index: DataFrame) -> float:
     batch comes from the training distribution; well above 1 = the
     distribution moved and the quantizer is stale — retrain when it
     exceeds :data:`IVF_DRIFT_RETRAIN`. Two scalar driver actions (one
-    over the batch aggregate, one over the k-row index), nothing else."""
+    over the batch aggregate, one over the k-row index), nothing else.
+
+    Degenerate inputs resolve, not crash (a scheduled ingestion tick
+    must survive them): an EMPTY batch carries no drift evidence →
+    1.0; a zero/absent training baseline (k ≥ n_train puts every
+    training point on its centroid) makes any nonzero batch inertia
+    infinite drift → retrain."""
     if "train_mean_dist_sq" not in index.columns:
         raise ValueError(
             "index has no training stats — save it with ivf_train_stats "
             "columns attached (see save_ivf_index)"
         )
     batch_mean = assigned_batch.agg(F.avg("dist_sq")).collect()[0][0]
+    if batch_mean is None:  # empty batch: no evidence either way
+        return 1.0
     train_mean = (
         index.agg(
             F.sum(F.col("n_train") * F.col("train_mean_dist_sq"))
             / F.sum("n_train")
         ).collect()[0][0]
     )
+    if not train_mean:  # zero or NULL baseline
+        return 1.0 if batch_mean == 0.0 else float("inf")
     return float(batch_mean) / float(train_mean)
 
 
@@ -210,18 +220,25 @@ def ivf_append_batch(
     Cost: one broadcast-assign pass over the batch plus one delta-chained
     parquet write of ONLY the new rows (``append_delta``, not the COW
     ``append`` that rewrites the whole table) — never a function of
-    corpus size."""
+    corpus size. The assigned batch is persisted so the write and the
+    drift aggregate consume ONE assignment pass, and the drift ratio is
+    computed BEFORE the commit: a failure never leaves a half-done
+    maintenance tick already flipped into the manifest."""
     from tbench_agentic_data_pipeline_spark.sources.snapshot import (
         SnapshotTable,
     )
 
     spark = batch.sparkSession
     index = load_ivf_index(spark, index_root)
-    assigned = assign_clusters(batch, key_col, vec_col, index)
-    version = SnapshotTable(spark, assignments_root).append_delta(
-        assigned.select(key_col, vec_col, "cluster", "dist_sq")
-    )
-    return version, ivf_drift_ratio(assigned, index)
+    assigned = assign_clusters(batch, key_col, vec_col, index).select(
+        key_col, vec_col, "cluster", "dist_sq"
+    ).persist()
+    try:
+        drift = ivf_drift_ratio(assigned, index)
+        version = SnapshotTable(spark, assignments_root).append_delta(assigned)
+    finally:
+        assigned.unpersist()
+    return version, drift
 
 
 def save_pq_codebook(codebook: DataFrame, root: str) -> int:

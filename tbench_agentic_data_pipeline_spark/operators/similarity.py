@@ -1340,38 +1340,39 @@ def sim_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVFPQ_RUN_COUNTER = itertools.count()
 
-# Same-pid run dirs older than this are swept on the next call — but
-# only once no Python reference to the run's result DataFrame remains
-# (``_IVFPQ_LIVE_RUNS``): a plan DROPPED an hour ago in the SAME
-# process is abandoned work, and the bound keeps a long-lived process
-# (deep-parity pytest, a notebook) from accumulating snapshot dirs for
-# its whole lifetime.
+# Own-pid run dirs NOT recorded in ``_IVFPQ_PROCESS_RUNS`` are a
+# RECYCLED pid's leftovers — but only once they are at least this old:
+# a concurrent sibling thread between its mkdir and its set-add is
+# microseconds young, never an hour.
 _IVFPQ_RUN_TTL_SECONDS = 3600.0
 
-# Run dirs whose result DataFrame is still referenced in THIS process
-# (r10 ADVICE #2: a lazy plan held uncollected for >1h in a notebook
-# must not have its snapshot deleted out from under it by a later
-# sibling call — that turns a disk leak into a read-after-delete query
-# failure). Entries are added at creation and discarded by a
-# weakref.finalize on the returned DataFrame, so the TTL clock
-# effectively starts when the result object is garbage-collected.
-_IVFPQ_LIVE_RUNS: set[str] = set()
+# Every run dir THIS process created (r10 ADVICE #2 + r11 review: a
+# lazy plan — or any DataFrame DERIVED from it, which holds no Python
+# reference back to the returned object, so a weakref on the result
+# cannot see it — must never have its snapshot deleted out from under
+# it by a later sibling call). Entries are added at creation and never
+# removed: own-created dirs are exempt from sweeping for the process's
+# whole lifetime and are reclaimed by the per-dir atexit hook (normal
+# exit) or by a LATER process's dead-pid rule (SIGKILL). Disk cost is
+# one KB-scale stats snapshot per call until exit — bounded, and the
+# price of an absolute no-read-after-delete guarantee.
+_IVFPQ_PROCESS_RUNS: set[str] = set()
 
 
 def _sweep_stale_ivfpq_runs(base: str) -> None:
     """Entry-time reaper for ivfpq snapshot run dirs (r9 ADVICE: atexit
     alone leaks — a SIGKILLed process never runs it, and a long-lived
-    one accumulates until exit). Rules, preserving the
-    no-delete-while-uncollected guarantee for live work:
+    one accumulates until exit). Rules, preserving an absolute
+    no-delete-while-readable guarantee for live work:
 
     - another pid's dir is removed iff that pid NO LONGER EXISTS (no
       process can still collect its plan; a recycled pid errs toward
       keeping the dir);
-    - this pid's dirs are removed past ``_IVFPQ_RUN_TTL_SECONDS`` of
-      mtime age, UNLESS the run's result DataFrame is still referenced
-      (``_IVFPQ_LIVE_RUNS``) — concurrent sibling calls are hour-scale
-      younger, and a long-held lazy plan stays readable for as long as
-      its Python object lives."""
+    - this pid's dirs are removed ONLY if this process did not create
+      them (``_IVFPQ_PROCESS_RUNS`` — anything else is a recycled
+      pid's leftover) AND they are past ``_IVFPQ_RUN_TTL_SECONDS`` of
+      mtime age (a sibling thread between mkdir and set-add is
+      microseconds young — the age guard closes that race)."""
     import os
     import re
     import shutil
@@ -1389,13 +1390,13 @@ def _sweep_stale_ivfpq_runs(base: str) -> None:
         pid = int(m.group(1))
         path = os.path.join(base, name)
         if pid == os.getpid():
-            if path in _IVFPQ_LIVE_RUNS:
-                continue  # result DataFrame still referenced: never delete
+            if path in _IVFPQ_PROCESS_RUNS:
+                continue  # created by this process: plans may still read it
             try:
                 stale = now - os.stat(path).st_mtime > _IVFPQ_RUN_TTL_SECONDS
             except OSError:
                 continue
-            if stale:
+            if stale:  # recycled-pid leftover, demonstrably old
                 shutil.rmtree(path, ignore_errors=True)
             continue
         try:
@@ -1588,7 +1589,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(base, run)
     os.makedirs(root, exist_ok=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    _IVFPQ_LIVE_RUNS.add(root)
+    _IVFPQ_PROCESS_RUNS.add(root)
     SnapshotTable(spark, root).commit(
         stats.coalesce(1), operation="ivf_index"
     )
@@ -1621,20 +1622,12 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivfpq_search_topk(
         codes, queries, 5, 8, 16, dim, cell_col="label"
     )
-    result = out.select(
+    return out.select(
         "q_id",
         "vec_id",
         stable_round(F.col("adc_sq"), 4).alias("adc_sq"),
         F.col("rank").cast("bigint").alias("rank"),
     )
-    # The run dir stays exempt from the own-pid TTL sweep for as long
-    # as the result object lives (r10 ADVICE #2: a notebook holding the
-    # lazy plan >1h must not get read-after-delete from a sibling call);
-    # once it is garbage-collected the TTL clock applies as before.
-    import weakref
-
-    weakref.finalize(result, _IVFPQ_LIVE_RUNS.discard, root)
-    return result
 
 
 @query(

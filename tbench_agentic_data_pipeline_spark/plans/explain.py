@@ -157,7 +157,33 @@ def _mask_literal_extractions(expr: str) -> str:
         if not re.fullmatch(r"-?\d+", idx):
             out.append(expr[m.start():j])  # derived index: keep for taint
         pos = j
-    return re.sub(r"(?<!\w)\w+#\d+\[\s*-?\d+\s*\]", "", "".join(out))
+    masked = re.sub(r"(?<!\w)\w+#\d+\[\s*-?\d+\s*\]", "", "".join(out))
+    # call-result indexing — `split(text#1,  , -1)[0]` (the rendering
+    # CollapseProject produces when a once-used split is inlined and
+    # GetArrayItem picks a literal element): mask the WHOLE call+index
+    # span, right to left so removals don't shift pending positions.
+    # Stripping only the [0] would leave a bare split(...) that the
+    # seed check reads as a token array.
+    for m in sorted(
+        re.finditer(r"\)\[\s*-?\d+\s*\]", masked),
+        key=lambda mm: -mm.start(),
+    ):
+        i, depth = m.start(), 0
+        while i >= 0:
+            if masked[i] == ")":
+                depth += 1
+            elif masked[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:
+            continue  # unbalanced fragment: leave untouched (conservative)
+        h = i
+        while h > 0 and (masked[h - 1].isalnum() or masked[h - 1] in "_."):
+            h -= 1
+        masked = masked[:h] + masked[m.end():]
+    return masked
 
 
 def token_array_columns(plan: str) -> set[str]:

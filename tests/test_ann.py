@@ -525,6 +525,20 @@ def test_ivf_drift_ratio_signals_retrain_on_shifted_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="training stats"):
         ivf_drift_ratio(same, cents)
 
+    # r11 review: degenerate inputs resolve, not crash — a scheduled
+    # ingestion tick must survive an EMPTY batch (no drift evidence ->
+    # 1.0) and a zero training baseline (any nonzero batch inertia is
+    # infinite drift -> retrain)
+    empty = assign_clusters(
+        emb.where(F.lit(False)), "vec_id", "emb", cents
+    )
+    assert ivf_drift_ratio(empty, index) == 1.0
+    degenerate = index.withColumn("train_mean_dist_sq", F.lit(0.0))
+    import math
+
+    assert math.isinf(ivf_drift_ratio(moved, degenerate))
+    assert ivf_drift_ratio(empty, degenerate) == 1.0
+
 
 def test_knn_join_paths_agree_on_null_buckets(spark):
     """A NULL bucket key is its own group in knn_join_arrow's groupBy; the
@@ -1373,13 +1387,15 @@ def test_pq_train_joint_matches_sequential_per_sub_kmeans(spark):
 
 
 def test_ivfpq_stale_run_dir_sweep(tmp_path):
-    """r9 ADVICE #1 + r10 ADVICE #2: entry-time reaping of provably-dead
-    ivfpq run dirs. Dead-pid dirs go; live-pid (another process: use our
-    parent), own-pid fresh, and non-matching names stay; own-pid dirs
-    past the TTL go — UNLESS their result DataFrame is still referenced
-    (the _IVFPQ_LIVE_RUNS exemption: a lazy plan held uncollected >1h in
-    a notebook must not get read-after-delete from a sibling call), and
-    the exemption lapses once the reference set drops the dir."""
+    """r9 ADVICE #1 + r10 ADVICE #2 (r11 review hardening): entry-time
+    reaping of provably-dead ivfpq run dirs. Dead-pid dirs go; live-pid
+    (another process: use our parent) and non-matching names stay;
+    own-pid dirs created BY THIS PROCESS are never swept — a DataFrame
+    derived from the result holds no Python reference back to it, so no
+    reference-based scheme can know when the snapshot becomes
+    unreadable — while own-pid dirs NOT in the created set (a recycled
+    pid's leftovers) go once past the TTL age guard (a sibling thread
+    between mkdir and set-add is microseconds young, never an hour)."""
     import os
     import time
 
@@ -1398,9 +1414,9 @@ def test_ivfpq_stale_run_dir_sweep(tmp_path):
     for name in (
         f"run_{dead_pid}_0",
         f"run_{live_pid}_0",
-        f"run_{me}_0",
-        f"run_{me}_1",
-        f"run_{me}_2",
+        f"run_{me}_0",  # recycled-pid leftover, old -> swept
+        f"run_{me}_1",  # recycled-pid leftover, FRESH -> kept (race guard)
+        f"run_{me}_2",  # created by this process, old -> kept forever
         "v3_something_else",
     ):
         (base / name).mkdir()
@@ -1408,8 +1424,8 @@ def test_ivfpq_stale_run_dir_sweep(tmp_path):
     old = time.time() - similarity._IVFPQ_RUN_TTL_SECONDS - 60
     os.utime(base / f"run_{me}_0", (old, old))
     os.utime(base / f"run_{me}_2", (old, old))
-    held = str(base / f"run_{me}_2")  # TTL-stale but still referenced
-    similarity._IVFPQ_LIVE_RUNS.add(held)
+    created = str(base / f"run_{me}_2")
+    similarity._IVFPQ_PROCESS_RUNS.add(created)
     try:
         similarity._sweep_stale_ivfpq_runs(str(base))
         left = sorted(p.name for p in base.iterdir())
@@ -1422,29 +1438,35 @@ def test_ivfpq_stale_run_dir_sweep(tmp_path):
             ]
         )
     finally:
-        similarity._IVFPQ_LIVE_RUNS.discard(held)
-
-    # once the result object is gone the TTL applies again
-    similarity._sweep_stale_ivfpq_runs(str(base))
-    assert f"run_{me}_2" not in {p.name for p in base.iterdir()}
+        similarity._IVFPQ_PROCESS_RUNS.discard(created)
 
     # nonexistent base is a no-op, not an error
     similarity._sweep_stale_ivfpq_runs(str(tmp_path / "missing"))
 
 
-def test_ivfpq_topk_registers_and_finalizes_live_run(spark):
-    """The registered query adds its run dir to _IVFPQ_LIVE_RUNS while
-    the result DataFrame is alive and discards it on garbage collection
-    (weakref.finalize) — the mechanism the sweep exemption rests on."""
+def test_ivfpq_topk_derived_plan_survives_sibling_sweeps(spark):
+    """The guarantee the created-set exists for: a DataFrame DERIVED from
+    sim_ivfpq_topk's result (holding no Python reference to the returned
+    object) must still read its snapshot after the original is dropped,
+    garbage-collected, and a sibling call's entry sweep has run against
+    a TTL-stale dir mtime."""
     import gc
+    import os
+    import time
 
     from tbench_agentic_data_pipeline_spark.operators import similarity
 
-    before = set(similarity._IVFPQ_LIVE_RUNS)
+    before = set(similarity._IVFPQ_PROCESS_RUNS)
     df = similarity.sim_ivfpq_topk(spark, SF_SMOKE)
-    created = set(similarity._IVFPQ_LIVE_RUNS) - before
+    created = set(similarity._IVFPQ_PROCESS_RUNS) - before
     assert len(created) == 1
-    df.limit(1).collect()  # the plan must still read its snapshot
+    root = next(iter(created))
+    derived = df.where("rank <= 3")  # no Python ref back to df
     del df
     gc.collect()
-    assert not (set(similarity._IVFPQ_LIVE_RUNS) & created)
+    # age the dir past the TTL and run a sibling's entry sweep
+    old = time.time() - similarity._IVFPQ_RUN_TTL_SECONDS - 60
+    os.utime(root, (old, old))
+    similarity._sweep_stale_ivfpq_runs(os.path.dirname(root))
+    assert os.path.isdir(root)
+    assert len(derived.collect()) > 0  # read-after-delete would fail here

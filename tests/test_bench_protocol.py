@@ -124,6 +124,20 @@ def test_two_pass_min_merge_and_error_clearing():
     errors2 = {n: m for n, m in errors2.items() if n not in times2}
     assert times2 == {"q_e": 2.0} and errors2 == {}
 
+    # r11 review: a genuinely attributed pass-1 failure must survive a
+    # pass-2 infrastructure placeholder — and the reverse upgrade holds
+    times3, errors3 = {}, {}
+    _fold_pass(times3, errors3, {}, {"q_f": "OutOfMemoryError: heap"})
+    _fold_pass(
+        times3, errors3,
+        {}, {"q_f": "not run: shard died during session startup (rc=1)"},
+    )
+    assert errors3["q_f"] == "OutOfMemoryError: heap"
+    times4, errors4 = {}, {}
+    _fold_pass(times4, errors4, {}, {"q_g": "not run: shard died during session startup (rc=1)"})
+    _fold_pass(times4, errors4, {}, {"q_g": "OutOfMemoryError: heap"})
+    assert errors4["q_g"] == "OutOfMemoryError: heap"
+
 
 def test_dead_shard_between_queries_blames_no_finished_query():
     """r9 ADVICE: a crash AFTER a query's result line (cc_rounds

@@ -573,17 +573,31 @@ def test_corpus_embdup_composition_stage_is_active(spark):
         sum(r["members_represented"] for r in rows.values())
         > sum(r["docs_kept"] for r in rows.values())
     )
-    # token and embedding passes are complementary, not nested: each must
-    # drop documents the other keeps at the fixture scale, or one of the
-    # two pipelines is vacuously riding the other's work
+    # survivor resolution must have DROPPED sampled documents: the raw
+    # sampled corpus (no dedup, no quality gate — this pipeline has
+    # none) strictly exceeds the kept set, per language wherever a
+    # cluster lost members there and in total always
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
     from tbench_agentic_data_pipeline_spark.operators.corpus import (
-        pipeline_corpus_build,
+        _sample_bucket,
+        _sample_rate,
     )
 
-    exact = {
-        r["lang"]: r for r in pipeline_corpus_build(spark, SF_ORACLE).collect()
+    raw = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .where(_sample_bucket() < _sample_rate())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
-    assert set(rows) == set(exact)
+    assert set(rows) == set(raw)
+    for lang in rows:
+        assert rows[lang]["docs_kept"] <= raw[lang], lang
+    assert (
+        sum(r["docs_kept"] for r in rows.values())
+        < sum(raw.values())
+    )
 
 
 def test_corpus_neardup_scans_corpus_once(spark):

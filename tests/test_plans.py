@@ -475,6 +475,9 @@ Output [2]: [doc_id#0L, array_distinct(transform(sequence(1, 5), x -> concat(ele
 
 (11) Project
 Output [2]: [doc_id#0L, slice(w#4, 1, 100) AS head#13]
+
+(12) Project
+Output [3]: [doc_id#0L, concat(split(text#1,  , -1)[0], split(text#1,  , -1)[1]) AS s3#14, split(text#1,  , -1)[0] AS first#15]
 """
     tainted = token_array_columns(plan)
     assert {"w#4", "sh#5", "toks#6"} <= tainted
@@ -485,6 +488,10 @@ Output [2]: [doc_id#0L, slice(w#4, 1, 100) AS head#13]
     # assembled from literal-index extractions (element_at or bracket
     # indexing) out of a tainted array is not itself a token array
     assert "s#10" not in tainted and "s2#11" not in tainted
+    # r11 review: the same false-taint via CollapseProject's inlined form
+    # — a once-used split rendered as split(...)[0] directly inside the
+    # scalar projection — must also stay out of the hazard class
+    assert "s3#14" not in tainted and "first#15" not in tainted
     # ...but LAMBDA-index extraction inside an array constructor is the
     # inline shingle build and must stay in the hazard class
     assert "sh2#12" in tainted

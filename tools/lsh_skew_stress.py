@@ -98,7 +98,10 @@ def _per_task_cost(banded, cap, n_tasks):
     costs = sorted(r["cost"] for r in rows) + [0] * (n_tasks - len(rows))
     costs.sort()
     med = costs[len(costs) // 2]
-    return costs[-1], med, (costs[-1] / med if med else float("inf"))
+    # med == 0 (most tasks own no bucket) -> ratio undefined, report None:
+    # float('inf') would serialize as bare `Infinity`, breaking strict
+    # JSON consumers of the payload line
+    return costs[-1], med, (costs[-1] / med if med else None)
 
 
 def main() -> None:
@@ -168,9 +171,16 @@ def main() -> None:
         "sec_uncapped": round(t_uncapped, 2),
         "recall_planted_capped": round(rec_capped, 4),
         "recall_planted_uncapped": round(rec_uncapped, 4),
-        "task_cost_max_over_median_capped": round(ratio_c, 2),
-        "task_cost_max_over_median_uncapped": round(ratio_u, 2),
+        "task_cost_max_over_median_capped": (
+            round(ratio_c, 2) if ratio_c is not None else None
+        ),
+        "task_cost_max_over_median_uncapped": (
+            round(ratio_u, 2) if ratio_u is not None else None
+        ),
     }
+
+    def fmt_ratio(r):
+        return f"{r:.1f}x" if r is not None else "n/a (median task cost 0)"
 
     table = (
         f"sf0.1 documents + 5% boilerplate family (hot bucket "
@@ -181,15 +191,16 @@ def main() -> None:
         f"| candidate pairs | {n_capped} | {n_uncapped} |\n"
         f"| build wall (s) | {t_capped:.2f} | {t_uncapped:.2f} |\n"
         f"| planted-pair recall | {rec_capped:.3f} | {rec_uncapped:.3f} |\n"
-        f"| per-task pair cost max/median | {ratio_c:.1f}x | {ratio_u:.1f}x |\n"
+        f"| per-task pair cost max/median | {fmt_ratio(ratio_c)} "
+        f"| {fmt_ratio(ratio_u)} |\n"
         f"| max per-task pair cost | {max_c} | {max_u} |\n\n"
         f"The cap drops {stats.dropped_buckets} boilerplate buckets "
         f"(<= {stats.dropped_pairs} pairs, all within the hot family), "
         f"keeps planted-pair recall at {rec_capped:.3f} vs "
         f"{rec_uncapped:.3f} uncapped, and bounds the per-task quadratic "
-        f"cost at {ratio_c:.1f}x the median task vs {ratio_u:.1f}x "
-        f"uncapped — the hot family otherwise lands C(family,2) on one "
-        f"task per band."
+        f"cost at {fmt_ratio(ratio_c)} the median task vs "
+        f"{fmt_ratio(ratio_u)} uncapped — the hot family otherwise lands "
+        f"C(family,2) on one task per band."
     )
     print(table)
     print(json.dumps(payload))
