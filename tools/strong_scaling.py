@@ -47,6 +47,12 @@ QUERIES = (
     # parallel-efficiency row — the Sennrich BPE trainer (one corpus
     # shuffle, then vocab-sized argmax rounds with a 1-row collect each)
     "bpe_train_8rounds",
+    # r11: the two full corpus-build compositions (token LSH→CC→survivor
+    # and embedding multiprobe→CC→survivor) — each carries an in-query
+    # CC loop whose per-round driver scheduling is the suspected serial
+    # floor; a parallel-efficiency row makes that measured, not prose
+    "pipeline_corpus_build_neardup",
+    "pipeline_corpus_build_embdup",
 )
 
 
