@@ -115,88 +115,80 @@ def query(
 # (newest file = _WINDOW_ROUND). At each round start, bump this stamp
 # FIRST — the staleness test then prints the exact mandatory block the
 # new window must contain (tools/next_window.py computes it any time).
-_WINDOW_ROUND: int = 11
+_WINDOW_ROUND: int = 12
 
-# Round-11 rotation (tools/next_window.py at r10-close printed exactly this
+# Round-12 rotation (tools/next_window.py at r11-close printed exactly this
 # mandatory block):
-# - the 42 queries whose newest external row is round 8 — staleness
-#   ceiling, non-negotiable: the text_* curation family, the a_*
-#   rollup/approx family, q3/q5/q10, j1/j5, w1/w3, so1, the two
-#   remaining streaming twins (interval/sliding), sim_ivfpq_topk,
-#   sim_knn_join, flagship_pricing_summary, mm_audio_codec,
-#   x1/x6, f_line_cleanup/markdown_render/substring_extract;
-# - round-9 greens prefilled to flatten round 12's mandatory block
-#   (50 r9 rows would otherwise all expire at once), preferring files
-#   that churn this round (corpus.py: the persisted deduped front and
-#   the embedding near-dup composition; similarity.py/clustering.py:
-#   incremental IVF maintenance; dedup.py: CC chain fixtures) — new
-#   queries registered this round take prefill slots when they land
-#   (sim_ivf_incremental replaced the mm_gif_codec prefill; mm_gif_codec
-#   is r9-green and safely waits for r12), so the mandatory block is
-#   never displaced.
+# - the 44 queries whose newest external row is round 9 — staleness
+#   ceiling, non-negotiable: the p1-p8 predicate family, the u*/w*/so*
+#   mutation/window/setop rows, the PQ/quantized/topk similarity family,
+#   snapshots, st1, events_funnel, a8/a_stats gauntlets, mm gif/video/
+#   decode, text contamination/tfidf/zipf, x7/x_fail_first;
+# - round-10 greens prefilled to flatten round 13's mandatory block
+#   (50 r10 rows would otherwise all expire at once), preferring files
+#   that churn this round (corpus.py: the incremental corpus-build tick;
+#   dedup.py: the persisted-index front it reuses; similarity.py: the
+#   sim_ivfpq_topk adjudication) — new queries registered this round
+#   take prefill slots when they land, so the mandatory block is never
+#   displaced.
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r8: staleness ceiling forces these 42 ----------------
-    "a1_status_histogram_zero_filled",
-    "a4_completion_rate",
-    "a5_map_value_sum_check",
-    "a6_error_rollup",
-    "a_approx_distinct",
-    "a_approx_percentile",
-    "a_pivot_type_by_dow",
-    "a_profile_documents",
-    "a_retention_cohorts",
-    "a_rollup_revenue",
-    "a_value_histogram",
-    "f_line_cleanup",
-    "f_markdown_render",
-    "f_substring_extract",
-    "flagship_pricing_summary",
-    "j1_semi_join_customers_with_orders",
-    "j5_broadcast_dim_join",
-    "mm_audio_codec",
-    "q10_returned_items",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "sim_ivfpq_topk",
-    "sim_knn_join",
-    "so1_union_by_name",
-    "st_interval_join",
-    "st_sliding_window",
-    "text_bpe_pairs",
-    "text_chunking",
-    "text_fingerprint",
-    "text_langid",
-    "text_mixture_weights",
-    "text_normalize",
-    "text_pii_redaction",
-    "text_quality_score",
-    "text_repetition_filter",
-    "text_sequence_packing",
-    "text_stratified_sample",
-    "text_token_count",
-    "w1_ordered_scan",
-    "w3_pergroup_topn",
-    "x1_ast_test_discovery",
-    "x6_test_codegen",
-    # -- round-9 greens prefilled (churned files this round); new queries ----
+    # -- newest row is r9: staleness ceiling forces these 44 ----------------
+    "a8_distinct_users_per_type",
+    "a8_pytest_summary_parse",
+    "a_percentiles",
+    "a_salted_sum",
+    "a_stats_gauntlet",
+    "events_funnel",
+    "j2_anti_join_customers_without_orders",
+    "j3_full_outer_reconciliation",
+    "j4_parent_child_counts",
+    "mm_decode_features",
+    "mm_gif_codec",
+    "mm_video_codec",
+    "p1_point_lookup",
+    "p2_filter_project",
+    "p3_first_match_claim",
+    "p4_existence_guard",
+    "p5_stage_predicate",
+    "p6_timeout_predicate",
+    "p7_ownership_predicate",
+    "p8_prefix_projection",
+    "sim_lsh_buckets",
+    "sim_pq_adc_topk",
+    "sim_pq_trained_topk",
+    "sim_quantized_topk",
+    "sim_topk_cosine",
+    "snap_compact_vacuum",
+    "snap_merge_on_read",
+    "so2_delete_by_key",
+    "so3_key_set_difference",
+    "st1_claim_assignment",
+    "text_contamination",
+    "text_tfidf_topk",
+    "text_zipf_fluency",
+    "u2_map_mutation",
+    "u3_claim_transition",
+    "u4_complete_transition",
+    "u6_timeout_release",
+    "u8_production_derivation",
+    "w2_global_topn",
+    "w4_fifo_claim_order",
+    "w5_running_total",
+    "w6_lag_gap_seconds",
+    "x7_validation_pipeline",
+    "x_fail_first_policy",
+    # -- round-10 greens prefilled (churned files this round); new queries --
     # -- registered this round replace prefills from the BOTTOM up ----------
-    "pipeline_corpus_build",
-    "dedup_embedding_multiprobe",
-    "dedup_incremental",
-    "sim_ivf_probe",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    # -- new this round: the embedding-space corpus-build pass (multiprobe --
-    # -- near-dup -> CC -> survivors over documents) and incremental IVF ----
-    # -- maintenance (assign arriving batch to the saved quantizer + drift) -
-    # -- (replaced the sim_lsh_buckets and mm_gif_codec prefills; both are --
-    # -- r9-green and safely wait for r12) ----------------------------------
-    "pipeline_corpus_build_embdup",
-    "sim_ivf_incremental",
+    "pipeline_corpus_build_neardup",
+    "dedup_minhash_fast",
+    "dedup_cluster_components",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "sim_centroid_outliers",
 )
 
 
