@@ -161,29 +161,36 @@ def _mask_literal_extractions(expr: str) -> str:
     # call-result indexing — `split(text#1,  , -1)[0]` (the rendering
     # CollapseProject produces when a once-used split is inlined and
     # GetArrayItem picks a literal element): mask the WHOLE call+index
-    # span, right to left so removals don't shift pending positions.
-    # Stripping only the [0] would leave a bare split(...) that the
-    # seed check reads as a token array.
-    for m in sorted(
-        re.finditer(r"\)\[\s*-?\d+\s*\]", masked),
-        key=lambda mm: -mm.start(),
-    ):
-        i, depth = m.start(), 0
-        while i >= 0:
-            if masked[i] == ")":
-                depth += 1
-            elif masked[i] == "(":
-                depth -= 1
-                if depth == 0:
-                    break
-            i -= 1
-        if i < 0:
-            continue  # unbalanced fragment: leave untouched (conservative)
-        h = i
-        while h > 0 and (masked[h - 1].isalnum() or masked[h - 1] in "_."):
-            h -= 1
-        masked = masked[:h] + masked[m.end():]
-    return masked
+    # span. Stripping only the [0] would leave a bare split(...) that
+    # the seed check reads as a token array. Matches must be re-found
+    # after every removal: a removed span can CONTAIN another match
+    # (nested `split(split(t)[0])[1]`), whose offsets saved against the
+    # pre-removal string would overrun the shrunken one.
+    while True:
+        removed = False
+        for m in sorted(
+            re.finditer(r"\)\[\s*-?\d+\s*\]", masked),
+            key=lambda mm: -mm.start(),
+        ):
+            i, depth = m.start(), 0
+            while i >= 0:
+                if masked[i] == ")":
+                    depth += 1
+                elif masked[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            if i < 0:
+                continue  # unbalanced fragment: leave untouched (conservative)
+            h = i
+            while h > 0 and (masked[h - 1].isalnum() or masked[h - 1] in "_."):
+                h -= 1
+            masked = masked[:h] + masked[m.end():]
+            removed = True
+            break  # string changed: restart the search on the new string
+        if not removed:
+            return masked
 
 
 def token_array_columns(plan: str) -> set[str]:

@@ -499,3 +499,28 @@ Output [3]: [doc_id#0L, concat(split(text#1,  , -1)[0], split(text#1,  , -1)[1])
     assert "head#13" in tainted
     assert _id_in("w#4", "a, w#4, b") and not _id_in("w#4", "a, w#45, b")
     assert not _id_in("w#4", "raw#4")
+
+
+def test_mask_literal_extractions_nested_call_indexing():
+    """r11 ADVICE: the call-result-index masking pass must survive a
+    removal span that CONTAINS another match (nested inlined-split
+    forms) — the pre-fix code iterated stale offsets against the
+    mutated string and raised IndexError, crashing the registry-wide
+    token-array audit on exactly the plans it exists to handle."""
+    from tbench_agentic_data_pipeline_spark.plans.explain import (
+        _mask_literal_extractions as mask,
+    )
+
+    # the two verified crash reproducers from the r11 ADVICE
+    assert mask("split(split(text#1, ;, -1)[0],  , -1)[1]") == ""
+    assert (
+        mask("substring(concat(split(text#1,  , -1)[0])[1], 1, 3)")
+        == "substring(, 1, 3)"
+    )
+    # masking must not touch the lambda-index shingle build (the hazard
+    # the detector exists for) nor derived-index element_at
+    inline = "array_distinct(transform(split(lower(text#1),  , -1), x -> x))"
+    assert mask(inline) == inline
+    assert mask("element_at(w#4, x)") == "element_at(w#4, x)"
+    # unbalanced fragments are left untouched, without looping forever
+    assert mask(")[0] stray") == ")[0] stray"
