@@ -117,6 +117,12 @@ HEADLINE = [
     # accounting — the semantic complement of pipeline_corpus_build_neardup)
     "sim_ivf_incremental",
     "pipeline_corpus_build_embdup",
+    # round-12 addition, benched from birth: the incremental corpus-build
+    # tick (arriving batch -> MinHash dedup vs the history index -> accepted
+    # embeddings assigned to the saved quantizer -> per-lang tick report
+    # with the drift numerators) — the O(batch) streaming twin of the two
+    # batch corpus compositions
+    "pipeline_incremental_tick",
 ]
 
 

@@ -496,3 +496,306 @@ def pipeline_corpus_build_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("n_members", F.lit(1))).cast("bigint")
             .alias("members_represented"),
     )
+
+
+@query(
+    "pipeline_incremental_tick",
+    survey="P4,J1,J5,A4",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        t AS (SELECT doc_id, list_distinct(w) AS toks FROM toks),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS shingles
+            FROM toks WHERE len(w) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+                   [list_min(list_transform(shingles,
+                        s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                    for h in range(0, 8)] AS mh
+            FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+            FROM sig, range(0, 4) r(b)
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS dup_of
+            FROM bands n
+            JOIN bands e ON n.b = e.b AND n.band_key = e.band_key
+            WHERE n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+        ),
+        rejected AS (
+            SELECT DISTINCT c.new_id AS doc_id
+            FROM cand c
+            JOIN t tn ON tn.doc_id = c.new_id
+            JOIN t te ON te.doc_id = c.dup_of
+            WHERE (len(list_intersect(tn.toks, te.toks)) * 1000)
+                      // (len(tn.toks) + len(te.toks)
+                          - len(list_intersect(tn.toks, te.toks))) >= 500
+        ),
+        iv AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                       AS iv
+            FROM embeddings
+        ),
+        ex AS (SELECT * FROM iv WHERE vec_id % 2 = 0),
+        cellsum AS (
+            SELECT label, r.i, SUM(iv[CAST(r.i AS INT)]) AS s
+            FROM ex, range(1, 65) r(i)
+            GROUP BY label, r.i
+        ),
+        celln AS (SELECT label, COUNT(*) AS n FROM ex GROUP BY label),
+        cent AS (
+            SELECT cs.label AS cluster,
+                   list(CAST(FLOOR(1000.0 * cs.s / cn.n) AS BIGINT)
+                        ORDER BY cs.i) AS cv
+            FROM cellsum cs JOIN celln cn USING (label)
+            GROUP BY cs.label, cn.n
+        ),
+        scored_train AS (
+            SELECT v.vec_id, ct.cluster,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (v.iv[CAST(i AS INT)] * 1000
+                               - ct.cv[CAST(i AS INT)])
+                            * (v.iv[CAST(i AS INT)] * 1000
+                               - ct.cv[CAST(i AS INT)]))) AS d
+            FROM ex v CROSS JOIN cent ct
+        ),
+        best_train AS (
+            SELECT * FROM scored_train
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, cluster) = 1
+        ),
+        baseline AS (
+            SELECT CAST(SUM(d) // COUNT(*) AS BIGINT) AS train_mean_d
+            FROM best_train
+        ),
+        bv AS (SELECT * FROM iv WHERE vec_id % 2 = 1),
+        scored_batch AS (
+            SELECT v.vec_id, ct.cluster,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (v.iv[CAST(i AS INT)] * 1000
+                               - ct.cv[CAST(i AS INT)])
+                            * (v.iv[CAST(i AS INT)] * 1000
+                               - ct.cv[CAST(i AS INT)]))) AS d
+            FROM bv v CROSS JOIN cent ct
+        ),
+        best_batch AS (
+            SELECT vec_id, d FROM scored_batch
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, cluster) = 1
+        ),
+        batch AS (
+            SELECT d.doc_id, d.lang,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+                   r.doc_id IS NOT NULL AS is_dup
+            FROM documents d LEFT JOIN rejected r USING (doc_id)
+            WHERE d.doc_id % 2 = 1
+        ),
+        tick AS (
+            SELECT b.lang, b.n_tok, b.is_dup,
+                   CASE WHEN NOT b.is_dup THEN bb.d END AS d
+            FROM batch b LEFT JOIN best_batch bb ON bb.vec_id = b.doc_id
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_batch,
+               CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS n_dup,
+               CAST(COUNT(*) FILTER (NOT is_dup) AS BIGINT) AS n_accepted,
+               CAST(COALESCE(SUM(n_tok) FILTER (NOT is_dup), 0) AS BIGINT)
+                   AS tokens_accepted,
+               CAST(COUNT(d) AS BIGINT) AS n_assigned,
+               CAST(SUM(d) // NULLIF(COUNT(d), 0) AS BIGINT)
+                   AS assign_mean_d,
+               (SELECT train_mean_d FROM baseline) AS train_mean_d
+        FROM tick
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def pipeline_incremental_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL corpus-build tick (r11 verdict task #4) — the
+    streaming twin of the two batch compositions, the job a
+    continuously-fed training pipeline runs on EVERY arriving batch
+    (reference analog: the per-datapoint ingest loop around
+    ``get_next_task``/``add_dp_to_review``, re-expressed as one
+    distributed maintenance pass):
+
+        arriving batch (doc_id odd; even = indexed history) →
+        incremental MinHash dedup against the history's band index
+        (``dedup.minhash_index`` shape: new×existing candidates only,
+        exact token-Jaccard ≥ 0.5 verifies — cost ∝ |batch|) → accepted
+        survivors' embeddings assigned to the SAVED coarse quantizer
+        (``clustering.ivf_append_batch``'s argmin, integer-milli twin so
+        both engines agree to the last bit; vector-less docs are
+        accepted but unassigned) → per-language tick report: batch /
+        rejected / accepted / token counts, assigned count, floor-mean
+        assignment distance, and the persisted training baseline
+        (``ivf_train_stats``) repeated in-row — the exact
+        numerators/denominators of ``clustering.ivf_drift_ratio``, whose
+        float ratio stays out of the hash contract (same choice as
+        ``sim_ivf_incremental``).
+
+    Production path: the band index and quantizer+stats are
+    ``SnapshotTable`` commits read per tick, and the assigned batch is
+    ``append_delta``-chained (O(batch) writes) — both lifecycles pinned
+    elsewhere (``tests/test_operators.py`` index round-trip,
+    ``tests/test_ann.py`` append/drift). This query replays them
+    in-plan (md5 twin, integer-milli quantizer) so the WHOLE tick is
+    one oracle-checkable DataFrame.
+
+    Scale shape: the dup-reject list is built once behind a
+    localCheckpoint (band join + verify — at production the tick
+    persists it anyway) and rejoins the batch size-aware (broadcast
+    below 5M ids, keyed shuffle above); the quantizer is a k-row
+    codebook collected to the driver (bounded scalar, the IVF
+    broadcast-centroid pattern) so batch assignment is a PER-ROW argmin
+    with zero crossJoin and zero extra exchange; the final plan is one
+    batch scan + one embeddings scan, one keyed doc↔vec join, one lang
+    groupBy — cost ∝ |batch|, never |corpus|."""
+    import math
+
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        _verify_join_sides,
+        jaccard_milli,
+        minhash_index,
+    )
+
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        source_path=table_path(sf_dir, "documents"),
+    )
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    # --- stage 1: incremental MinHash dedup (dedup_incremental's shape,
+    # new×existing only) → the tick's reject list, materialized once ----
+    idx = minhash_index(history, hash_fn="md5").select(
+        F.col("doc_id").alias("dup_of"), "b", "band_key"
+    )
+    nb = minhash_index(batch, hash_fn="md5").select(
+        F.col("doc_id").alias("new_id"), "b", "band_key"
+    )
+    cand = nb.join(idx, ["b", "band_key"]).select("new_id", "dup_of").distinct()
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    tn = t.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_n"))
+    te = t.select(F.col("doc_id").alias("dup_of"), F.col("toks").alias("toks_e"))
+    tn, te = _verify_join_sides(sf_dir, tn, te)
+    rejected = (
+        cand.join(tn, "new_id")
+        .join(te, "dup_of")
+        .where(jaccard_milli(F.col("toks_n"), F.col("toks_e")) >= 500)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_rejected = rejected.count()  # checkpointed: a cheap scalar action
+    rej = rejected.select("doc_id", F.lit(True).alias("is_dup"))
+    if n_rejected <= _BROADCAST_LABELS_BELOW:
+        rej = F.broadcast(rej)
+
+    # --- stage 2: the saved quantizer, replayed integer-milli (the k-row
+    # codebook a production tick loads from its SnapshotTable) ----------
+    dim = 64
+    iv_expr = F.transform(
+        as_double(F.col("embedding")), lambda x: F.floor(x * 1000)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", iv_expr.alias("iv")
+    )
+    cellstats = (
+        emb.where(F.col("vec_id") % 2 == 0)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("iv", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        .collect()
+    )
+    # floor(1000.0*s/n): multiply exact (< 2^53), then ONE double divide —
+    # the same IEEE op order both engines use, so the floors agree
+    codebook = sorted(
+        (
+            int(r["label"]),
+            [math.floor(r[f"s{i}"] * 1000.0 / r["n"]) for i in range(dim)],
+        )
+        for r in cellstats
+    )
+
+    def argmin_d(iv_col: F.Column) -> F.Column:
+        cells = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        iv_col,
+                        F.array(*[F.lit(v) for v in cv]),
+                        lambda a, b: (a * 1000 - b) * (a * 1000 - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cv in codebook
+        ]
+        # struct comparison is lexicographic → min by (d, cluster), the
+        # oracle's ROW_NUMBER() ORDER BY d, cluster
+        return F.array_min(F.array(*cells))["d"]
+
+    # --- stage 3: the persisted training baseline (ivf_train_stats' global
+    # floor-mean — at production read off the index, replayed here) ------
+    tr = (
+        emb.where(F.col("vec_id") % 2 == 0)
+        .agg(
+            F.sum(argmin_d(F.col("iv"))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    train_mean_d = int(tr["s"]) // int(tr["n"]) if tr["n"] else None
+
+    # --- stage 4: the tick report — ONE pass over the batch ------------
+    bv = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("doc_id"), "iv"
+    )
+    rows = (
+        batch.select(
+            "doc_id", "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        )
+        .join(rej, "doc_id", "left")
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
+        .join(bv, "doc_id", "left")
+        .withColumn(
+            "d", F.when(~F.col("is_dup"), argmin_d(F.col("iv")))
+        )
+    )
+    return (
+        rows.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+            F.count(F.when(F.col("is_dup"), 1)).cast("bigint").alias("n_dup"),
+            F.count(F.when(~F.col("is_dup"), 1)).cast("bigint")
+                .alias("n_accepted"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_dup"), F.col("n_tok"))), F.lit(0)
+            ).cast("bigint").alias("tokens_accepted"),
+            F.count("d").cast("bigint").alias("n_assigned"),
+            F.expr("CAST(sum(d) div NULLIF(count(d), 0) AS BIGINT)")
+                .alias("assign_mean_d"),
+        )
+        .withColumn("train_mean_d", F.lit(train_mean_d).cast("bigint"))
+        .orderBy("lang")
+    )

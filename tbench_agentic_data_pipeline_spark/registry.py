@@ -188,7 +188,12 @@ _FRONT_ORDER: tuple[str, ...] = (
     "dedup_cluster_components",
     "dedup_exact",
     "dedup_embedding_cosine",
-    "sim_centroid_outliers",
+    # -- new this round: the incremental corpus-build tick (arriving batch
+    # -- -> MinHash dedup vs the history index -> accepted embeddings
+    # -- assigned to the saved quantizer -> per-lang tick report with the
+    # -- drift numerators) — replaced the sim_centroid_outliers prefill
+    # -- (r10-green, safely waits for r13) ----------------------------------
+    "pipeline_incremental_tick",
 )
 
 

@@ -123,6 +123,12 @@ _PINS = {
     # lang agg; the multiprobe pair build + CC run inside localCheckpoints
     # and the label/size joins broadcast below 5M clustered nodes
     "pipeline_corpus_build_embdup": 3,
+    # r12 addition: one spread exchange on the batch scan + final lang
+    # agg + ordered output; the reject list (band join + Jaccard verify)
+    # is built inside a localCheckpoint and rejoins broadcast below 5M
+    # ids, and assignment is a per-row argmin over the collected k-row
+    # codebook (zero crossJoin, zero extra exchange)
+    "pipeline_incremental_tick": 3,
 }
 
 
