@@ -356,6 +356,18 @@ def _fold_pass(
         errors[n] = msg
 
 
+def _box_stamp() -> dict:
+    """Box-state stamp for the committed record (r11 verdict task #7):
+    the documented ±30-50% sub-second noise comes from an intermittent
+    CPU neighbor, so a future noisy record must be self-diagnosing —
+    1/5/15-min load averages at sweep end, rounded readable. Empty dict
+    only where the platform lacks getloadavg."""
+    try:
+        return {"loadavg": [round(x, 2) for x in os.getloadavg()]}
+    except OSError:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -405,6 +417,7 @@ def main() -> None:
     # attribution survives other connected_components callers).
     if cc_rounds is not None:
         payload["cc_rounds"] = cc_rounds
+    payload.update(_box_stamp())
     print(json.dumps(payload))
 
 

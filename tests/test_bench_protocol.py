@@ -155,3 +155,19 @@ def test_dead_shard_between_queries_blames_no_finished_query():
     assert errors["q_c"] == errors["q_d"] == (
         "not run: shard died between queries/session teardown (rc=137)"
     )
+
+
+def test_payload_carries_loadavg_stamp():
+    """r11 verdict task #7: the committed bench record must be
+    self-diagnosing against box noise — main() merges _box_stamp() into
+    the payload, and on this platform the stamp must be the 1/5/15-min
+    load averages: three non-negative JSON-serializable floats (absent
+    only where os.getloadavg is unavailable, which this box is not)."""
+    from bench import _box_stamp
+
+    stamp = _box_stamp()
+    assert "loadavg" in stamp
+    load = json.loads(json.dumps(stamp))["loadavg"]
+    assert len(load) == 3 and all(
+        isinstance(x, (int, float)) and x >= 0 for x in load
+    )
