@@ -600,6 +600,36 @@ def test_corpus_embdup_composition_stage_is_active(spark):
     )
 
 
+def test_corpus_embdup_planted_pair_recovery(spark):
+    """r11 verdict task #5 pin: planted semantic near-dup pairs must be
+    RECOVERED through the embdup composition's full stage chain
+    (multiprobe pairs at the tau 0.3 / cap 16 operating point → CC →
+    keep-longest survivor resolution) — nonzero clustered pairs and the
+    half-length planted partners actually dropped from the survivor
+    set. The sf0.1 measurement lives in SCALING.md
+    (AUTOGEN:EMBDUP_E2E_RECALL, tools/embdup_pipeline_recall.py —
+    0.94/0.98 at cos ≥ 0.85); this pin reruns the identical
+    construction at the oracle SF so a recall regression in any chain
+    stage fails the suite, with a conservative ≥ half bound (the
+    fixture's 63 planted pairs leave room for split-boundary noise)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from embdup_pipeline_recall import build_planted, stage_chain_metrics
+    from tests.conftest import SF_ORACLE
+
+    corpus, docs, planted = build_planted(spark, SF_ORACLE)
+    rows, total = stage_chain_metrics(corpus, docs, planted)
+    assert total["n"] >= 40  # planted pairs in the >= 0.85 band exist
+    assert total["clustered"] > 0 and total["removed"] > 0
+    assert total["clustered"] >= 0.5, total
+    assert total["removed"] >= 0.5, total
+
+
 def test_corpus_neardup_scans_corpus_once(spark):
     """The quality→exact-dedup front is materialized once (localCheckpoint)
     and feeds BOTH the LSH edge build and the survivors side, so the
