@@ -117,12 +117,15 @@ HEADLINE = [
     # accounting — the semantic complement of pipeline_corpus_build_neardup)
     "sim_ivf_incremental",
     "pipeline_corpus_build_embdup",
-    # round-12 addition, benched from birth: the incremental corpus-build
+    # round-12 additions, benched from birth: the incremental corpus-build
     # tick (arriving batch -> MinHash dedup vs the history index -> accepted
     # embeddings assigned to the saved quantizer -> per-lang tick report
     # with the drift numerators) — the O(batch) streaming twin of the two
-    # batch corpus compositions
+    # batch corpus compositions — and the cross-doc 8-gram novelty audit
+    # (explode distinct grams -> window count over gram -> per-doc rollup;
+    # the corpus-vs-itself memorization signal)
     "pipeline_incremental_tick",
+    "text_ngram_novelty",
 ]
 
 

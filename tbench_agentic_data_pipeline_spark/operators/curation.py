@@ -404,3 +404,98 @@ def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram novelty (memorization / boilerplate audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    survey="F13,A1,A7",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, unnest({_duck_ngrams(8)}) AS gram FROM t
+        ),
+        x AS (
+            SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS ndocs FROM g
+        ),
+        p AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT)  AS shared_grams,
+                   MAX(ndocs)       AS max_gram_docs
+            FROM x GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, shared_grams, max_gram_docs,
+               ((n_grams - shared_grams) * 1000) // n_grams AS novelty_milli
+        FROM p
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document 8-gram novelty: for each doc, how many of its
+    DISTINCT word 8-grams appear in at least one OTHER document
+    (``shared_grams``), the widest spread of any of its grams
+    (``max_gram_docs``), and the novel fraction in milli-units. The
+    corpus-level memorization/boilerplate audit (ExactSubstr-lite at
+    fixed gram length): exact duplicates read novelty 0, boilerplate
+    families read high ``max_gram_docs``. Complements
+    ``text_repetition_filter`` (WITHIN-doc repetition) and
+    ``text_contamination`` (overlap vs a held-out eval set) — this is
+    corpus-vs-itself. Reference analog: the validator layer's
+    per-record substring checks (``shared_tools/validators.py``)
+    generalized to corpus scale. Docs shorter than 8 tokens have no
+    grams and drop out (both engines agree).
+
+    Plan shape for 100 TB: grams are distinct per doc BEFORE the explode
+    (``array_distinct`` inside the generator — per-doc set semantics for
+    free, no pre-shuffle dedup), then exactly two exchanges: a window
+    count over gram (the cross-doc spread — count-only frame, no sort,
+    no join-back; the same one-shuffle-cheaper form as
+    ``text_tfidf_topk``'s DF-over-term) and the per-doc rollup
+    (map-side combinable). Nothing corpus-sized crosses the driver; the
+    gram key is high-cardinality so the window partitioning spreads —
+    the hot-gram skew ceiling is ``max_gram_docs`` rows per key, the
+    number this query exists to report.
+    """
+    from pyspark.sql import Window
+
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        source_path=table_path(sf_dir, "documents"),
+    )
+    # Inline in the generator (the contamination lesson: a pre-projected
+    # HOF alias re-evaluates per gram row, measured ~12x slower).
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.split("text", " "), 8))).alias(
+            "gram"
+        ),
+    )
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    per_doc = (
+        grams.select("doc_id", ndocs.alias("ndocs"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("shared_grams"),
+            F.max("ndocs").cast("bigint").alias("max_gram_docs"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "shared_grams",
+        "max_gram_docs",
+        F.expr("((n_grams - shared_grams) * 1000) div n_grams")
+        .cast("bigint")
+        .alias("novelty_milli"),
+    )

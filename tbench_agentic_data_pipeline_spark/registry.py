@@ -187,13 +187,14 @@ _FRONT_ORDER: tuple[str, ...] = (
     "dedup_minhash_fast",
     "dedup_cluster_components",
     "dedup_exact",
-    "dedup_embedding_cosine",
-    # -- new this round: the incremental corpus-build tick (arriving batch
-    # -- -> MinHash dedup vs the history index -> accepted embeddings
-    # -- assigned to the saved quantizer -> per-lang tick report with the
-    # -- drift numerators) — replaced the sim_centroid_outliers prefill
-    # -- (r10-green, safely waits for r13) ----------------------------------
+    # -- new this round (bottom prefills ceded, r10-green rows safely wait
+    # -- for r13): the incremental corpus-build tick (arriving batch ->
+    # -- MinHash dedup vs the history index -> accepted embeddings assigned
+    # -- to the saved quantizer -> per-lang tick report with the drift
+    # -- numerators) replaced the sim_centroid_outliers prefill; the
+    # -- cross-doc 8-gram novelty audit replaced dedup_embedding_cosine ----
     "pipeline_incremental_tick",
+    "text_ngram_novelty",
 )
 
 

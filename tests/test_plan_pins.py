@@ -129,6 +129,10 @@ _PINS = {
     # ids, and assignment is a per-row argmin over the collected k-row
     # codebook (zero crossJoin, zero extra exchange)
     "pipeline_incremental_tick": 3,
+    # r12 addition: one spread exchange on the corpus scan (the Generate
+    # is the heavy stage — spread before it), the window count over gram,
+    # and the per-doc rollup; no join-back (tfidf's DF-over-term form)
+    "text_ngram_novelty": 3,
 }
 
 
