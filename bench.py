@@ -367,7 +367,7 @@ def _box_stamp() -> dict:
     only where the platform lacks getloadavg."""
     try:
         return {"loadavg": [round(x, 2) for x in os.getloadavg()]}
-    except OSError:
+    except (OSError, AttributeError):  # absent on some platforms vs raising
         return {}
 
 

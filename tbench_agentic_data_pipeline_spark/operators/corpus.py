@@ -39,6 +39,17 @@ from tbench_agentic_data_pipeline_spark.operators.similarity import (
 from tbench_agentic_data_pipeline_spark.operators.text import STOPWORDS
 from tbench_agentic_data_pipeline_spark.registry import query
 
+# Production operating points, shared with the measurement tools
+# (tools/corpus_stage_floor.py imports these) so a retune here cannot
+# silently desynchronize a published per-stage floor table. The oracle
+# SQL strings replay the same values literally — those can't drift
+# silently either, the parity gate fails loudly on a mismatch.
+NEARDUP_SHINGLE_W = 3
+NEARDUP_BANDS = (8, 4, 2)  # minhashes, bands, rows/band
+NEARDUP_HASH = "md5"
+EMBDUP_TAU = 0.3
+EMBDUP_MAX_CELL = 16
+
 
 @query(
     "pipeline_corpus_build",
@@ -283,12 +294,15 @@ def pipeline_corpus_build_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     toks = F.split("text", " ")
     shingled = (
         deduped.select("doc_id", toks.alias("w"))
-        .where(F.size("w") >= 3)
+        .where(F.size("w") >= NEARDUP_SHINGLE_W)
         .select(
-            "doc_id", shingles(F.col("w"), 3, guard_short=False).alias("sh")
+            "doc_id",
+            shingles(F.col("w"), NEARDUP_SHINGLE_W, guard_short=False).alias("sh"),
         )
     )
-    with_bands = minhash_band_df(shingled, "doc_id", "sh", 8, 4, 2, hash_fn="md5")
+    with_bands = minhash_band_df(
+        shingled, "doc_id", "sh", *NEARDUP_BANDS, hash_fn=NEARDUP_HASH
+    )
     pairs = lsh_candidate_pairs(with_bands, "doc_id", "bands")
     clusters = connected_components(
         pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
@@ -465,7 +479,7 @@ def pipeline_corpus_build_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     )
-    pairs = embedding_multiprobe_pairs(emb, tau=0.3, max_cell=16)
+    pairs = embedding_multiprobe_pairs(emb, tau=EMBDUP_TAU, max_cell=EMBDUP_MAX_CELL)
     clusters = connected_components(
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     )

@@ -168,10 +168,9 @@ def _mask_literal_extractions(expr: str) -> str:
     # pre-removal string would overrun the shrunken one.
     while True:
         removed = False
-        for m in sorted(
-            re.finditer(r"\)\[\s*-?\d+\s*\]", masked),
-            key=lambda mm: -mm.start(),
-        ):
+        # finditer yields left-to-right; reversed gives rightmost-first
+        # without a per-restart sort
+        for m in reversed(list(re.finditer(r"\)\[\s*-?\d+\s*\]", masked))):
             i, depth = m.start(), 0
             while i >= 0:
                 if masked[i] == ")":

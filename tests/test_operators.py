@@ -625,7 +625,7 @@ def test_corpus_embdup_planted_pair_recovery(spark):
     corpus, docs, planted = build_planted(spark, SF_ORACLE)
     rows, total = stage_chain_metrics(corpus, docs, planted)
     assert total["n"] >= 40  # planted pairs in the >= 0.85 band exist
-    assert total["clustered"] > 0 and total["removed"] > 0
+    # the fractions are strictly positive by the same bound
     assert total["clustered"] >= 0.5, total
     assert total["removed"] >= 0.5, total
 

@@ -48,6 +48,9 @@ def _neardup_stages(spark, sf_dir):
 
     from tbench_agentic_data_pipeline_spark.catalog import load_table
     from tbench_agentic_data_pipeline_spark.operators.corpus import (
+        NEARDUP_BANDS,
+        NEARDUP_HASH,
+        NEARDUP_SHINGLE_W,
         _quality_deduped,
         _sample_bucket,
         _sample_rate,
@@ -71,13 +74,14 @@ def _neardup_stages(spark, sf_dir):
     toks = F.split("text", " ")
     shingled = (
         deduped.select("doc_id", toks.alias("w"))
-        .where(F.size("w") >= 3)
+        .where(F.size("w") >= NEARDUP_SHINGLE_W)
         .select(
-            "doc_id", shingles(F.col("w"), 3, guard_short=False).alias("sh")
+            "doc_id",
+            shingles(F.col("w"), NEARDUP_SHINGLE_W, guard_short=False).alias("sh"),
         )
     )
     with_bands = minhash_band_df(
-        shingled, "doc_id", "sh", 8, 4, 2, hash_fn="md5"
+        shingled, "doc_id", "sh", *NEARDUP_BANDS, hash_fn=NEARDUP_HASH
     )
     pairs = (
         lsh_candidate_pairs(with_bands, "doc_id", "bands")
@@ -127,6 +131,8 @@ def _embdup_stages(spark, sf_dir):
         table_path,
     )
     from tbench_agentic_data_pipeline_spark.operators.corpus import (
+        EMBDUP_MAX_CELL,
+        EMBDUP_TAU,
         _sample_bucket,
         _sample_rate,
     )
@@ -148,7 +154,7 @@ def _embdup_stages(spark, sf_dir):
         source_path=table_path(sf_dir, "embeddings"),
     ).select("vec_id", "label", as_double(F.col("embedding")).alias("emb"))
     pairs = (
-        embedding_multiprobe_pairs(emb, tau=0.3, max_cell=16)
+        embedding_multiprobe_pairs(emb, tau=EMBDUP_TAU, max_cell=EMBDUP_MAX_CELL)
         .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
         .localCheckpoint()
     )

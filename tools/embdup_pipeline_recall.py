@@ -50,9 +50,12 @@ from tbench_agentic_data_pipeline_spark.operators.similarity import (
 )
 from tbench_agentic_data_pipeline_spark.session import get_session
 
+from tbench_agentic_data_pipeline_spark.operators.corpus import (
+    EMBDUP_MAX_CELL as CAP,  # the composition's bounded-split cap
+    EMBDUP_TAU as TAU_EDGE,  # the composition's edge threshold
+)
+
 SF_DIR = "/root/testdata/sf0.1"
-TAU_EDGE = 0.3  # the composition's edge threshold
-CAP = 16  # the composition's bounded-split cap
 TAU_TRUTH = 0.85  # the near-dup band planted pairs are judged in
 PARTNER_OFFSET = 1_000_000
 START = "<!-- AUTOGEN:EMBDUP_E2E_RECALL -->"
