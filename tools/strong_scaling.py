@@ -53,6 +53,14 @@ QUERIES = (
     # floor; a parallel-efficiency row makes that measured, not prose
     "pipeline_corpus_build_neardup",
     "pipeline_corpus_build_embdup",
+    # r12: the incremental corpus-build tick (index save + band join +
+    # quantizer assignment — the O(batch) lifecycle path, expected to be
+    # fixed-overhead-bound like dedup_incremental) and the cross-doc
+    # n-gram novelty audit (explode → gram-window shuffle → doc rollup,
+    # the widest-fanout shuffle shape in the registry — expected to
+    # spread well)
+    "pipeline_incremental_tick",
+    "text_ngram_novelty",
 )
 
 
