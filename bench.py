@@ -123,9 +123,12 @@ HEADLINE = [
     # with the drift numerators) — the O(batch) streaming twin of the two
     # batch corpus compositions — and the cross-doc 8-gram novelty audit
     # (explode distinct grams -> window count over gram -> per-doc rollup;
-    # the corpus-vs-itself memorization signal)
+    # the corpus-vs-itself memorization signal), and the incremental-rollup
+    # merge certification (three micro-batch partials folded via the
+    # streaming drain's own union+re-aggregate merge)
     "pipeline_incremental_tick",
     "text_ngram_novelty",
+    "st_incremental_rollup",
 ]
 
 

@@ -70,6 +70,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "tbench_agentic_data_pipeline_spark.functions.codegen",
     "tbench_agentic_data_pipeline_spark.streaming.windows",
     "tbench_agentic_data_pipeline_spark.streaming.joins",
+    "tbench_agentic_data_pipeline_spark.streaming.stateful",
     "tbench_agentic_data_pipeline_spark.sources.snapshot",
 )
 
@@ -186,15 +187,16 @@ _FRONT_ORDER: tuple[str, ...] = (
     "pipeline_corpus_build_neardup",
     "dedup_minhash_fast",
     "dedup_cluster_components",
-    "dedup_exact",
     # -- new this round (bottom prefills ceded, r10-green rows safely wait
     # -- for r13): the incremental corpus-build tick (arriving batch ->
     # -- MinHash dedup vs the history index -> accepted embeddings assigned
     # -- to the saved quantizer -> per-lang tick report with the drift
     # -- numerators) replaced the sim_centroid_outliers prefill; the
-    # -- cross-doc 8-gram novelty audit replaced dedup_embedding_cosine ----
+    # -- cross-doc 8-gram novelty audit replaced dedup_embedding_cosine;
+    # -- the incremental-rollup merge certification replaced dedup_exact --
     "pipeline_incremental_tick",
     "text_ngram_novelty",
+    "st_incremental_rollup",
 )
 
 

@@ -20,9 +20,13 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from tbench_agentic_data_pipeline_spark.catalog import load_table
+from tbench_agentic_data_pipeline_spark.registry import query
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -149,6 +153,94 @@ def drain_available(
     )
 
 
+def rollup_partial(batch: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
+    """One micro-batch's additive contribution: count + sums per key
+    (map-side combinable; output is key-cardinality, never batch-sized)."""
+    return batch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def rollup_merge(
+    cur: DataFrame, partial: DataFrame, keys: list[str], val_cols: list[str]
+) -> DataFrame:
+    """Fold a partial into the current rollup: union the two
+    key-cardinality tables and re-aggregate. Additive merges need no
+    join machinery — groupBy gives null-safe key semantics for free
+    (a NULL key is one group), an all-NULL sum stays NULL exactly as
+    SQL's SUM does (a full-outer/coalesce-add formulation reads 0
+    there), and the plan is ONE key-cardinality exchange where the
+    null-safe full-outer join this replaced needed a re-shuffle of
+    both sides onto the null-safe composite key."""
+    return (
+        cur.select(*keys, *val_cols)
+        .unionByName(partial.select(*keys, *val_cols))
+        .groupBy(*keys)
+        .agg(
+            *[
+                # only the count column's type is pinned; value sums keep
+                # their native type (the drain rolls float sums)
+                (F.sum(v).cast("bigint") if v == "n" else F.sum(v)).alias(v)
+                for v in val_cols
+            ]
+        )
+    )
+
+
+@query(
+    "st_incremental_rollup",
+    survey="ST3,A1,A7",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)                              AS n,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                                                                     AS sum_cents
+        FROM events GROUP BY event_type
+    """,
+)
+def st_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, proven equal to the batch recompute:
+    the events table arrives as three micro-batches (event_id mod 3 —
+    the batch mirror of the drain's trigger boundaries) and each batch's
+    partial count/sum folds ADDITIVELY into the running rollup via the
+    SAME ``rollup_partial``/``rollup_merge`` the streaming
+    ``incremental_rollup_drain`` commits per micro-batch — so the driver
+    hash against the one-pass SQL aggregate certifies the merge algebra
+    (union + re-aggregate) itself, not a lookalike. Value sums are
+    integer cents (``floor(value·100)``): integer addition is
+    associative, so the three-fold merge order cannot drift from the
+    oracle's single-pass sum the way float accumulation order can.
+    (Replay idempotence — a re-delivered batch id must be a no-op — is
+    the commit-log seam, pinned in tests/test_streaming.py.)
+
+    Scale shape: ONE events scan (the 3-column projection is
+    localCheckpointed, batches slice from memory); each partial is a
+    map-side-combined aggregate whose output is |event_type| rows, and
+    each merge is a key-cardinality full-outer join — at 100 TB the
+    per-batch cost is the batch scan + a tiny-table merge, never a
+    recompute over history, which is the operator's reason to exist."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            (F.col("event_id") % 3).alias("b"),
+        )
+        .localCheckpoint()
+    )
+    keys, val_cols = ["event_type"], ["n", "sum_cents"]
+    state = rollup_partial(events.where(F.col("b") == 0), keys, ["cents"])
+    for b in (1, 2):
+        partial = rollup_partial(events.where(F.col("b") == b), keys, ["cents"])
+        state = rollup_merge(state, partial, keys, val_cols)
+    return state.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )
+
+
 def incremental_rollup_drain(
     stream: DataFrame,
     table,
@@ -171,40 +263,19 @@ def incremental_rollup_drain(
     commit history first — the snapshot history doubles as the applied-
     transaction log (the role Delta's txn action plays). Output columns:
     ``keys``, ``n`` (count), and ``sum_<col>`` per ``sum_cols``."""
-    from pyspark.sql import functions as F
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         op = f"rollup_batch_{batch_id}"
         if any(h.get("operation") == op for h in table.history()):
             return  # replayed batch — already folded in
-        partial = batch.groupBy(*keys).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
-        )
+        partial = rollup_partial(batch, keys, sum_cols)
         if table.current_version() is None:
             table.commit(partial, operation=op)
             return
-        cur = table.read()
         val_cols = ["n"] + [f"sum_{c}" for c in sum_cols]
-        new = partial.select(
-            *[F.col(k).alias(f"__k_{k}") for k in keys],
-            *[F.col(v).alias(f"__v_{v}") for v in val_cols],
+        table.commit(
+            rollup_merge(table.read(), partial, keys, val_cols), operation=op
         )
-        cond = [cur[k].eqNullSafe(F.col(f"__k_{k}")) for k in keys]
-        merged = cur.join(new, cond, "full_outer").select(
-            *[
-                F.coalesce(cur[k], F.col(f"__k_{k}")).alias(k)
-                for k in keys
-            ],
-            *[
-                (
-                    F.coalesce(cur[v], F.lit(0)) + F.coalesce(F.col(f"__v_{v}"), F.lit(0))
-                ).alias(v)
-                for v in val_cols
-            ],
-        )
-        merged = merged.withColumn("n", F.col("n").cast("bigint"))
-        table.commit(merged, operation=op)
 
     return (
         stream.writeStream.foreachBatch(merge)

@@ -133,6 +133,10 @@ _PINS = {
     # is the heavy stage — spread before it), the window count over gram,
     # and the per-doc rollup; no join-back (tfidf's DF-over-term form)
     "text_ngram_novelty": 3,
+    # r12 addition: one key-cardinality exchange per batch partial; the
+    # two union+re-aggregate merges reuse the partials' partitioning
+    # (the null-safe full-outer form this replaced measured 7)
+    "st_incremental_rollup": 3,
 }
 
 
