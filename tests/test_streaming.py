@@ -650,3 +650,35 @@ def test_upsert_drain_delta_merge_on_read(spark, tmp_path):
     assert table.current_version() == v_after
     v = table.compact(merge_key="task_id")
     assert table.read(version=v).count() == 3
+
+
+def test_rollup_merge_null_key_and_null_sum_semantics(spark):
+    """The union+re-aggregate merge (r12 rewrite of the full-outer/
+    coalesce-add form) pins the two semantics that changed shape: a NULL
+    key is ONE group across merges (groupBy null-safety), and a group
+    whose sums are NULL on both sides stays NULL — exactly SQL's SUM —
+    where the old coalesce-add form would have fabricated 0."""
+    from tbench_agentic_data_pipeline_spark.streaming.stateful import (
+        rollup_merge,
+        rollup_partial,
+    )
+
+    rows = [
+        (None, 2.0), (None, None), ("a", 1.5),  # batch 0
+        (None, 3.0), ("a", None), ("b", None),  # batch 1
+        ("b", None),                            # batch 2 (b stays all-NULL)
+    ]
+    batches = [
+        spark.createDataFrame(rows[:3], "k string, v double"),
+        spark.createDataFrame(rows[3:6], "k string, v double"),
+        spark.createDataFrame(rows[6:], "k string, v double"),
+    ]
+    state = rollup_partial(batches[0], ["k"], ["v"])
+    for b in batches[1:]:
+        state = rollup_merge(state, rollup_partial(b, ["k"], ["v"]), ["k"], ["n", "sum_v"])
+    got = {r["k"]: (r["n"], r["sum_v"]) for r in state.collect()}
+    assert got == {
+        None: (3, 5.0),   # one NULL-key group, NULL values skipped by SUM
+        "a": (2, 1.5),
+        "b": (2, None),   # all-NULL sum stays NULL (SQL SUM), not 0
+    }
