@@ -319,11 +319,19 @@ def _parse_shard_output(
     return times, errors, None
 
 
-# Queries per fresh-session shard. 14 → three shards for the current
-# headline: small enough that no query sits deep in an accumulated
-# session, large enough that the per-shard ~10 s session startup +
-# warmup (excluded from timings) stays a minor fraction of the sweep.
+# Queries per fresh-session shard. 14 → four shards (14/14/14/10) for
+# the current 52-entry headline: small enough that no query sits deep
+# in an accumulated session, large enough that the per-shard ~10 s
+# session startup + warmup (excluded from timings) stays a minor
+# fraction of the sweep.
 SHARD_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_SHARD_SIZE", "14"))
+
+# Hard ceiling per shard subprocess: a hung query (deadlock, livelock,
+# non-converging loop) must surface as an attributed error like a crash
+# does, not wedge the whole sweep with no BENCH record at all. The
+# slowest shard legitimately runs ~2 min (best-of-3 over 14 queries at
+# sf0.1 incl. warmup); 20 min is an order of magnitude of headroom.
+SHARD_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_SHARD_TIMEOUT", "1200"))
 
 # Full-sweep passes, min-merged per query (the same per-cell-minimum
 # protocol tools/scaling_curve.py --merge-best applies to curve tables).
@@ -392,13 +400,22 @@ def main() -> None:
 
     for _ in range(max(1, PASSES)):
         for shard in shards:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--shard", *shard],
-                capture_output=True,
-                text=True,
-            )
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--shard", *shard],
+                    capture_output=True,
+                    text=True,
+                    timeout=SHARD_TIMEOUT_S,
+                )
+                out, err, rc = proc.stdout, proc.stderr, proc.returncode
+            except subprocess.TimeoutExpired as te:
+                # salvage exactly like a crash: completed queries keep
+                # their lines, the hung query is attributed by name
+                out = (te.stdout or b"").decode() if isinstance(te.stdout, bytes) else (te.stdout or "")
+                err = f"shard timeout after {SHARD_TIMEOUT_S}s"
+                rc = -1
             s_times, s_errors, s_cc = _parse_shard_output(
-                shard, proc.stdout, proc.stderr, proc.returncode
+                shard, out, err, rc
             )
             _fold_pass(times, errors, s_times, s_errors)
             if s_cc is not None:

@@ -100,19 +100,8 @@ def _scan_partition_estimate(
     called once per query invocation (the old ``df.rdd`` probe re-analyzed
     the plan every call — a uniform +0.1-0.3 s tax on every small query).
     """
-    try:
-        if os.path.isfile(path):
-            sizes = [os.path.getsize(path)]
-        elif os.path.isdir(path):
-            sizes = [
-                os.path.getsize(os.path.join(root, f))
-                for root, _, files in os.walk(path)
-                for f in files
-                if not f.startswith((".", "_"))
-            ]
-        else:
-            return None
-    except OSError:
+    sizes = _source_file_sizes(path)
+    if sizes is None:
         return None
     if not sizes:
         return 0
@@ -200,10 +189,38 @@ def spread_for_compute(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
             134_217_728,
         )
-        est = _scan_partition_estimate(source_path, mpb, 4_194_304, parallelism)
+        # openCostInBytes must come from the session like mpb does — a
+        # deployment tuning it for many-small-files layouts would
+        # otherwise make this estimate diverge from Spark's actual
+        # maxSplitBytes and mis-skip (or mis-add) the fan-out
+        oc = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304"),
+            4_194_304,
+        )
+        est = _scan_partition_estimate(source_path, mpb, oc, parallelism)
         if est is not None and est >= parallelism:
             return df
     return df.repartition(parallelism, key)
+
+
+def _source_file_sizes(path: str) -> list[int] | None:
+    """Per-file byte sizes of a scan source (file or directory; hidden
+    and marker files excluded, matching Spark's file-index filter), or
+    None when unknowable (object stores) — the single walk both the
+    partition estimate and ``source_bytes`` consume."""
+    try:
+        if os.path.isfile(path):
+            return [os.path.getsize(path)]
+        if os.path.isdir(path):
+            return [
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if not f.startswith((".", "_"))
+            ]
+    except OSError:
+        return None
+    return None
 
 
 def source_bytes(path: str) -> int | None:
@@ -213,19 +230,8 @@ def source_bytes(path: str) -> int | None:
     30-60x parquet bytes), Spark's file-size-based join estimation will
     happily broadcast a multi-hundred-MB relation — callers use this to
     switch join strategy BEFORE the estimator walks off that cliff."""
-    try:
-        if os.path.isfile(path):
-            return os.path.getsize(path)
-        if os.path.isdir(path):
-            return sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _, files in os.walk(path)
-                for f in files
-                if not f.startswith((".", "_"))
-            )
-    except OSError:
-        return None
-    return None
+    sizes = _source_file_sizes(path)
+    return None if sizes is None else sum(sizes)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -51,7 +51,8 @@ def count_exchanges(df: DataFrame) -> int:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)  # one explain round-trip, two substring tests
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 # Array-producing expression heads for the token-array taint walk: a
@@ -224,12 +225,40 @@ def token_array_columns(plan: str) -> set[str]:
         for expr, masked, col in defs:
             if col in tainted:
                 continue
-            if _is_array_expr(expr) and any(
-                _id_in(t, masked) for t in tainted
-            ):
+            if (
+                _is_array_expr(expr)
+                and any(_id_in(t, masked) for t in tainted)
+            ) or _forwards_tainted(expr, masked, tainted):
                 tainted.add(col)
                 changed = True
     return tainted
+
+
+def _forwards_tainted(expr: str, masked: str, tainted: set[str]) -> bool:
+    """Value-PRESERVING projections that return a tainted array unchanged
+    even though their head is not an array producer: an identity rename
+    (``w#4 AS w#12`` — Spark inserts exactly these to align Union branch
+    attribute ids), a ``coalesce(w#4, ...)`` null-default, a CASE branch
+    that returns the array (``THEN w#4`` / ``ELSE w#4``), and an
+    array-typed cast. Scalar consumers (``concat_ws(' ', w#4)``,
+    ``size(w#4)``) deliberately stay out — only heads that pass the
+    VALUE through count, else this would re-open the r10 precision fix."""
+    e = expr.strip()
+    m = re.fullmatch(r"(\w+#\d+)", e)
+    if m:
+        return m.group(1) in tainted
+    head = e.split("(", 1)[0].strip()
+    if head == "coalesce":
+        return any(_id_in(t, masked) for t in tainted)
+    if head == "cast":
+        mc = re.match(r"cast\((\w+#\d+) as array<", e)
+        return bool(mc) and mc.group(1) in tainted
+    if e.startswith("CASE") or " CASE " in f" {e} ":
+        return any(
+            re.search(r"(?:THEN|ELSE)\s+" + re.escape(t) + r"(?!\w)", masked)
+            for t in tainted
+        )
+    return False
 
 
 def token_array_broadcasts(df: DataFrame) -> list[str]:

@@ -12,9 +12,11 @@ from __future__ import annotations
 import datetime as _dt
 import hashlib
 import math
+import re
 from dataclasses import dataclass
 
 import duckdb
+from pyspark.sql import Row
 
 from tbench_agentic_data_pipeline_spark.catalog import TABLES
 
@@ -33,6 +35,11 @@ def _canon(v: object) -> str:
         return f"{v:.12g}"
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
+    if isinstance(v, Row):
+        # Row is a tuple subclass, but DuckDB renders the same struct as
+        # a dict — canonicalize both through the dict branch or struct
+        # cells can never hash equal across engines.
+        return _canon(v.asDict(recursive=True))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -67,12 +74,25 @@ _DUCK_TYPE_NORM = {
     "BIGINT": "bigint", "HUGEINT": "hugeint", "INTEGER": "int",
     "VARCHAR": "string", "DOUBLE": "double", "FLOAT": "float",
     "BOOLEAN": "boolean", "TIMESTAMP": "timestamp", "DECIMAL": "decimal",
+    "MAP": "map", "STRUCT": "struct",
 }
 
 
 def _norm_duck_type(t: str) -> str:
     base = t.upper().split("(")[0]
-    return _DUCK_TYPE_NORM.get(base, t.lower())
+    return _DUCK_TYPE_NORM.get(base, base.lower())
+
+
+def _norm_spark_type(t: str) -> str:
+    """Base type only: ``decimal(15,2)`` → ``decimal``, ``map<...>`` →
+    ``map`` — the parameterized forms must normalize symmetrically with
+    the DuckDB side or a legitimately-agreeing decimal/map/struct column
+    reads as a type mismatch. Element agreement is still guarded by the
+    value hash."""
+    t = t.replace("timestamp_ntz", "timestamp")
+    if t.startswith("array"):
+        return t  # the array exemption below matches on the full form
+    return re.split(r"[(<]", t, 1)[0]
 
 
 def run_duckdb(sql: str, sf_dir: str) -> tuple[list[str], list[tuple], dict[str, str]]:
@@ -107,7 +127,7 @@ def compare(name: str, spark, fn, sql: str, sf_dir: str) -> OracleResult:
         )
     # Column TYPES must align too (the driver's schema compare may check
     # them; DuckDB HUGEINT/INTEGER slips are the usual offenders).
-    s_types = {c: t.replace("timestamp_ntz", "timestamp") for c, t in sdf.dtypes}
+    s_types = {c: _norm_spark_type(t) for c, t in sdf.dtypes}
     type_mism = {
         c: (s_types[c], d_types.get(c))
         for c in s_cols

@@ -524,3 +524,40 @@ def test_mask_literal_extractions_nested_call_indexing():
     assert mask("element_at(w#4, x)") == "element_at(w#4, x)"
     # unbalanced fragments are left untouched, without looping forever
     assert mask(")[0] stray") == ")[0] stray"
+
+
+def test_taint_propagates_through_value_preserving_projections():
+    """r12 review: the taint walk must follow VALUE-PRESERVING
+    projections whose head is not an array producer — the identity
+    renames Spark inserts to align Union branch attribute ids, coalesce
+    null-defaults, CASE branches returning the array, and array casts —
+    else a tokenized branch re-aliased into a BroadcastExchange passes
+    the broadcast audit undetected. Scalar consumers must still NOT
+    propagate (the r10 precision fix)."""
+    from tbench_agentic_data_pipeline_spark.plans.explain import (
+        token_array_columns,
+    )
+
+    seed = "Project [split(text#1,  , -1) AS w#4]\n"
+    assert "w#12" in token_array_columns(seed + "Project [w#4 AS w#12]")
+    assert "w2#9" in token_array_columns(
+        seed + "Project [coalesce(w#4, array()) AS w2#9]"
+    )
+    assert "w3#7" in token_array_columns(
+        seed
+        + "Project [CASE WHEN (size(w#4, false) > 2) THEN w#4 ELSE null END AS w3#7]"
+    )
+    assert "w4#8" in token_array_columns(
+        seed + "Project [cast(w#4 as array<string>) AS w4#8]"
+    )
+    # chained: rename then coalesce — the closure must reach the end
+    chained = (
+        seed
+        + "Project [w#4 AS w#12]\nProject [coalesce(w#12, array()) AS w#20]"
+    )
+    assert "w#20" in token_array_columns(chained)
+    # scalar consumers stay out
+    got = token_array_columns(
+        seed + "Project [concat_ws( , w#4) AS s#5, size(w#4, false) AS n#6]"
+    )
+    assert "s#5" not in got and "n#6" not in got

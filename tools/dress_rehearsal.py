@@ -32,9 +32,14 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # Deliberately NO shuffle.partitions override: the driver runs a
+    # plain session (200 partitions), and partition-count-sensitive
+    # misbehavior (tie-breaking that only surfaces in 200-way shuffles,
+    # AQE decisions that differ at 8 vs 200) must be caught HERE, not in
+    # the real driver window. local[4] only bounds concurrency, which
+    # correctness must not depend on.
     spark = (
         SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
