@@ -333,6 +333,29 @@ SHARD_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_SHARD_SIZE", "14"))
 # sf0.1 incl. warmup); 20 min is an order of magnitude of headroom.
 SHARD_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_SHARD_TIMEOUT", "1200"))
 
+def _invoke_shard(shard: list[str]) -> tuple[str, str, int]:
+    """One shard subprocess → (stdout, stderr, returncode). A hang is
+    converted to crash-shaped output at SHARD_TIMEOUT_S: whatever the
+    shard printed before the kill is kept (completed queries salvage
+    their timings), and the hung query is attributed by name through the
+    same _parse_shard_output path a crash takes."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--shard", *shard],
+            capture_output=True,
+            text=True,
+            timeout=SHARD_TIMEOUT_S,
+        )
+        return proc.stdout, proc.stderr, proc.returncode
+    except subprocess.TimeoutExpired as te:
+        out = te.stdout or ""
+        if isinstance(out, bytes):  # text=True usually decodes; be safe
+            out = out.decode(errors="replace")
+        return out, f"shard timeout after {SHARD_TIMEOUT_S}s", -1
+
+
 # Full-sweep passes, min-merged per query (the same per-cell-minimum
 # protocol tools/scaling_curve.py --merge-best applies to curve tables).
 # The in-shard best-of-3 above defends against cold-start/JIT cost but
@@ -396,26 +419,11 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     cc_rounds: int | None = None
-    import subprocess
 
     for _ in range(max(1, PASSES)):
         for shard in shards:
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--shard", *shard],
-                    capture_output=True,
-                    text=True,
-                    timeout=SHARD_TIMEOUT_S,
-                )
-                out, err, rc = proc.stdout, proc.stderr, proc.returncode
-            except subprocess.TimeoutExpired as te:
-                # salvage exactly like a crash: completed queries keep
-                # their lines, the hung query is attributed by name
-                out = (te.stdout or b"").decode() if isinstance(te.stdout, bytes) else (te.stdout or "")
-                err = f"shard timeout after {SHARD_TIMEOUT_S}s"
-                rc = -1
             s_times, s_errors, s_cc = _parse_shard_output(
-                shard, out, err, rc
+                shard, *_invoke_shard(shard)
             )
             _fold_pass(times, errors, s_times, s_errors)
             if s_cc is not None:

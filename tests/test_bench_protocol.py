@@ -69,7 +69,7 @@ def test_noise_lines_are_ignored():
 
 def test_warmup_and_curve_names_exist_in_registry():
     """A renamed query must not silently disable the shard warmers
-    (bench._run_shard skips unknown names without error) or drop a
+    (bench._invoke_shard skips unknown names without error) or drop a
     scale-curve row: every name in bench._WARMUP, bench.HEADLINE, and
     tools/scaling_curve.EXTRA_CURVE must resolve to a registry entry or
     a bench extra."""
@@ -171,3 +171,37 @@ def test_payload_carries_loadavg_stamp():
     assert len(load) == 3 and all(
         isinstance(x, (int, float)) and x >= 0 for x in load
     )
+
+
+def test_hung_shard_is_killed_and_salvaged(monkeypatch):
+    """r12 review: a hung query must surface as an attributed error at
+    SHARD_TIMEOUT_S — with everything the shard printed before the kill
+    salvaged — instead of wedging the sweep with no BENCH record."""
+    import subprocess
+
+    import bench
+
+    partial = _lines(
+        {"start": "q_a"},
+        {"q": "q_a", "t": 0.9},
+        {"start": "q_b"},
+    )
+
+    def fake_run(cmd, **kw):
+        assert kw.get("timeout") == bench.SHARD_TIMEOUT_S
+        raise subprocess.TimeoutExpired(cmd, kw["timeout"], output=partial)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out, err, rc = bench._invoke_shard(["q_a", "q_b", "q_c"])
+    times, errors, _ = _parse_shard_output(["q_a", "q_b", "q_c"], out, err, rc)
+    assert times == {"q_a": 0.9}
+    assert "died running this query" in errors["q_b"] and "timeout" in errors["q_b"]
+    assert errors["q_c"].startswith("not run")
+
+    # bytes stdout (the TimeoutExpired contract pre-decode) must not crash
+    def fake_run_bytes(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw["timeout"], output=partial.encode())
+
+    monkeypatch.setattr(subprocess, "run", fake_run_bytes)
+    out, _, _ = bench._invoke_shard(["q_a"])
+    assert '"q": "q_a"' in out
