@@ -116,87 +116,81 @@ def query(
 # (newest file = _WINDOW_ROUND). At each round start, bump this stamp
 # FIRST — the staleness test then prints the exact mandatory block the
 # new window must contain (tools/next_window.py computes it any time).
-_WINDOW_ROUND: int = 12
+_WINDOW_ROUND: int = 13
 
-# Round-12 rotation (tools/next_window.py at r11-close printed exactly this
+# Round-13 rotation (tools/next_window.py at r12-close printed exactly this
 # mandatory block):
-# - the 44 queries whose newest external row is round 9 — staleness
-#   ceiling, non-negotiable: the p1-p8 predicate family, the u*/w*/so*
-#   mutation/window/setop rows, the PQ/quantized/topk similarity family,
-#   snapshots, st1, events_funnel, a8/a_stats gauntlets, mm gif/video/
-#   decode, text contamination/tfidf/zipf, x7/x_fail_first;
-# - round-10 greens prefilled to flatten round 13's mandatory block
-#   (50 r10 rows would otherwise all expire at once), preferring files
-#   that churn this round (corpus.py: the incremental corpus-build tick;
-#   dedup.py: the persisted-index front it reuses; similarity.py: the
-#   sim_ivfpq_topk adjudication) — new queries registered this round
-#   take prefill slots when they land, so the mandatory block is never
-#   displaced.
+# - the 47 queries whose newest external row is round 10 — staleness
+#   ceiling, non-negotiable: the TPC-H spine (q2/q4/q6-q9/q11-q22), the
+#   scalar gauntlets (f_array/datetime/json/map/string), the dedup batch
+#   family (exact/bands/cosine/sweep/survivors/leakage-split), asof/range
+#   joins, mm gif-frames/image-codec, streaming tumbling/session/dedup,
+#   u1, w7/w8, so4/so5, a_conditional_distinct/a_cube/a_heavy_hitters,
+#   events_attribution, sim_centroid_outliers, text_bm25_topk;
+# - round-11 greens prefilled into the 3 remaining slots, preferring
+#   files that churn this round (clustering.py: the drift->retrain-and-
+#   swap loop; similarity.py: the retrain-swap search path and the
+#   ivfpq noise watch; corpus.py: the tick planted-recall measurement) —
+#   new queries registered this round take prefill slots when they land,
+#   so the mandatory block is never displaced.
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r9: staleness ceiling forces these 44 ----------------
-    "a8_distinct_users_per_type",
-    "a8_pytest_summary_parse",
-    "a_percentiles",
-    "a_salted_sum",
-    "a_stats_gauntlet",
-    "events_funnel",
-    "j2_anti_join_customers_without_orders",
-    "j3_full_outer_reconciliation",
-    "j4_parent_child_counts",
-    "mm_decode_features",
-    "mm_gif_codec",
-    "mm_video_codec",
-    "p1_point_lookup",
-    "p2_filter_project",
-    "p3_first_match_claim",
-    "p4_existence_guard",
-    "p5_stage_predicate",
-    "p6_timeout_predicate",
-    "p7_ownership_predicate",
-    "p8_prefix_projection",
-    "sim_lsh_buckets",
-    "sim_pq_adc_topk",
-    "sim_pq_trained_topk",
-    "sim_quantized_topk",
-    "sim_topk_cosine",
-    "snap_compact_vacuum",
-    "snap_merge_on_read",
-    "so2_delete_by_key",
-    "so3_key_set_difference",
-    "st1_claim_assignment",
-    "text_contamination",
-    "text_tfidf_topk",
-    "text_zipf_fluency",
-    "u2_map_mutation",
-    "u3_claim_transition",
-    "u4_complete_transition",
-    "u6_timeout_release",
-    "u8_production_derivation",
-    "w2_global_topn",
-    "w4_fifo_claim_order",
-    "w5_running_total",
-    "w6_lag_gap_seconds",
-    "x7_validation_pipeline",
-    "x_fail_first_policy",
-    # -- round-10 greens prefilled (churned files this round); new queries --
+    # -- newest row is r10: staleness ceiling forces these 47 ---------------
+    "a_conditional_distinct",
+    "a_cube_priority_status",
+    "a_heavy_hitters_cms",
+    "corpus_leakage_safe_split",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_resolve_survivors",
+    "dedup_threshold_sweep",
+    "events_attribution",
+    "f_array_gauntlet",
+    "f_datetime_gauntlet",
+    "f_json_gauntlet",
+    "f_map_gauntlet",
+    "f_string_gauntlet",
+    "j_asof_last_view",
+    "j_range_incident_window",
+    "mm_gif_frames",
+    "mm_image_codec",
+    "q11_important_part_value",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "sim_centroid_outliers",
+    "so4_array_difference",
+    "so5_intersect_nations",
+    "st_dedup_watermark",
+    "st_session_windows",
+    "st_tumbling_window",
+    "text_bm25_topk",
+    "u1_keyed_patch",
+    "w7_ntile_quartiles",
+    "w8_trailing_week_activity",
+    # -- round-11 greens prefilled (churned files this round); new queries --
     # -- registered this round replace prefills from the BOTTOM up ----------
-    "pipeline_corpus_build_neardup",
-    "dedup_minhash_fast",
-    "dedup_cluster_components",
-    # -- new this round (bottom prefills ceded, r10-green rows safely wait
-    # -- for r13): the incremental corpus-build tick (arriving batch ->
-    # -- MinHash dedup vs the history index -> accepted embeddings assigned
-    # -- to the saved quantizer -> per-lang tick report with the drift
-    # -- numerators) replaced the sim_centroid_outliers prefill; the
-    # -- cross-doc 8-gram novelty audit replaced dedup_embedding_cosine;
-    # -- the incremental-rollup merge certification replaced dedup_exact --
-    "pipeline_incremental_tick",
-    "text_ngram_novelty",
-    "st_incremental_rollup",
+    "sim_ivf_incremental",
+    "sim_ivfpq_topk",
+    "pipeline_corpus_build_embdup",
 )
 
 
