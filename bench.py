@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -338,22 +339,39 @@ def _invoke_shard(shard: list[str]) -> tuple[str, str, int]:
     converted to crash-shaped output at SHARD_TIMEOUT_S: whatever the
     shard printed before the kill is kept (completed queries salvage
     their timings), and the hung query is attributed by name through the
-    same _parse_shard_output path a crash takes."""
+    same _parse_shard_output path a crash takes.
+
+    The shard runs in its own session (process group) and the timeout
+    path kills the WHOLE group: a plain run(timeout=...) SIGKILLs only
+    the direct python child, then blocks in communicate() until every
+    writer of the captured pipes exits — the PySpark JVM grandchild
+    inherits those pipes, so a wedged JVM (deadlocked executors, hung
+    shutdown hooks) would re-wedge the sweep past the guard. killpg
+    takes the JVM down with the driver; the post-kill drain is itself
+    bounded in case an unkillable (D-state) writer survives."""
     import subprocess
 
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--shard", *shard],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--shard", *shard],
-            capture_output=True,
-            text=True,
-            timeout=SHARD_TIMEOUT_S,
-        )
-        return proc.stdout, proc.stderr, proc.returncode
-    except subprocess.TimeoutExpired as te:
-        out = te.stdout or ""
-        if isinstance(out, bytes):  # text=True usually decodes; be safe
-            out = out.decode(errors="replace")
-        return out, f"shard timeout after {SHARD_TIMEOUT_S}s", -1
+        out, err = proc.communicate(timeout=SHARD_TIMEOUT_S)
+        return out, err, proc.returncode
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        try:
+            out, _ = proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out = ""
+        return out or "", f"shard timeout after {SHARD_TIMEOUT_S}s", -1
 
 
 # Full-sweep passes, min-merged per query (the same per-cell-minimum

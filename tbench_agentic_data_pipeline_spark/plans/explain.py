@@ -234,6 +234,22 @@ def token_array_columns(plan: str) -> set[str]:
     return tainted
 
 
+def _split_top_args(s: str) -> list[str]:
+    """Split a call's argument list on TOP-LEVEL commas only (nested
+    calls/array indexes keep their own commas)."""
+    args, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(s[start:i])
+            start = i + 1
+    args.append(s[start:])
+    return [a.strip() for a in args]
+
+
 def _forwards_tainted(expr: str, masked: str, tainted: set[str]) -> bool:
     """Value-PRESERVING projections that return a tainted array unchanged
     even though their head is not an array producer: an identity rename
@@ -249,7 +265,18 @@ def _forwards_tainted(expr: str, masked: str, tainted: set[str]) -> bool:
         return m.group(1) in tainted
     head = e.split("(", 1)[0].strip()
     if head == "coalesce":
-        return any(_id_in(t, masked) for t in tainted)
+        # Only a TOP-LEVEL argument that itself passes the array value
+        # through taints — judged per-argument on the masked form, not
+        # by a substring scan of the whole expression, or scalar
+        # consumers like coalesce(size(w#4), 0) would re-enter the
+        # hazard class (r12 ADVICE)
+        me = masked.strip()
+        if not (me.startswith("coalesce(") and me.endswith(")")):
+            return False
+        return any(
+            _forwards_tainted(a, a, tainted)
+            for a in _split_top_args(me[len("coalesce("):-1])
+        )
     if head == "cast":
         mc = re.match(r"cast\((\w+#\d+) as array<", e)
         return bool(mc) and mc.group(1) in tainted

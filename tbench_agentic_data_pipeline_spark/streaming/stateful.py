@@ -225,7 +225,12 @@ def st_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
-            (F.col("event_id") % 3).alias("b"),
+            # pmod + NULL→bucket 0: Spark's % keeps the dividend sign and
+            # NULL ids yield NULL buckets — either would silently drop
+            # rows from every batch and diverge from the oracle's
+            # full-table aggregate (r12 ADVICE; fixtures are dense
+            # non-null today, but the 3-way cover must not depend on it)
+            F.coalesce(F.pmod(F.col("event_id"), F.lit(3)), F.lit(0)).alias("b"),
         )
         .localCheckpoint()
     )

@@ -79,8 +79,16 @@ _DUCK_TYPE_NORM = {
 
 
 def _norm_duck_type(t: str) -> str:
+    # Preserve the list suffix BEFORE stripping parameters: DuckDB
+    # renders list-of-struct as ``STRUCT(...)[]`` — splitting on '(' to
+    # a bare ``struct`` would defeat compare()'s endswith('[]') array
+    # exemption (r12 ADVICE, latent until a query outputs such a column).
+    suffix = ""
+    while t.endswith("[]"):
+        suffix += "[]"
+        t = t[:-2]
     base = t.upper().split("(")[0]
-    return _DUCK_TYPE_NORM.get(base, base.lower())
+    return _DUCK_TYPE_NORM.get(base, base.lower()) + suffix
 
 
 def _norm_spark_type(t: str) -> str:

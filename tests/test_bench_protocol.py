@@ -7,6 +7,7 @@ Pure parsing tests — no Spark session, no subprocess."""
 from __future__ import annotations
 
 import json
+import shlex
 
 from bench import _parse_shard_output
 
@@ -174,10 +175,16 @@ def test_payload_carries_loadavg_stamp():
 
 
 def test_hung_shard_is_killed_and_salvaged(monkeypatch):
-    """r12 review: a hung query must surface as an attributed error at
-    SHARD_TIMEOUT_S — with everything the shard printed before the kill
-    salvaged — instead of wedging the sweep with no BENCH record."""
+    """r12 review + r12 ADVICE (bench.py:345): a hung query must surface
+    as an attributed error at SHARD_TIMEOUT_S — with everything the
+    shard printed before the kill salvaged — instead of wedging the
+    sweep. This drives the REAL kill path (no subprocess mocks): the
+    fake shard prints partial output, then a GRANDCHILD inheriting the
+    stdout pipe out-sleeps the timeout, exactly the PySpark-JVM shape
+    that wedges a child-only kill in communicate(). Only a process-group
+    kill passes the elapsed-time bound."""
     import subprocess
+    import time as _time
 
     import bench
 
@@ -186,22 +193,49 @@ def test_hung_shard_is_killed_and_salvaged(monkeypatch):
         {"q": "q_a", "t": 0.9},
         {"start": "q_b"},
     )
+    script = (
+        f"printf %s {shlex.quote(partial)}\n"
+        "sleep 600 &\n"  # pipe-holding grandchild (the JVM analog)
+        "sleep 600\n"
+    )
 
-    def fake_run(cmd, **kw):
-        assert kw.get("timeout") == bench.SHARD_TIMEOUT_S
-        raise subprocess.TimeoutExpired(cmd, kw["timeout"], output=partial)
+    real_popen = subprocess.Popen
 
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    def fake_popen(cmd, **kw):
+        assert kw.get("start_new_session") is True, (
+            "shard must run in its own process group so the timeout "
+            "path can killpg the JVM grandchild"
+        )
+        assert cmd[1].endswith("bench.py") and cmd[2] == "--shard"
+        return real_popen(["bash", "-c", script], **kw)
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    monkeypatch.setattr(bench, "SHARD_TIMEOUT_S", 2)
+    t0 = _time.monotonic()
     out, err, rc = bench._invoke_shard(["q_a", "q_b", "q_c"])
+    elapsed = _time.monotonic() - t0
+    assert elapsed < 30, (
+        f"kill+drain took {elapsed:.0f}s — the grandchild's pipe was "
+        "not released, i.e. the group kill did not happen"
+    )
+    assert rc == -1 and "timeout" in err
     times, errors, _ = _parse_shard_output(["q_a", "q_b", "q_c"], out, err, rc)
     assert times == {"q_a": 0.9}
     assert "died running this query" in errors["q_b"] and "timeout" in errors["q_b"]
     assert errors["q_c"].startswith("not run")
 
-    # bytes stdout (the TimeoutExpired contract pre-decode) must not crash
-    def fake_run_bytes(cmd, **kw):
-        raise subprocess.TimeoutExpired(cmd, kw["timeout"], output=partial.encode())
 
-    monkeypatch.setattr(subprocess, "run", fake_run_bytes)
-    out, _, _ = bench._invoke_shard(["q_a"])
-    assert '"q": "q_a"' in out
+def test_norm_duck_type_preserves_list_suffix():
+    """r12 ADVICE (oracle_harness.py:77): DuckDB renders list-of-struct
+    as 'STRUCT(...)[]' — normalization must keep the '[]' suffix so
+    compare()'s array exemption still fires against Spark's
+    'array<struct<...>>', and plain parameterized types still strip."""
+    from tests.oracle_harness import _norm_duck_type
+
+    assert _norm_duck_type("STRUCT(a BIGINT, b VARCHAR)[]") == "struct[]"
+    assert _norm_duck_type("MAP(VARCHAR, BIGINT)[]") == "map[]"
+    assert _norm_duck_type("BIGINT[]") == "bigint[]"
+    assert _norm_duck_type("VARCHAR[][]") == "string[][]"
+    assert _norm_duck_type("STRUCT(a BIGINT)") == "struct"
+    assert _norm_duck_type("DECIMAL(15,2)") == "decimal"
+    assert _norm_duck_type("HUGEINT") == "hugeint"

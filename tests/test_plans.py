@@ -561,3 +561,22 @@ def test_taint_propagates_through_value_preserving_projections():
         seed + "Project [concat_ws( , w#4) AS s#5, size(w#4, false) AS n#6]"
     )
     assert "s#5" not in got and "n#6" not in got
+    # r12 ADVICE: a coalesce whose tainted id only appears under a SCALAR
+    # consumer argument is itself scalar — per-argument judgement, not a
+    # substring scan of the whole expression
+    got = token_array_columns(
+        seed
+        + "Project [coalesce(size(w#4, false), 0) AS n2#7, "
+        + "coalesce(concat_ws( , w#4), ) AS s2#8, "
+        + "coalesce(element_at(w#4, 1), x) AS e#9]"
+    )
+    assert got == {"w#4"}
+    # ...while a value-passing argument anywhere in the list still taints
+    assert "w5#9" in token_array_columns(
+        seed + "Project [coalesce(null, w#4, array()) AS w5#9]"
+    )
+    # nested value-preserving argument: coalesce(CASE ... THEN w#4 ...)
+    assert "w6#10" in token_array_columns(
+        seed
+        + "Project [coalesce(CASE WHEN (x#2 > 0) THEN w#4 ELSE null END, array()) AS w6#10]"
+    )

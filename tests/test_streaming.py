@@ -682,3 +682,42 @@ def test_rollup_merge_null_key_and_null_sum_semantics(spark):
         "a": (2, 1.5),
         "b": (2, None),   # all-NULL sum stays NULL (SQL SUM), not 0
     }
+
+
+def test_incremental_rollup_query_covers_negative_and_null_ids(spark, tmp_path):
+    """r12 ADVICE (stateful.py:228): the query's 3-way batch split must
+    provably cover the table — Spark's % keeps the dividend sign and a
+    NULL id yields a NULL bucket, so negative/NULL event_ids would
+    silently drop from every micro-batch and diverge from the oracle's
+    full-table aggregate. pmod + NULL-coalesce pins the cover against
+    fixture drift (today's fixtures are dense non-null)."""
+    from tbench_agentic_data_pipeline_spark.streaming.stateful import (
+        st_incremental_rollup,
+    )
+
+    rows = [
+        ("click", 1.25, -7),
+        ("click", 2.50, -1),
+        ("view", 0.10, None),
+        ("view", 3.33, 0),
+        ("buy", 9.99, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, event_id long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n"], r["sum_cents"])
+        for r in st_incremental_rollup(spark, str(tmp_path)).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sum_cents"])
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == want and sum(n for n, _ in got.values()) == len(rows)
