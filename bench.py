@@ -130,6 +130,12 @@ HEADLINE = [
     "pipeline_incremental_tick",
     "text_ngram_novelty",
     "st_incremental_rollup",
+    # round-13 addition, benched from birth: the drift->retrain-and-swap
+    # report (stale per-cell quantizer from history, batch shifted in odd
+    # cells only, refit quantizer over history+batch, per-cell pre/post
+    # means + integer-exact retrain decision — the oracle twin of
+    # clustering.ivf_retrain's full lifecycle)
+    "sim_ivf_retrain",
 ]
 
 

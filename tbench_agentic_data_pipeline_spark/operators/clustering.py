@@ -241,6 +241,73 @@ def ivf_append_batch(
     return version, drift
 
 
+def ivf_retrain(
+    spark: SparkSession,
+    index_root: str,
+    assignments_root: str,
+    key_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    iters: int = 3,
+) -> tuple[int, int]:
+    """Close the drift loop: when :func:`ivf_drift_ratio` exceeds
+    :data:`IVF_DRIFT_RETRAIN`, refit the coarse quantizer over the
+    MAINTAINED corpus — history plus every accepted batch, read from the
+    assignment snapshot — and commit the result as a NEW index version
+    with fresh :func:`ivf_train_stats` baselines, plus the corpus
+    re-assigned under the new quantizer as a NEW assignments version.
+    Returns ``(index_version, assignments_version)``.
+
+    Swap semantics are the snapshot table's: both commits are atomic
+    manifest flips, so searches that already pinned the old version keep
+    serving it unchanged (it stays readable until a ``vacuum`` past its
+    retention), and the next unpinned ``load_ivf_index``/``read()``
+    observes the new quantizer and its matching assignments. The
+    reference system has the same refresh-your-own-derived-state sweep
+    (scripts/validate_all_prod_dps.py:94-133 re-validates and re-stamps
+    every production datapoint); here the derived state is the ANN index.
+
+    Cost shape: retraining is inherently a full pass — ``iters`` Lloyd's
+    rounds (each one corpus scan + a k×dim-invariant shuffle) plus one
+    re-assignment scan and one copy-on-write commit of the re-assigned
+    corpus. Cluster ids change wholesale under a refit, so a delta
+    append CANNOT express the swap; that is exactly why the drift ratio
+    gates it — O(batch) ``ivf_append_batch`` ticks are the steady state
+    and this full pass runs only when the distribution has moved."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    assignments = SnapshotTable(spark, assignments_root)
+    corpus = assignments.read().select(key_col, vec_col)
+    cents = kmeans_fit(corpus, key_col, vec_col, k=k, dim=dim, iters=iters)
+    assigned = assign_clusters(corpus, key_col, vec_col, cents).persist()
+    try:
+        # left join: kmeans_fit guarantees k centroid rows, but a cell
+        # that ended empty has no stats row — keep it with n_train=0 so
+        # the index stays k rows and the drift denominator ignores it
+        new_index = (
+            cents.join(ivf_train_stats(assigned), "cluster", "left")
+            .select(
+                "cluster",
+                "centroid",
+                F.coalesce(F.col("n_train"), F.lit(0)).cast("bigint").alias(
+                    "n_train"
+                ),
+                "train_mean_dist_sq",
+            )
+        )
+        index_version = save_ivf_index(new_index, index_root)
+        asg_version = assignments.commit(
+            assigned.select(key_col, vec_col, "cluster", "dist_sq"),
+            operation="ivf_retrain",
+        )
+    finally:
+        assigned.unpersist()
+    return index_version, asg_version
+
+
 def save_pq_codebook(codebook: DataFrame, root: str) -> int:
     """Persist trained PQ codebooks (``similarity.pq_train``'s
     (sub, code, centroid) table — m·k rows) with the same versioned

@@ -512,6 +512,47 @@ def pipeline_corpus_build_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tick_reject_list(sf_dir: str, docs: DataFrame) -> DataFrame:
+    """Stage 1 of the incremental tick, shared verbatim by the registered
+    query and the planted-recall measurement (tools/tick_reject_recall.py)
+    so the measured recall is the recall of the SHIPPED code path:
+    incremental MinHash dedup of the arriving batch (doc_id odd) against
+    the history's band index (doc_id even) — new×existing candidates
+    only, exact token-Jaccard ≥ 0.5 verify — returning the
+    localCheckpointed reject list (one ``doc_id`` column). Cost ∝
+    |batch|: the history side contributes only band-key matches, never a
+    full scan join."""
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        _verify_join_sides,
+        jaccard_milli,
+        minhash_index,
+    )
+
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = minhash_index(history, hash_fn="md5").select(
+        F.col("doc_id").alias("dup_of"), "b", "band_key"
+    )
+    nb = minhash_index(batch, hash_fn="md5").select(
+        F.col("doc_id").alias("new_id"), "b", "band_key"
+    )
+    cand = nb.join(idx, ["b", "band_key"]).select("new_id", "dup_of").distinct()
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    tn = t.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_n"))
+    te = t.select(F.col("doc_id").alias("dup_of"), F.col("toks").alias("toks_e"))
+    tn, te = _verify_join_sides(sf_dir, tn, te)
+    return (
+        cand.join(tn, "new_id")
+        .join(te, "dup_of")
+        .where(jaccard_milli(F.col("toks_n"), F.col("toks_e")) >= 500)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 @query(
     "pipeline_incremental_tick",
     survey="P4,J1,J5,A4",
@@ -675,43 +716,13 @@ def pipeline_incremental_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — cost ∝ |batch|, never |corpus|."""
     import math
 
-    from tbench_agentic_data_pipeline_spark.operators.dedup import (
-        _verify_join_sides,
-        jaccard_milli,
-        minhash_index,
-    )
-
     docs = spread_for_compute(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         source_path=table_path(sf_dir, "documents"),
     )
-    history = docs.where(F.col("doc_id") % 2 == 0)
     batch = docs.where(F.col("doc_id") % 2 == 1)
-
-    # --- stage 1: incremental MinHash dedup (dedup_incremental's shape,
-    # new×existing only) → the tick's reject list, materialized once ----
-    idx = minhash_index(history, hash_fn="md5").select(
-        F.col("doc_id").alias("dup_of"), "b", "band_key"
-    )
-    nb = minhash_index(batch, hash_fn="md5").select(
-        F.col("doc_id").alias("new_id"), "b", "band_key"
-    )
-    cand = nb.join(idx, ["b", "band_key"]).select("new_id", "dup_of").distinct()
-    t = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    tn = t.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_n"))
-    te = t.select(F.col("doc_id").alias("dup_of"), F.col("toks").alias("toks_e"))
-    tn, te = _verify_join_sides(sf_dir, tn, te)
-    rejected = (
-        cand.join(tn, "new_id")
-        .join(te, "dup_of")
-        .where(jaccard_milli(F.col("toks_n"), F.col("toks_e")) >= 500)
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-        .localCheckpoint()
-    )
+    rejected = tick_reject_list(sf_dir, docs)
     n_rejected = rejected.count()  # checkpointed: a cheap scalar action
     rej = rejected.select("doc_id", F.lit(True).alias("is_dup"))
     if n_rejected <= _BROADCAST_LABELS_BELOW:

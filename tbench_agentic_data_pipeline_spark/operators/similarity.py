@@ -1773,6 +1773,203 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ivf_retrain",
+    survey="J5,A4",
+    oracle="""
+        WITH iv AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS cluster,
+                   vec_id % 2 = 1 AS is_batch,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                            + CASE WHEN vec_id % 2 = 1 AND label % 2 = 1
+                                   THEN 3000 ELSE 0 END) AS iv
+            FROM embeddings
+        ),
+        cellsum_h AS (
+            SELECT cluster, r.i, SUM(iv[CAST(r.i AS INT)]) AS s
+            FROM iv, range(1, 65) r(i)
+            WHERE NOT is_batch GROUP BY cluster, r.i
+        ),
+        celln_h AS (
+            SELECT cluster, COUNT(*) AS n FROM iv
+            WHERE NOT is_batch GROUP BY cluster
+        ),
+        cent_h AS (
+            SELECT cs.cluster,
+                   list(CAST(FLOOR(1000.0 * cs.s / cn.n) AS BIGINT)
+                        ORDER BY cs.i) AS cv
+            FROM cellsum_h cs JOIN celln_h cn USING (cluster)
+            GROUP BY cs.cluster, cn.n
+        ),
+        cellsum_a AS (
+            SELECT cluster, r.i, SUM(iv[CAST(r.i AS INT)]) AS s
+            FROM iv, range(1, 65) r(i) GROUP BY cluster, r.i
+        ),
+        celln_a AS (SELECT cluster, COUNT(*) AS n FROM iv GROUP BY cluster),
+        cent_a AS (
+            SELECT cs.cluster,
+                   list(CAST(FLOOR(1000.0 * cs.s / cn.n) AS BIGINT)
+                        ORDER BY cs.i) AS cv
+            FROM cellsum_a cs JOIN celln_a cn USING (cluster)
+            GROUP BY cs.cluster, cn.n
+        ),
+        scored AS (
+            SELECT v.cluster, v.is_batch,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (v.iv[CAST(i AS INT)] * 1000
+                               - h.cv[CAST(i AS INT)])
+                            * (v.iv[CAST(i AS INT)] * 1000
+                               - h.cv[CAST(i AS INT)]))) // 1000000
+                       AS d_stale,
+                   list_sum(list_transform(range(1, 65),
+                       i -> (v.iv[CAST(i AS INT)] * 1000
+                               - a.cv[CAST(i AS INT)])
+                            * (v.iv[CAST(i AS INT)] * 1000
+                               - a.cv[CAST(i AS INT)]))) // 1000000
+                       AS d_new
+            FROM iv v JOIN cent_h h USING (cluster)
+                      JOIN cent_a a USING (cluster)
+        ),
+        rep AS (
+            SELECT cluster,
+                   CAST(COUNT(*) FILTER (NOT is_batch) AS BIGINT) AS n_train,
+                   CAST(COUNT(*) FILTER (is_batch) AS BIGINT) AS n_batch,
+                   CAST(SUM(d_stale) FILTER (NOT is_batch)
+                        // NULLIF(COUNT(*) FILTER (NOT is_batch), 0)
+                        AS BIGINT) AS train_mean_d,
+                   CAST(SUM(d_stale) FILTER (is_batch)
+                        // NULLIF(COUNT(*) FILTER (is_batch), 0)
+                        AS BIGINT) AS pre_mean_d,
+                   CAST(SUM(d_new) FILTER (is_batch)
+                        // NULLIF(COUNT(*) FILTER (is_batch), 0)
+                        AS BIGINT) AS post_mean_d
+            FROM scored GROUP BY cluster
+        )
+        SELECT cluster, n_train, n_batch, train_mean_d, pre_mean_d,
+               post_mean_d,
+               2 * pre_mean_d > 3 * train_mean_d AS retrain
+        FROM rep ORDER BY cluster
+    """,
+)
+def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift→retrain-and-swap, oracle-exact twin (r12 verdict task #4;
+    production path = ``clustering.ivf_retrain``, which refits the
+    quantizer over history + accepted batches and commits new index +
+    re-assigned-corpus snapshot versions — reference analog: the
+    re-validation sweep that refreshes the system's own derived state,
+    scripts/validate_all_prod_dps.py:94-133). The fixture's label column
+    is the cell id (the same stand-in quantizer ``sim_ivf_incremental``
+    trains): history (vec_id even) trains the STALE per-cell
+    integer-milli centroids; the arriving batch (vec_id odd) is shifted
+    by +3.0 per component in ODD cells only — half the cells drift, half
+    stay in-distribution, so the per-cell retrain decision exercises
+    both branches. The report is per cell: training/batch counts, the
+    training baseline and pre-retrain batch mean distances against the
+    stale centroids, the post-retrain batch mean against centroids refit
+    over history+batch, and the drift decision ``2·pre > 3·train``
+    (the integer-exact form of pre/train > IVF_DRIFT_RETRAIN = 1.5,
+    compared on floor-divided means so both engines decide identically).
+
+    Scale shape: two map-side-combined cell aggregations build the stale
+    and refit quantizers (|cells| rows each, broadcast back), and ONE
+    more pass scores every vector against its own cell's two centroids —
+    3 exchanges total, no argmin crossJoin (``sim_ivf_incremental``
+    covers that form), corpus never shuffles for the centroid joins.
+    Distances are floor-scaled by 1e6 per row before summing: exact and
+    identical in both engines (positive integers, truncating div =
+    floor), with BIGINT headroom past sf10."""
+    dim = 64
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("cluster"),
+        (F.col("vec_id") % 2 == 1).alias("is_batch"),
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * 1000)
+            + F.when(
+                (F.col("vec_id") % 2 == 1) & (F.col("label") % 2 == 1), 3000
+            ).otherwise(0),
+        ).alias("iv"),
+    )
+
+    def cell_centroids(rows: DataFrame) -> DataFrame:
+        cellsum = rows.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("iv", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        return cellsum.select(
+            "cluster",
+            F.array(
+                *[
+                    F.floor(F.col(f"s{i}") * 1000 / F.col("n"))
+                    for i in range(dim)
+                ]
+            ).alias("cv"),
+        )
+
+    cent_h = cell_centroids(base.where(~F.col("is_batch"))).select(
+        "cluster", F.col("cv").alias("cv_h")
+    )
+    cent_a = cell_centroids(base).select("cluster", F.col("cv").alias("cv_a"))
+
+    def dist(cv: str) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("iv"), F.col(cv),
+                lambda a, b: (a * 1000 - b) * (a * 1000 - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        base.join(F.broadcast(cent_h), "cluster")
+        .join(F.broadcast(cent_a), "cluster")
+        .select(
+            "cluster",
+            "is_batch",
+            dist("cv_h").alias("__dsr"),
+            dist("cv_a").alias("__dnr"),
+        )
+        .selectExpr(
+            "cluster",
+            "is_batch",
+            "__dsr div 1000000 AS d_stale",
+            "__dnr div 1000000 AS d_new",
+        )
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.count(F.when(~F.col("is_batch"), 1)).cast("bigint").alias(
+                "n_train"
+            ),
+            F.count(F.when(F.col("is_batch"), 1)).cast("bigint").alias(
+                "n_batch"
+            ),
+            F.sum(F.when(~F.col("is_batch"), F.col("d_stale"))).alias("__ts"),
+            F.sum(F.when(F.col("is_batch"), F.col("d_stale"))).alias("__ps"),
+            F.sum(F.when(F.col("is_batch"), F.col("d_new"))).alias("__ns"),
+        )
+        .selectExpr(
+            "cluster",
+            "n_train",
+            "n_batch",
+            "CAST(__ts div NULLIF(n_train, 0) AS BIGINT) AS train_mean_d",
+            "CAST(__ps div NULLIF(n_batch, 0) AS BIGINT) AS pre_mean_d",
+            "CAST(__ns div NULLIF(n_batch, 0) AS BIGINT) AS post_mean_d",
+        )
+        .withColumn(
+            "retrain", 2 * F.col("pre_mean_d") > 3 * F.col("train_mean_d")
+        )
+        .orderBy("cluster")
+    )
+
+
 _DEDUP_COS_MAX_CELL = 64
 
 

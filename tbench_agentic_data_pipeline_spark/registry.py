@@ -190,7 +190,12 @@ _FRONT_ORDER: tuple[str, ...] = (
     # -- registered this round replace prefills from the BOTTOM up ----------
     "sim_ivf_incremental",
     "sim_ivfpq_topk",
-    "pipeline_corpus_build_embdup",
+    # -- new this round (bottom prefill ceded; pipeline_corpus_build_embdup
+    # -- stays r11-green and rotates at r14): the drift->retrain-and-swap
+    # -- report — stale per-cell quantizer from history, batch shifted in
+    # -- odd cells only, refit over history+batch, per-cell pre/post means
+    # -- + integer-exact retrain decision (clustering.ivf_retrain's twin) --
+    "sim_ivf_retrain",
 )
 
 

@@ -485,6 +485,102 @@ def test_ivf_incremental_maintenance_lifecycle(spark, tmp_path):
     assert top and top[0]["vec_id"] == probe_vec["vec_id"]
 
 
+def test_ivf_drift_triggers_retrain_and_swap(spark, tmp_path):
+    """r12 verdict task #4: the drift signal now EXECUTES a retrain —
+    full refit over history + accepted batches → new index version +
+    re-assigned corpus version (atomic manifest flips; the old versions
+    stay pinned-readable) → the swapped index serves ivf_search_topk and
+    the batch that triggered the retrain reads in-distribution again."""
+    from tbench_agentic_data_pipeline_spark.operators.clustering import (
+        IVF_DRIFT_RETRAIN,
+        assign_clusters,
+        ivf_append_batch,
+        ivf_drift_ratio,
+        ivf_retrain,
+        ivf_train_stats,
+        kmeans_fit,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        ivf_search_topk,
+    )
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    train = emb.where(F.col("vec_id") % 5 != 0)
+    # the arriving batch comes from a SHIFTED distribution — the case the
+    # drift gate exists for
+    batch = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("emb", lambda x: x + F.lit(3.0)).alias("emb"),
+    )
+
+    cents = kmeans_fit(train, "vec_id", "emb", k=4, dim=64, iters=2)
+    assigned_train = assign_clusters(train, "vec_id", "emb", cents)
+    index_root = str(tmp_path / "ivf_index")
+    asg_root = str(tmp_path / "ivf_assignments")
+    save_ivf_index(
+        cents.join(ivf_train_stats(assigned_train), "cluster"), index_root
+    )
+    SnapshotTable(spark, asg_root).commit(
+        assigned_train.select("vec_id", "emb", "cluster", "dist_sq"),
+        operation="ivf_assignments",
+    )
+
+    _, drift = ivf_append_batch(index_root, asg_root, batch, "vec_id", "emb")
+    assert drift > IVF_DRIFT_RETRAIN, drift  # the trigger fires
+
+    old_index = load_ivf_index(spark, index_root)
+    iv, av = ivf_retrain(
+        spark, index_root, asg_root, "vec_id", "emb", k=4, dim=64, iters=2
+    )
+    assert iv == 2 and av == 3
+
+    # the old index version stays readable after the swap (rollback /
+    # pinned-reader contract; vacuum-safe until retention expires)
+    assert load_ivf_index(spark, index_root, version=1).count() == 4
+    new_index = load_ivf_index(spark, index_root)
+    assert new_index.count() == 4
+
+    # improved batch inertia: the triggering batch is tighter under the
+    # refit quantizer, and its drift ratio is back under the threshold
+    quant_old = old_index.select("cluster", "centroid")
+    quant_new = new_index.select("cluster", "centroid")
+    mean_old = (
+        assign_clusters(batch, "vec_id", "emb", quant_old)
+        .agg(F.avg("dist_sq")).collect()[0][0]
+    )
+    mean_new = (
+        assign_clusters(batch, "vec_id", "emb", quant_new)
+        .agg(F.avg("dist_sq")).collect()[0][0]
+    )
+    assert mean_new < mean_old
+    assert (
+        ivf_drift_ratio(
+            assign_clusters(batch, "vec_id", "emb", quant_new), new_index
+        )
+        < IVF_DRIFT_RETRAIN
+    )
+
+    # the swapped index + re-assigned corpus serve searches: a query AT a
+    # shifted batch vector's position returns that exact row as top hit
+    corpus = SnapshotTable(spark, asg_root).read()
+    probe_vec = batch.limit(1).collect()[0]
+    queries = spark.createDataFrame(
+        [(0, probe_vec["emb"])], "q_id long, q_emb array<double>"
+    )
+    top = ivf_search_topk(corpus, queries, new_index, k=1, nprobe=2).collect()
+    assert top and top[0]["vec_id"] == probe_vec["vec_id"]
+
+
 def test_ivf_drift_ratio_signals_retrain_on_shifted_batch(spark, tmp_path):
     """The drift trigger itself: a batch from a SHIFTED distribution
     (every component displaced by several training standard deviations)

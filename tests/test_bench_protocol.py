@@ -239,3 +239,31 @@ def test_norm_duck_type_preserves_list_suffix():
     assert _norm_duck_type("STRUCT(a BIGINT)") == "struct"
     assert _norm_duck_type("DECIMAL(15,2)") == "decimal"
     assert _norm_duck_type("HUGEINT") == "hugeint"
+
+
+def test_strong_scaling_fold_is_cross_pass_minimum():
+    """r12 verdict task #2: the strong-scaling sweep min-merges full
+    passes like the headline bench — per (thread, query) cell minimum
+    via bench._fold_pass — so a single neighbor-burst cell (the r11
+    embdup 16→32 step, the r12 sim_ivfpq_topk 0.62× cell) can no longer
+    reach the committed AUTOGEN table."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "strong_scaling_for_test", os.path.join(repo, "tools", "strong_scaling.py")
+    )
+    ss = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ss)
+
+    acc: dict = {}
+    # pass 1: the @16 cell catches a burst on q_b
+    ss.fold_results(acc, {16: {"q_a": 1.0, "q_b": 9.9}, 32: {"q_a": 0.7, "q_b": 2.1}})
+    # pass 2: quiet @16, burst moved to @32
+    ss.fold_results(acc, {16: {"q_a": 1.1, "q_b": 2.4}, 32: {"q_a": 2.5, "q_b": 2.0}})
+    assert acc == {
+        16: {"q_a": 1.0, "q_b": 2.4},
+        32: {"q_a": 0.7, "q_b": 2.0},
+    }
+    assert ss.PASSES >= 2  # the protocol default is min-merge, not single-pass

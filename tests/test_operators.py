@@ -748,3 +748,43 @@ def test_verify_join_sides_pins_shuffle_above_threshold(spark, monkeypatch):
     monkeypatch.setattr(dedup, "source_bytes", lambda p: None)
     (unknown,) = dedup._verify_join_sides("/root/testdata/sf0.001", df)
     assert unknown is not df
+
+
+def test_tick_reject_list_planted_recall_and_zero_false_rejects(spark, tmp_path):
+    """r12 verdict task #3: planted partner docs straddling the tick's
+    history/batch split at graded EXACT token Jaccard, run through the
+    SHIPPED reject stage (corpus.tick_reject_list via the tool that
+    writes the SCALING.md table). Above the 0.5 verify threshold the
+    planted partners must actually be rejected (the exact-Jaccard verify
+    never drops a banded candidate, so only LSH band misses cost
+    recall); below it a reject is impossible by construction — the
+    superset partner bounds J against EVERY history doc at its planted
+    grade — so false rejects must be exactly zero."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "tick_reject_recall_for_test",
+        os.path.join(repo, "tools", "tick_reject_recall.py"),
+    )
+    tr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tr)
+    from tests.conftest import SF_ORACLE
+
+    out = str(tmp_path / "planted")
+    os.makedirs(out, exist_ok=True)
+    truth = tr.build_planted_sf_dir(spark, SF_ORACLE, out)
+    per_grade, false_rejects = tr.measure(spark, out, truth)
+
+    assert false_rejects == 0
+    by_j = {j: (n, hit) for j, n, hit in per_grade}
+    # sub-threshold grades were actually planted (the zero above is a
+    # real negative, not an empty band)
+    assert all(by_j[j][0] > 0 for j in (0.3, 0.4))
+    # comfortably-above-threshold grades recall strongly (1.000 at both
+    # sf0.01 and sf0.1; 0.75 leaves margin for fixture drift, not bugs)
+    for j in (0.7, 0.8, 0.9):
+        n, hit = by_j[j]
+        assert n > 0 and hit / n >= 0.75, (j, n, hit)
+    assert sum(hit for _, (_, hit) in by_j.items()) > 0

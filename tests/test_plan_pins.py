@@ -137,6 +137,10 @@ _PINS = {
     # two union+re-aggregate merges reuse the partials' partitioning
     # (the null-safe full-outer form this replaced measured 7)
     "st_incremental_rollup": 3,
+    # r13 addition: stale-quantizer cell agg over the history half + refit
+    # cell agg over all rows + per-cell report agg + ordered output; the
+    # two centroid joins broadcast (corpus side never shuffles for them)
+    "sim_ivf_retrain": 4,
 }
 
 

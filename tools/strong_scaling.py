@@ -12,6 +12,16 @@ smallest thread count into SCALING.md's AUTOGEN:STRONG_SCALING block.
 spark.sql.shuffle.partitions stays at the session default (32) for every
 run so the PLANS are identical — only executor-thread parallelism varies.
 
+Noise protocol (r12 verdict task #2 — the same two-pass min-merge the
+headline bench got in r11): the box's intermittent CPU neighbor bursts
+for minutes, so a single sweep's back-to-back in-JVM repeats can both
+land inside one burst (the r11 embdup 16→32 step and the r12 ivfpq
+0.62× cell were both post-hoc-adjudicated noise). The ENTIRE thread
+sweep now runs SPARK_GRAFT_STRONG_PASSES (default 2) full passes and
+each (thread, query) cell keeps its cross-pass MINIMUM via bench.py's
+``_fold_pass`` — repeats of a cell are separated by the length of a
+whole sweep, so a burst must span both passes to reach the table.
+
 Usage: python tools/strong_scaling.py [--update-md]
        python tools/strong_scaling.py --worker   (internal)
 """
@@ -81,6 +91,22 @@ _EXTRA_ACTIONS = {"bpe_train_8rounds": _bpe_train_8rounds}
 START = "<!-- AUTOGEN:STRONG_SCALING -->"
 END = "<!-- /AUTOGEN:STRONG_SCALING -->"
 
+PASSES = int(os.environ.get("SPARK_GRAFT_STRONG_PASSES", "2"))
+
+
+def fold_results(
+    acc: dict[int, dict[str, float]],
+    pass_results: dict[int, dict[str, float]],
+) -> None:
+    """Fold one full sweep pass into the accumulated grid: per-cell
+    MINIMUM across passes, via bench.py's ``_fold_pass`` (the committed
+    headline-bench protocol — one fold implementation, one set of
+    semantics to test)."""
+    from bench import _fold_pass
+
+    for n, times in pass_results.items():
+        _fold_pass(acc.setdefault(n, {}), {}, times, {})
+
 
 def worker() -> None:
     from tbench_agentic_data_pipeline_spark import registry
@@ -118,29 +144,36 @@ def main() -> None:
     if not os.path.isdir(os.path.join(SF_BIG, "lineitem.parquet")):
         sys.exit("~sf1 fixture missing — run tools/scaling_curve.py first")
     results: dict[int, dict[str, float]] = {}
-    for n in THREADS:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker"],
-            capture_output=True, text=True, env=env,
-        )
-        parsed = None
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                cand = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if isinstance(cand, dict):
-                parsed = cand
-                break
-        if parsed is None:
-            tail = (proc.stderr or proc.stdout or "").strip()[-400:]
-            sys.exit(
-                f"local[{n}] worker produced no result "
-                f"(rc={proc.returncode}): {tail}"
+    for p in range(PASSES):
+        pass_results: dict[int, dict[str, float]] = {}
+        for n in THREADS:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                capture_output=True, text=True, env=env,
             )
-        results[n] = parsed
-        print(f"local[{n}]: {results[n]}", file=sys.stderr)
+            parsed = None
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    cand = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(cand, dict):
+                    parsed = cand
+                    break
+            if parsed is None:
+                tail = (proc.stderr or proc.stdout or "").strip()[-400:]
+                sys.exit(
+                    f"pass {p + 1} local[{n}] worker produced no result "
+                    f"(rc={proc.returncode}): {tail}"
+                )
+            pass_results[n] = parsed
+            print(
+                f"pass {p + 1}/{PASSES} local[{n}]: {parsed} "
+                f"(loadavg {os.getloadavg()[0]:.1f})",
+                file=sys.stderr,
+            )
+        fold_results(results, pass_results)
 
     base = THREADS[0]
     lines = [
