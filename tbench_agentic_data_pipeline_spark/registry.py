@@ -98,6 +98,20 @@ def query(
     return deco
 
 
+# CAPACITY POLICY (r13 decision, r12 verdict task #6). The rotation
+# math: the driver checks a 50-query prefix per round and the staleness
+# invariant demands every query a green row every ≤3 rounds, so the
+# hard schedulability ceiling is 3×50 = 150 registered queries — at
+# which EVERY window would be 100% mandatory with zero tolerance for a
+# single driver flake or any future registration. The committed cap is
+# therefore 149 (one spare slot per 3-round cycle for a mid-window
+# re-green), asserted in tests/test_registry_meta.py, and the working
+# policy from 148 on is consolidation-balanced growth: a new query may
+# only land in the same commit that retires a twin (md5/fast oracle
+# twins are the designated candidates — the md5 twin folds into its
+# production query's docstring + an equivalence unit test, its oracle
+# semantics preserved by the production query's own oracle).
+#
 # Explicit evaluation-priority order. The external driver evaluates only a
 # fixed-size prefix of queries() (observed: first 50 entries every round
 # so far), so prefix membership decides which queries get an external

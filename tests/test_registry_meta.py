@@ -162,10 +162,15 @@ def test_external_rows_never_exceed_staleness_ceiling():
     row is ≤ _WINDOW_ROUND - 3 MUST be in _FRONT_ORDER (refreshed this
     window); queries newer than that may rotate out. With 50 slots per
     round this bounds every query's verification age to 3 rounds —
-    feasible while the registry stays ≤ 150 entries, which is itself
-    asserted here so growth that breaks the schedule fails loudly."""
-    assert len(_ENTRIES) <= 150, (
-        "registry has outgrown the 3-round / 50-slot rotation schedule"
+    feasible while the registry stays ≤ 149 entries (the r13 capacity
+    decision, registry.py header: 3×50 − 1 keeps one spare slot per
+    cycle for a mid-window re-green, so a single driver flake never
+    makes the schedule infeasible), asserted here so growth that breaks
+    the schedule fails loudly. Past 148, any new registration must
+    retire a twin in the same commit."""
+    assert len(_ENTRIES) <= 149, (
+        "registry has outgrown the 3-round / 50-slot rotation schedule "
+        "(capacity policy: registry.py header)"
     )
     must_refresh = [
         n

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Is the neardup pair stage's thread-count-invariance the AQE
+coalescer's CHOICE or a serial dependency? (r12 verdict task #5 — the
+one open scale argument.)
+
+The r12 stage-floor decomposition attributed `pipeline_corpus_build_
+neardup`'s flat 8→32 pair-stage time to AQE coalescing the band
+shuffles to a handful of tasks at fixture scale, with "at 100 TB the
+shuffle carries volume and spreads" left as an argument. This tool
+turns it into a measurement: the SAME pair stage (quality-dedup front →
+shingle → minhash bands → LSH candidate pairs, the exact code
+`tools/corpus_stage_floor.py` isolates) runs at ~sf1 under
+
+  - default AQE (coalescePartitions free to shrink post-shuffle
+    parallelism to match the fixture's shuffle volume), and
+  - `spark.sql.adaptive.coalescePartitions.minPartitionNum = <threads>`
+    (the coalescer keeps at least one post-shuffle partition per core —
+    exactly what it would do on its own once the shuffle carries
+    100 TB-scale volume),
+
+each at 8 and 32 threads (fresh JVM per cell; two full passes,
+per-cell min via bench._fold_pass). If the default cells are flat
+8→32 while the pinned cells scale, the invariance is the coalescer's
+volume heuristic — i.e. the 100 TB spreading behavior is selectable
+today with one conf — and NOT a serial dependency in the stage.
+
+Usage: python tools/aqe_spread_check.py [--update-md]
+       python tools/aqe_spread_check.py --worker <minPartitionNum|0>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_BIG = os.path.join(REPO, ".scaling", "sf1")
+THREADS = (8, 32)
+PASSES = 2
+REPEATS = 2
+START = "<!-- AUTOGEN:AQE_SPREAD -->"
+END = "<!-- /AUTOGEN:AQE_SPREAD -->"
+
+
+def _pair_stage(spark, sf_dir: str) -> float:
+    """The neardup pair stage, verbatim from tools/corpus_stage_floor.py
+    (same fences the production fn uses); returns its wall seconds."""
+    from pyspark.sql import functions as F
+
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.corpus import (
+        NEARDUP_BANDS,
+        NEARDUP_HASH,
+        NEARDUP_SHINGLE_W,
+        _quality_deduped,
+    )
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_band_df,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = _quality_deduped(docs).localCheckpoint()
+
+    t0 = time.perf_counter()
+    toks = F.split("text", " ")
+    shingled = (
+        deduped.select("doc_id", toks.alias("w"))
+        .where(F.size("w") >= NEARDUP_SHINGLE_W)
+        .select(
+            "doc_id",
+            shingles(F.col("w"), NEARDUP_SHINGLE_W, guard_short=False)
+            .alias("sh"),
+        )
+    )
+    with_bands = minhash_band_df(
+        shingled, "doc_id", "sh", *NEARDUP_BANDS, hash_fn=NEARDUP_HASH
+    )
+    (
+        lsh_candidate_pairs(with_bands, "doc_id", "bands")
+        .select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        .localCheckpoint()
+    )
+    return time.perf_counter() - t0
+
+
+def worker(min_partitions: int) -> None:
+    from tbench_agentic_data_pipeline_spark.session import get_session
+
+    spark = get_session("aqe-spread")
+    if min_partitions > 0:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(min_partitions),
+        )
+    best = min(_pair_stage(spark, SF_BIG) for _ in range(REPEATS))
+    print(json.dumps({"pairs": round(best, 3)}))
+    spark.stop()
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        return
+    if not os.path.isdir(os.path.join(SF_BIG, "documents.parquet")):
+        sys.exit("~sf1 fixture missing — run tools/scaling_curve.py first")
+    from bench import _fold_pass
+
+    # grid key: (mode, threads) → {"pairs": seconds}
+    results: dict[tuple[str, int], dict[str, float]] = {}
+    for p in range(PASSES):
+        for n in THREADS:
+            for mode, minp in (("default", 0), ("pinned", n)):
+                env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+                proc = subprocess.run(
+                    [
+                        sys.executable, os.path.abspath(__file__),
+                        "--worker", str(minp),
+                    ],
+                    capture_output=True, text=True, env=env,
+                )
+                parsed = None
+                for line in reversed(proc.stdout.strip().splitlines()):
+                    try:
+                        cand = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if isinstance(cand, dict):
+                        parsed = cand
+                        break
+                if parsed is None:
+                    tail = (proc.stderr or proc.stdout or "").strip()[-400:]
+                    sys.exit(
+                        f"pass {p + 1} {mode} local[{n}] produced no result "
+                        f"(rc={proc.returncode}): {tail}"
+                    )
+                _fold_pass(
+                    results.setdefault((mode, n), {}), {}, parsed, {}
+                )
+                print(
+                    f"pass {p + 1}/{PASSES} {mode} local[{n}]: {parsed} "
+                    f"(loadavg {os.getloadavg()[0]:.1f})",
+                    file=sys.stderr,
+                )
+
+    lines = [
+        "| coalescer | local[8] pairs (s) | local[32] pairs (s) "
+        "| 8→32 speedup |",
+        "|---|---|---|---|",
+    ]
+    for mode, label in (
+        ("default", "default (volume heuristic)"),
+        ("pinned", "minPartitionNum = threads"),
+    ):
+        t8 = results[(mode, 8)]["pairs"]
+        t32 = results[(mode, 32)]["pairs"]
+        lines.append(
+            f"| {label} | {t8:.2f} | {t32:.2f} | {t8 / t32:.2f}× |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    if "--update-md" in sys.argv:
+        path = os.path.join(REPO, "SCALING.md")
+        text = open(path).read()
+        block = f"{START}\n{table}\n{END}"
+        if START in text:
+            text = text.split(START)[0] + block + text.split(END)[1]
+        else:
+            text += "\n" + block + "\n"
+        open(path, "w").write(text)
+
+
+if __name__ == "__main__":
+    main()
