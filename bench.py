@@ -340,6 +340,11 @@ SHARD_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_SHARD_SIZE", "14"))
 # sf0.1 incl. warmup); 20 min is an order of magnitude of headroom.
 SHARD_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_SHARD_TIMEOUT", "1200"))
 
+# Post-kill drain bound: after killpg the pipes normally close at once;
+# this only binds the D-state-writer corner (module constant so the test
+# can exercise that path without a 30 s sleep).
+SHARD_DRAIN_TIMEOUT_S = 30
+
 def _invoke_shard(shard: list[str]) -> tuple[str, str, int]:
     """One shard subprocess → (stdout, stderr, returncode). A hang is
     converted to crash-shaped output at SHARD_TIMEOUT_S: whatever the
@@ -373,10 +378,22 @@ def _invoke_shard(shard: list[str]) -> tuple[str, str, int]:
         except (ProcessLookupError, PermissionError):
             pass
         try:
-            out, _ = proc.communicate(timeout=30)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            out = ""
+            out, _ = proc.communicate(timeout=SHARD_DRAIN_TIMEOUT_S)
+        except subprocess.TimeoutExpired as te:
+            # A truly unkillable (D-state) writer still holds the pipe:
+            # SALVAGE what communicate already buffered — the completed
+            # queries' timings are exactly what this path exists to
+            # keep — and release our pipe ends instead of leaking them.
+            out = te.stdout or b""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            for pipe in (proc.stdout, proc.stderr):
+                if pipe is not None:
+                    pipe.close()
+        try:
+            proc.wait(timeout=0)  # reap the SIGKILLed direct child
+        except (subprocess.TimeoutExpired, OSError):
+            pass
         return out or "", f"shard timeout after {SHARD_TIMEOUT_S}s", -1
 
 

@@ -111,7 +111,9 @@ def inertia(assigned: DataFrame) -> float:
     return assigned.agg(F.sum("dist_sq")).collect()[0][0]
 
 
-def save_ivf_index(centroids: DataFrame, root: str) -> int:
+def save_ivf_index(
+    centroids: DataFrame, root: str, operation: str = "ivf_index"
+) -> int:
     """Persist the coarse quantizer as a versioned snapshot table — the
     index LIFECYCLE half of IVF: fit once over the corpus, commit, and
     every subsequent search/assign job broadcasts the saved centroids
@@ -132,7 +134,7 @@ def save_ivf_index(centroids: DataFrame, root: str) -> int:
         c for c in ("n_train", "train_mean_dist_sq") if c in centroids.columns
     ]
     table = SnapshotTable(centroids.sparkSession, root)
-    return table.commit(centroids.select(*cols), operation="ivf_index")
+    return table.commit(centroids.select(*cols), operation=operation)
 
 
 def load_ivf_index(
@@ -259,12 +261,19 @@ def ivf_retrain(
     re-assigned under the new quantizer as a NEW assignments version.
     Returns ``(index_version, assignments_version)``.
 
-    Swap semantics are the snapshot table's: both commits are atomic
-    manifest flips, so searches that already pinned the old version keep
-    serving it unchanged (it stays readable until a ``vacuum`` past its
-    retention), and the next unpinned ``load_ivf_index``/``read()``
-    observes the new quantizer and its matching assignments. The
-    reference system has the same refresh-your-own-derived-state sweep
+    Swap semantics (r13 review: two tables cannot flip in one atomic
+    step, so the ORDER and the PAIRING carry the consistency): the
+    re-assigned corpus commits FIRST, then the index commits carrying
+    the matching assignments version in its history record
+    (``operation="ivf_retrain asg_v=<n>"``) — the index flip is the
+    single publish point. Readers that pair the two tables through
+    :func:`load_ivf_state` are crash-consistent: a retrain that died
+    between the commits (assignments flipped, index not) serves the OLD
+    index with the newest assignments version still belonging to the
+    old quantizer's chain — never new-labels-under-old-centroids or the
+    reverse. Old versions stay readable until a ``vacuum`` past
+    retention (pinned-reader rollback). The reference system has the
+    same refresh-your-own-derived-state sweep
     (scripts/validate_all_prod_dps.py:94-133 re-validates and re-stamps
     every production datapoint); here the derived state is the ANN index.
 
@@ -298,14 +307,64 @@ def ivf_retrain(
                 "train_mean_dist_sq",
             )
         )
-        index_version = save_ivf_index(new_index, index_root)
+        # assignments FIRST; the index commit records the pairing and is
+        # the single publish point (see docstring / load_ivf_state)
         asg_version = assignments.commit(
             assigned.select(key_col, vec_col, "cluster", "dist_sq"),
             operation="ivf_retrain",
         )
+        index_version = save_ivf_index(
+            new_index, index_root, operation=f"ivf_retrain asg_v={asg_version}"
+        )
     finally:
         assigned.unpersist()
     return index_version, asg_version
+
+
+def load_ivf_state(
+    spark: SparkSession, index_root: str, assignments_root: str
+) -> tuple[DataFrame, DataFrame]:
+    """The crash-consistent (index, assignments) PAIR for search/probe
+    jobs — use this instead of pairing ``load_ivf_index`` with a bare
+    ``read()`` when retrains run (r13 review): cluster labels only mean
+    anything under the quantizer that assigned them, and the two tables
+    flip in two commits.
+
+    Resolution: the CURRENT index's history record names its paired
+    retrain-assignments version (``asg_v``; absent for a never-retrained
+    index → pair base None). The assignments version served is the
+    newest one whose CHAIN BASE — the latest ``ivf_retrain`` commit at
+    or before it — equals that pair base. A retrain that committed its
+    assignments but crashed before the index flip therefore stays
+    invisible (its chain belongs to an unpublished quantizer), while
+    every ``append_delta`` tick on the published chain is included."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import (
+        SnapshotTable,
+    )
+
+    idx = SnapshotTable(spark, index_root)
+    asg = SnapshotTable(spark, assignments_root)
+    cur = idx.current_version()
+    paired = None
+    for h in idx.history():
+        if h["version"] == cur and h["operation"].startswith(
+            "ivf_retrain asg_v="
+        ):
+            paired = int(h["operation"].rsplit("=", 1)[1])
+    retrains = sorted(
+        h["version"] for h in asg.history() if h["operation"] == "ivf_retrain"
+    )
+
+    def chain_base(v: int) -> int | None:
+        return max((r for r in retrains if r <= v), default=None)
+
+    serveable = [v for v in asg.versions() if chain_base(v) == paired]
+    if not serveable:  # pairing record lost (manual surgery): fail loud
+        raise ValueError(
+            f"no assignments version pairs with index v{cur} "
+            f"(paired asg_v={paired}, retrain commits={retrains})"
+        )
+    return idx.read(cur), asg.read(max(serveable))
 
 
 def save_pq_codebook(codebook: DataFrame, root: str) -> int:

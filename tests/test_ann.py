@@ -570,15 +570,45 @@ def test_ivf_drift_triggers_retrain_and_swap(spark, tmp_path):
         < IVF_DRIFT_RETRAIN
     )
 
-    # the swapped index + re-assigned corpus serve searches: a query AT a
-    # shifted batch vector's position returns that exact row as top hit
-    corpus = SnapshotTable(spark, asg_root).read()
+    # the swapped index + re-assigned corpus serve searches THROUGH the
+    # crash-consistent pair loader: a query AT a shifted batch vector's
+    # position returns that exact row as top hit
+    from tbench_agentic_data_pipeline_spark.operators.clustering import (
+        load_ivf_state,
+    )
+
+    state_index, corpus = load_ivf_state(spark, index_root, asg_root)
+    assert state_index.count() == 4
     probe_vec = batch.limit(1).collect()[0]
     queries = spark.createDataFrame(
         [(0, probe_vec["emb"])], "q_id long, q_emb array<double>"
     )
-    top = ivf_search_topk(corpus, queries, new_index, k=1, nprobe=2).collect()
+    top = ivf_search_topk(
+        corpus, queries, state_index, k=1, nprobe=2
+    ).collect()
     assert top and top[0]["vec_id"] == probe_vec["vec_id"]
+
+    # crash-window consistency (r13 review): an O(batch) delta tick on
+    # the published chain is served, but a retrain whose assignments
+    # committed WITHOUT the index flip (simulated crash between the two
+    # commits) must stay invisible to the pair loader — new labels never
+    # appear under the old quantizer
+    served_before = corpus.count()
+    _, d = ivf_append_batch(
+        index_root, asg_root,
+        batch.select((F.col("vec_id") + 5_000_000).alias("vec_id"), "emb"),
+        "vec_id", "emb",
+    )
+    _, corpus2 = load_ivf_state(spark, index_root, asg_root)
+    assert corpus2.count() == served_before + batch.count()  # delta visible
+    SnapshotTable(spark, asg_root).commit(
+        corpus2.withColumn("cluster", F.lit(99)),  # a would-be new chain
+        operation="ivf_retrain",
+    )
+    state_index3, corpus3 = load_ivf_state(spark, index_root, asg_root)
+    assert corpus3.count() == served_before + batch.count()
+    assert corpus3.where(F.col("cluster") == 99).count() == 0
+    assert state_index3.count() == 4
 
 
 def test_ivf_drift_ratio_signals_retrain_on_shifted_batch(spark, tmp_path):

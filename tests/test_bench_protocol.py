@@ -1,8 +1,9 @@
-"""The bench shard protocol's crash-salvage contract (r8 ADVICE: a dead
-shard subprocess used to discard its completed timings and stamp every
-shard-mate with the same error, hiding which query actually crashed).
-
-Pure parsing tests — no Spark session, no subprocess."""
+"""The bench/measurement-tool protocol contracts: shard crash-salvage
+parsing (r8 ADVICE: a dead shard subprocess used to discard its
+completed timings and stamp every shard-mate with the same error),
+pass-fold semantics shared by bench.py and tools/strong_scaling.py, and
+the hung-shard group-kill path (which spawns REAL bash subprocesses —
+everything else here is pure parsing, no Spark session)."""
 
 from __future__ import annotations
 
@@ -223,25 +224,7 @@ def test_hung_shard_is_killed_and_salvaged(monkeypatch):
     assert times == {"q_a": 0.9}
     assert "died running this query" in errors["q_b"] and "timeout" in errors["q_b"]
     assert errors["q_c"].startswith("not run")
-
-
-def test_norm_duck_type_preserves_list_suffix():
-    """r12 ADVICE (oracle_harness.py:77): DuckDB renders list-of-struct
-    as 'STRUCT(...)[]' — normalization must keep the '[]' suffix so
-    compare()'s array exemption still fires against Spark's
-    'array<struct<...>>', and plain parameterized types still strip."""
-    from tests.oracle_harness import _norm_duck_type
-
-    assert _norm_duck_type("STRUCT(a BIGINT, b VARCHAR)[]") == "struct[]"
-    assert _norm_duck_type("MAP(VARCHAR, BIGINT)[]") == "map[]"
-    assert _norm_duck_type("BIGINT[]") == "bigint[]"
-    assert _norm_duck_type("VARCHAR[][]") == "string[][]"
-    assert _norm_duck_type("STRUCT(a BIGINT)") == "struct"
-    assert _norm_duck_type("DECIMAL(15,2)") == "decimal"
-    assert _norm_duck_type("HUGEINT") == "hugeint"
-
-
-def test_strong_scaling_fold_is_cross_pass_minimum():
+def test_strong_scaling_fold_is_cross_pass_minimum(monkeypatch):
     """r12 verdict task #2: the strong-scaling sweep min-merges full
     passes like the headline bench — per (thread, query) cell minimum
     via bench._fold_pass — so a single neighbor-burst cell (the r11
@@ -250,6 +233,10 @@ def test_strong_scaling_fold_is_cross_pass_minimum():
     import importlib.util
     import os
 
+    # assert the DEFAULT protocol, not whatever a quick single-pass
+    # shell exported (the env knob is legitimate; this test is not
+    # about it)
+    monkeypatch.delenv("SPARK_GRAFT_STRONG_PASSES", raising=False)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
         "strong_scaling_for_test", os.path.join(repo, "tools", "strong_scaling.py")
@@ -267,3 +254,55 @@ def test_strong_scaling_fold_is_cross_pass_minimum():
         32: {"q_a": 0.7, "q_b": 2.0},
     }
     assert ss.PASSES >= 2  # the protocol default is min-merge, not single-pass
+
+
+def test_unkillable_writer_still_salvages_buffered_output(monkeypatch):
+    """r13 review: if even killpg cannot release the pipe (a D-state
+    writer), the bounded drain must keep what communicate() already
+    buffered — the completed queries' timings — and close our pipe ends,
+    not discard everything. Simulated by neutering os.killpg so the
+    grandchild survives, with the drain bound shrunk via the module
+    constant."""
+    import time as _time
+
+    import bench
+
+    partial = _lines({"start": "q_a"}, {"q": "q_a", "t": 0.9}, {"start": "q_b"})
+    script = (
+        f"printf %s {shlex.quote(partial)}\n"
+        "sleep 600 &\n"
+        "sleep 600\n"
+    )
+
+    import subprocess
+
+    real_popen = subprocess.Popen
+    procs = []
+
+    def fake_popen(cmd, **kw):
+        p = real_popen(["bash", "-c", script], **kw)
+        procs.append(p)
+        return p
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    monkeypatch.setattr(bench, "SHARD_TIMEOUT_S", 2)
+    monkeypatch.setattr(bench, "SHARD_DRAIN_TIMEOUT_S", 1)
+    monkeypatch.setattr(bench.os, "killpg", lambda *a: None)
+    t0 = _time.monotonic()
+    out, err, rc = bench._invoke_shard(["q_a", "q_b"])
+    assert _time.monotonic() - t0 < 15
+    assert rc == -1 and "timeout" in err
+    times, errors, _ = _parse_shard_output(["q_a", "q_b"], out, err, rc)
+    assert times == {"q_a": 0.9}  # the buffered partial survived
+    assert "died running this query" in errors["q_b"]
+    # our pipe ends were released, not leaked
+    assert all(p.stdout.closed and p.stderr.closed for p in procs)
+    # cleanup: actually kill the surviving group now
+    import os as _os
+    import signal as _signal
+
+    for p in procs:
+        try:
+            _os.killpg(p.pid, _signal.SIGKILL)
+        except ProcessLookupError:
+            pass

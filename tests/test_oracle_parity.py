@@ -49,3 +49,19 @@ def test_parity_at_bench_scale(spark, name):
     # tests, and a selective query can legitimately go empty on the
     # larger fixture (so3's key-set difference does) while both engines
     # still agree.
+
+
+def test_norm_duck_type_preserves_list_suffix():
+    """r12 ADVICE (oracle_harness.py:77): DuckDB renders list-of-struct
+    as 'STRUCT(...)[]' — normalization must keep the '[]' suffix so
+    compare()'s array exemption still fires against Spark's
+    'array<struct<...>>', and plain parameterized types still strip."""
+    from tests.oracle_harness import _norm_duck_type
+
+    assert _norm_duck_type("STRUCT(a BIGINT, b VARCHAR)[]") == "struct[]"
+    assert _norm_duck_type("MAP(VARCHAR, BIGINT)[]") == "map[]"
+    assert _norm_duck_type("BIGINT[]") == "bigint[]"
+    assert _norm_duck_type("VARCHAR[][]") == "string[][]"
+    assert _norm_duck_type("STRUCT(a BIGINT)") == "struct"
+    assert _norm_duck_type("DECIMAL(15,2)") == "decimal"
+    assert _norm_duck_type("HUGEINT") == "hugeint"

@@ -11,12 +11,20 @@ turns it into a measurement: the SAME pair stage (quality-dedup front →
 shingle → minhash bands → LSH candidate pairs, the exact code
 `tools/corpus_stage_floor.py` isolates) runs at ~sf1 under
 
-  - default AQE (coalescePartitions free to shrink post-shuffle
-    parallelism to match the fixture's shuffle volume), and
-  - `spark.sql.adaptive.coalescePartitions.minPartitionNum = <threads>`
-    (the coalescer keeps at least one post-shuffle partition per core —
-    exactly what it would do on its own once the shuffle carries
-    100 TB-scale volume),
+  - default AQE (coalescePartitions shrinks post-shuffle parallelism
+    to the fixture's shuffle volume: the quality-dedup window exchange
+    lands on ~6 partitions of ≥minPartitionSize, so the downstream
+    shingle+minhash compute runs 6-wide regardless of cores), and
+  - `spark.sql.adaptive.coalescePartitions.enabled = false` (the
+    post-shuffle partition count stays at spark.sql.shuffle.partitions
+    — exactly what the coalescer itself would keep once the shuffle
+    carries 100 TB-scale volume. NOT minPartitionNum: that conf still
+    exists in Spark 4.1 but is deprecated/advisory — with
+    parallelismFirst=true the minimum already defaults to
+    defaultParallelism, so pinning it to the thread count is a
+    behavioral no-op, and the minPartitionSize floor wins at fixture
+    shuffle volume regardless [measured: the minPartitionNum variant
+    changed nothing]. Disabling the coalescer is the honest pin),
 
 each at 8 and 32 threads (fresh JVM per cell; two full passes,
 per-cell min via bench._fold_pass). If the default cells are flat
@@ -25,14 +33,13 @@ volume heuristic — i.e. the 100 TB spreading behavior is selectable
 today with one conf — and NOT a serial dependency in the stage.
 
 Usage: python tools/aqe_spread_check.py [--update-md]
-       python tools/aqe_spread_check.py --worker <minPartitionNum|0>
+       python tools/aqe_spread_check.py --worker <1=coalescing-off|0>
 """
 
 from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -96,8 +103,7 @@ def worker(min_partitions: int) -> None:
     spark = get_session("aqe-spread")
     if min_partitions > 0:
         spark.conf.set(
-            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
-            str(min_partitions),
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
         )
     best = min(_pair_stage(spark, SF_BIG) for _ in range(REPEATS))
     print(json.dumps({"pairs": round(best, 3)}))
@@ -112,34 +118,21 @@ def main() -> None:
         sys.exit("~sf1 fixture missing — run tools/scaling_curve.py first")
     from bench import _fold_pass
 
+    from _common import run_worker_json, splice_autogen
+
     # grid key: (mode, threads) → {"pairs": seconds}
     results: dict[tuple[str, int], dict[str, float]] = {}
     for p in range(PASSES):
         for n in THREADS:
-            for mode, minp in (("default", 0), ("pinned", n)):
-                env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
-                proc = subprocess.run(
+            for mode, minp in (("default", 0), ("nocoalesce", 1)):
+                parsed = run_worker_json(
                     [
                         sys.executable, os.path.abspath(__file__),
                         "--worker", str(minp),
                     ],
-                    capture_output=True, text=True, env=env,
+                    dict(os.environ, SPARK_GRAFT_CPUS=str(n)),
+                    f"pass {p + 1} {mode} local[{n}]",
                 )
-                parsed = None
-                for line in reversed(proc.stdout.strip().splitlines()):
-                    try:
-                        cand = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    if isinstance(cand, dict):
-                        parsed = cand
-                        break
-                if parsed is None:
-                    tail = (proc.stderr or proc.stdout or "").strip()[-400:]
-                    sys.exit(
-                        f"pass {p + 1} {mode} local[{n}] produced no result "
-                        f"(rc={proc.returncode}): {tail}"
-                    )
                 _fold_pass(
                     results.setdefault((mode, n), {}), {}, parsed, {}
                 )
@@ -156,7 +149,7 @@ def main() -> None:
     ]
     for mode, label in (
         ("default", "default (volume heuristic)"),
-        ("pinned", "minPartitionNum = threads"),
+        ("nocoalesce", "coalescing OFF (volume-scale shape)"),
     ):
         t8 = results[(mode, 8)]["pairs"]
         t32 = results[(mode, 32)]["pairs"]
@@ -166,14 +159,7 @@ def main() -> None:
     table = "\n".join(lines)
     print(table)
     if "--update-md" in sys.argv:
-        path = os.path.join(REPO, "SCALING.md")
-        text = open(path).read()
-        block = f"{START}\n{table}\n{END}"
-        if START in text:
-            text = text.split(START)[0] + block + text.split(END)[1]
-        else:
-            text += "\n" + block + "\n"
-        open(path, "w").write(text)
+        splice_autogen(START, END, table)
 
 
 if __name__ == "__main__":

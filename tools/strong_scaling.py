@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -143,30 +142,17 @@ def main() -> None:
         return
     if not os.path.isdir(os.path.join(SF_BIG, "lineitem.parquet")):
         sys.exit("~sf1 fixture missing — run tools/scaling_curve.py first")
+    from _common import run_worker_json, splice_autogen
+
     results: dict[int, dict[str, float]] = {}
     for p in range(PASSES):
         pass_results: dict[int, dict[str, float]] = {}
         for n in THREADS:
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
-            proc = subprocess.run(
+            parsed = run_worker_json(
                 [sys.executable, os.path.abspath(__file__), "--worker"],
-                capture_output=True, text=True, env=env,
+                dict(os.environ, SPARK_GRAFT_CPUS=str(n)),
+                f"pass {p + 1} local[{n}] worker",
             )
-            parsed = None
-            for line in reversed(proc.stdout.strip().splitlines()):
-                try:
-                    cand = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if isinstance(cand, dict):
-                    parsed = cand
-                    break
-            if parsed is None:
-                tail = (proc.stderr or proc.stdout or "").strip()[-400:]
-                sys.exit(
-                    f"pass {p + 1} local[{n}] worker produced no result "
-                    f"(rc={proc.returncode}): {tail}"
-                )
             pass_results[n] = parsed
             print(
                 f"pass {p + 1}/{PASSES} local[{n}]: {parsed} "
@@ -198,14 +184,7 @@ def main() -> None:
     table = "\n".join(lines)
     print(table)
     if "--update-md" in sys.argv:
-        path = os.path.join(REPO, "SCALING.md")
-        text = open(path).read()
-        block = f"{START}\n{table}\n{END}"
-        if START in text:
-            text = text.split(START)[0] + block + text.split(END)[1]
-        else:
-            text += "\n" + block + "\n"
-        open(path, "w").write(text)
+        splice_autogen(START, END, table)
 
 
 if __name__ == "__main__":

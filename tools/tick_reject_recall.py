@@ -43,7 +43,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = "/root/testdata/sf0.1"
 PARTNER_OFFSET = 1_000_001
 EVERY = 16  # every 8th history doc (ids are dense; history = even ids)
@@ -167,14 +166,9 @@ def main() -> None:
     table = "\n".join(lines)
     print(table)
     if "--update-md" in sys.argv:
-        path = os.path.join(REPO, "SCALING.md")
-        text = open(path).read()
-        block = f"{START}\n{table}\n{END}"
-        if START in text:
-            text = text.split(START)[0] + block + text.split(END)[1]
-        else:
-            text += "\n" + block + "\n"
-        open(path, "w").write(text)
+        from _common import splice_autogen
+
+        splice_autogen(START, END, table)
     spark.stop()
 
 
