@@ -9,6 +9,7 @@ headline metric is total seconds across headline queries.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import signal
@@ -261,6 +262,15 @@ def _run_shard(names: list[str], sf_dir: str, stream: bool = False) -> dict:
             # later query that also calls connected_components (e.g. the
             # leakage-safe split) would overwrite the attribution.
             cc_rounds = connected_components.last_rounds
+        # Release the finished query's localCheckpoint/persist blocks
+        # BEFORE the next query starts: executor storage for a
+        # checkpointed RDD is freed by the ContextCleaner only after the
+        # driver-side Python reference is garbage-collected, so without
+        # an explicit collect the residue of a checkpoint-heavy query
+        # degrades its shard-mates (r13 measured at ~sf1/local[32]:
+        # sim_ivfpq_topk 2.49 s fresh vs 9.32 s after the dedup family
+        # in one session; 2.61 s with this collect).
+        gc.collect()
 
     spark.stop()
     return {"times": times, "errors": errors, "cc_rounds": cc_rounds}

@@ -28,6 +28,7 @@ Usage: python tools/strong_scaling.py [--update-md]
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -132,6 +133,13 @@ def worker() -> None:
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         times[name] = round(best, 3)
+        # Free the finished query's localCheckpoint blocks before the
+        # next cell: ContextCleaner only drops executor storage after
+        # the driver-side Python reference is GC'd, and the residue of
+        # the checkpoint-heavy dedup family measured 2.49 -> 9.32 s on
+        # the following ivfpq cell at ~sf1/local[32] (r13). Same
+        # per-query collect the bench shard runner applies.
+        gc.collect()
     print(json.dumps(times))
     spark.stop()
 
