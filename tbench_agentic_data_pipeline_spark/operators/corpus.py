@@ -109,6 +109,28 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread_checkpointed(df: DataFrame, key: str) -> DataFrame:
+    """Post-shuffle fan-out for a checkpointed narrow slice (r13, from
+    the `tools/aqe_spread_check.py` measurement): at fixture scale
+    AQE's minPartitionSize floor coalesces the quality-dedup window
+    exchange to a handful of partitions (~6 at ~sf1), which then
+    serializes the downstream shingle/minhash compute on a 32-thread
+    session — the pair stage measured 4.34 s coalesced vs 1.76 s at
+    full parallelism @32. The checkpoint makes the partition count a
+    free metadata read, so the spread is SIZE-AWARE: it fires only when
+    the materialized slice is narrower than the session's parallelism.
+    At 100 TB the window output is already wider than any executor
+    count and this is a provable no-op — the ``spread_for_compute``
+    posture, applied post-shuffle. The re-checkpoint keeps downstream
+    consumers (edge build AND survivors side) reading one in-memory
+    copy, preserving the single-corpus-scan contract."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key).localCheckpoint()
+
+
 def _quality_deduped(docs: DataFrame) -> DataFrame:
     """Shared front of the corpus builds: quality gate (≥600 milli, the
     Gopher-style char-length/stopword/uniqueness bands) then exact dedup
@@ -290,7 +312,9 @@ def pipeline_corpus_build_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     fraction of the corpus, and the checkpoint truncates the window
     lineage exactly like connected_components' edge checkpoint."""
     docs = load_table(spark, sf_dir, "documents")
-    deduped = _quality_deduped(docs).localCheckpoint()
+    deduped = _spread_checkpointed(
+        _quality_deduped(docs).localCheckpoint(), "doc_id"
+    )
     toks = F.split("text", " ")
     shingled = (
         deduped.select("doc_id", toks.alias("w"))

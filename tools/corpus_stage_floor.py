@@ -54,6 +54,7 @@ def _neardup_stages(spark, sf_dir):
         _quality_deduped,
         _sample_bucket,
         _sample_rate,
+        _spread_checkpointed,
     )
     from tbench_agentic_data_pipeline_spark.operators.dedup import (
         _BROADCAST_LABELS_BELOW,
@@ -67,7 +68,9 @@ def _neardup_stages(spark, sf_dir):
     out = {}
     t0 = time.perf_counter()
     docs = load_table(spark, sf_dir, "documents")
-    deduped = _quality_deduped(docs).localCheckpoint()
+    deduped = _spread_checkpointed(
+        _quality_deduped(docs).localCheckpoint(), "doc_id"
+    )
     out["front"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
