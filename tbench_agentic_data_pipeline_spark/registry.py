@@ -130,86 +130,86 @@ def query(
 # (newest file = _WINDOW_ROUND). At each round start, bump this stamp
 # FIRST — the staleness test then prints the exact mandatory block the
 # new window must contain (tools/next_window.py computes it any time).
-_WINDOW_ROUND: int = 13
+_WINDOW_ROUND: int = 14
 
-# Round-13 rotation (tools/next_window.py at r12-close printed exactly this
+# Round-14 rotation (tools/next_window.py at r13-close printed exactly this
 # mandatory block):
-# - the 47 queries whose newest external row is round 10 — staleness
-#   ceiling, non-negotiable: the TPC-H spine (q2/q4/q6-q9/q11-q22), the
-#   scalar gauntlets (f_array/datetime/json/map/string), the dedup batch
-#   family (exact/bands/cosine/sweep/survivors/leakage-split), asof/range
-#   joins, mm gif-frames/image-codec, streaming tumbling/session/dedup,
-#   u1, w7/w8, so4/so5, a_conditional_distinct/a_cube/a_heavy_hitters,
-#   events_attribution, sim_centroid_outliers, text_bm25_topk;
-# - round-11 greens prefilled into the 3 remaining slots, preferring
-#   files that churn this round (clustering.py: the drift->retrain-and-
-#   swap loop; similarity.py: the retrain-swap search path and the
-#   ivfpq noise watch; corpus.py: the tick planted-recall measurement) —
-#   new queries registered this round take prefill slots when they land,
-#   so the mandatory block is never displaced.
+# - the 48 queries whose newest external row is round 11 — staleness
+#   ceiling, non-negotiable: the text family (bpe/langid/quality/token/
+#   normalize/chunking/sample/packing/fingerprint/mixture/pii/repetition),
+#   the approx-agg family (a_approx_distinct/percentile, a_pivot,
+#   a_profile, a_retention, a_rollup, a_value_histogram, a1/a4/a5/a6),
+#   dedup incremental/simhash/ngram-jaccard/embedding-multiprobe, the
+#   q3/q5/q10 TPC-H rows, flagship, j1/j5, mm_audio_codec, sim_ivf_probe/
+#   sim_knn_join, so1, st_interval_join/st_sliding_window, w1/w3, x1/x6,
+#   f_line_cleanup/f_markdown_render/f_substring_extract, and both corpus
+#   compositions (pipeline_corpus_build, pipeline_corpus_build_embdup —
+#   the latter also gets this round's _spread_checkpointed extension);
+# - round-12 greens prefilled into the 2 remaining slots. All 50 r12
+#   greens expire together at r15, so prefills MUST come from that set
+#   (every slot spent on anything else makes the r15 window 100%
+#   mandatory). Chosen: the two corpus.py r12 greens — the file churns
+#   this round (spread-fix extension + checkpoint-release ADVICE fix),
+#   so these double as driver-side regression checks on the churn.
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r10: staleness ceiling forces these 47 ---------------
-    "a_conditional_distinct",
-    "a_cube_priority_status",
-    "a_heavy_hitters_cms",
-    "corpus_leakage_safe_split",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_bands",
-    "dedup_resolve_survivors",
-    "dedup_threshold_sweep",
-    "events_attribution",
-    "f_array_gauntlet",
-    "f_datetime_gauntlet",
-    "f_json_gauntlet",
-    "f_map_gauntlet",
-    "f_string_gauntlet",
-    "j_asof_last_view",
-    "j_range_incident_window",
-    "mm_gif_frames",
-    "mm_image_codec",
-    "q11_important_part_value",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "sim_centroid_outliers",
-    "so4_array_difference",
-    "so5_intersect_nations",
-    "st_dedup_watermark",
-    "st_session_windows",
-    "st_tumbling_window",
-    "text_bm25_topk",
-    "u1_keyed_patch",
-    "w7_ntile_quartiles",
-    "w8_trailing_week_activity",
-    # -- round-11 greens prefilled (churned files this round); new queries --
-    # -- registered this round replace prefills from the BOTTOM up ----------
-    "sim_ivf_incremental",
-    "sim_ivfpq_topk",
-    # -- new this round (bottom prefill ceded; pipeline_corpus_build_embdup
-    # -- stays r11-green and rotates at r14): the drift->retrain-and-swap
-    # -- report — stale per-cell quantizer from history, batch shifted in
-    # -- odd cells only, refit over history+batch, per-cell pre/post means
-    # -- + integer-exact retrain decision (clustering.ivf_retrain's twin) --
-    "sim_ivf_retrain",
+    # -- newest row is r11: staleness ceiling forces these 48 ---------------
+    "a1_status_histogram_zero_filled",
+    "a4_completion_rate",
+    "a5_map_value_sum_check",
+    "a6_error_rollup",
+    "a_approx_distinct",
+    "a_approx_percentile",
+    "a_pivot_type_by_dow",
+    "a_profile_documents",
+    "a_retention_cohorts",
+    "a_rollup_revenue",
+    "a_value_histogram",
+    "dedup_embedding_multiprobe",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "f_line_cleanup",
+    "f_markdown_render",
+    "f_substring_extract",
+    "flagship_pricing_summary",
+    "j1_semi_join_customers_with_orders",
+    "j5_broadcast_dim_join",
+    "mm_audio_codec",
+    "pipeline_corpus_build",
+    "pipeline_corpus_build_embdup",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sim_ivf_probe",
+    "sim_knn_join",
+    "so1_union_by_name",
+    "st_interval_join",
+    "st_sliding_window",
+    "text_bpe_pairs",
+    "text_chunking",
+    "text_fingerprint",
+    "text_langid",
+    "text_mixture_weights",
+    "text_normalize",
+    "text_pii_redaction",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_sequence_packing",
+    "text_stratified_sample",
+    "text_token_count",
+    "w1_ordered_scan",
+    "w3_pergroup_topn",
+    "x1_ast_test_discovery",
+    "x6_test_codegen",
+    # -- round-12 greens prefilled (corpus.py churns this round; all 50 r12
+    # -- greens expire at r15, so prefills must re-green r12 rows); new
+    # -- queries registered this round replace prefills from the BOTTOM up --
+    "pipeline_corpus_build_neardup",
+    "pipeline_incremental_tick",
 )
 
 
