@@ -13,7 +13,37 @@ in-memory catalog locally and any HMS/Unity/Glue catalog in production.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Remove warehouse residue for ``table`` when the catalog has no entry.
+
+    A killed session can leave ``<warehouse>/<table>`` on disk while the
+    next session's fresh in-memory catalog knows nothing about it;
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS and
+    ``mode("overwrite")`` cannot help because overwrite only reclaims
+    locations the catalog owns. A location with no catalog entry is
+    unreachable residue, so deleting it is safe. Only unqualified names in
+    the default database are handled (the managed location is
+    ``<warehouse>/<lowercased name>``); qualified names keep Spark's own
+    behavior.
+    """
+    if "." in table or spark.catalog.tableExists(table):
+        return
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    if not warehouse:
+        return
+    location = Path(warehouse) / table.lower()
+    if location.exists():
+        shutil.rmtree(location, ignore_errors=True)
 
 
 def write_bucketed(
@@ -21,6 +51,7 @@ def write_bucketed(
     sort: bool = True,
 ) -> None:
     """Write ``df`` as a bucketed (and bucket-sorted) catalog table."""
+    _clear_stale_location(df.sparkSession, table)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
