@@ -164,6 +164,33 @@ def _target_parallelism(spark: SparkSession) -> int:
             return 200
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a ``localCheckpoint()``'s executor storage blocks.
+
+    ContextCleaner frees a checkpoint's blocks only after the driver-side
+    Python reference is GC'd — the r13 residue mechanism that degraded
+    checkpoint-heavy session-mates 2-4× (SCALING.md, bench protocol).
+    Cross-query that is handled by ``gc.collect()`` between bench queries;
+    WITHIN a query that keeps superseded checkpoints (a convergence
+    loop's previous round — ``connected_components`` is the user) pinned
+    for the query's whole lifetime. This reaches through the checkpointed
+    DataFrame's ``LogicalRDD`` to the persisted internal RDD and
+    unpersists it directly (non-blocking).
+
+    Only call on checkpoints that no live plan still reads: an unpersisted
+    local checkpoint is NOT recomputable. Best-effort — on Spark Connect
+    (no ``_jdf``) or an unexpected plan shape it silently does nothing
+    and the driver-GC path reclaims the blocks as before. This is the
+    package's single sanctioned private-handle use, exempted by name in
+    ``tests/test_plans.py::test_package_uses_no_private_jvm_apis``."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def spread_for_compute(
     df: DataFrame, key: str, *, source_path: str | None = None
 ) -> DataFrame:

@@ -99,7 +99,14 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup on content hash keeping the lowest doc_id → deterministic
     hash-stratified downsampling (en to 50%, rest to 90%) → per-language
     docs/token accounting. One content-hash exchange + one tiny final
-    groupBy; everything else rides the scan."""
+    groupBy; everything else rides the scan.
+
+    Deliberately NOT ``_spread_checkpointed`` (r14, measured): the spread
+    fence exists to parallelize heavy post-window compute (neardup's
+    shingle/minhash build); here everything after the window is a trivial
+    sample filter + groupBy, so the fence's double materialization only
+    adds cost — interleaved min-of-4 at sf0.1 warm: 0.68 s plain vs
+    1.05 s fenced (SCALING.md, r14 spread-extension note)."""
     deduped = _quality_deduped(load_table(spark, sf_dir, "documents"))
     sampled = deduped.where(_sample_bucket() < _sample_rate())
     return sampled.groupBy("lang").agg(
@@ -109,26 +116,31 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spread_checkpointed(df: DataFrame, key: str) -> DataFrame:
-    """Post-shuffle fan-out for a checkpointed narrow slice (r13, from
-    the `tools/aqe_spread_check.py` measurement): at fixture scale
-    AQE's minPartitionSize floor coalesces the quality-dedup window
-    exchange to a handful of partitions (~6 at ~sf1), which then
-    serializes the downstream shingle/minhash compute on a 32-thread
-    session — the pair stage measured 4.34 s coalesced vs 1.76 s at
-    full parallelism @32. The checkpoint makes the partition count a
-    free metadata read, so the spread is SIZE-AWARE: it fires only when
-    the materialized slice is narrower than the session's parallelism.
-    At 100 TB the window output is already wider than any executor
-    count and this is a provable no-op — the ``spread_for_compute``
-    posture, applied post-shuffle. The re-checkpoint keeps downstream
-    consumers (edge build AND survivors side) reading one in-memory
-    copy, preserving the single-corpus-scan contract."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, key).localCheckpoint()
+def _spread_checkpointed(df: DataFrame, key: str, source_path: str) -> DataFrame:
+    """Pre-checkpoint fan-out for a narrow slice (r13, from the
+    `tools/aqe_spread_check.py` measurement): at fixture scale AQE's
+    minPartitionSize floor coalesces the quality-dedup window exchange
+    to a handful of partitions (~6 at ~sf1), which then serializes the
+    downstream shingle/minhash compute on a 32-thread session — the
+    pair stage measured 4.34 s coalesced vs 1.76 s at full parallelism
+    @32. The narrow/wide decision comes from the SOURCE SCAN's cached
+    file-size estimate (the ``spread_for_compute`` machinery,
+    ``source_path`` = the corpus parquet): a scan narrower than the
+    session's parallelism means fixture-volume data whose downstream
+    exchanges AQE will coalesce below parallelism — spread; a
+    volume-scale scan means the window output is already wider than any
+    executor count — provable no-op. Deciding LAZILY from the estimate
+    (r14, closes the r13 ADVICE finding at the root) means ONE
+    localCheckpoint always: the r13 form checkpointed first to read the
+    materialized width, then re-checkpointed the spread copy, leaving
+    the superseded narrow copy pinned until driver GC — the exact
+    checkpoint-residue class the bench's inter-query gc.collect was
+    added to counter, here within a single query. The explicit
+    ``repartition(n, key)`` pins its partition count (AQE does not
+    coalesce user-numbered repartitions), and the single checkpoint
+    keeps downstream consumers (edge build AND survivors side) reading
+    one in-memory copy — the single-corpus-scan contract."""
+    return spread_for_compute(df, key, source_path=source_path).localCheckpoint()
 
 
 def _quality_deduped(docs: DataFrame) -> DataFrame:
@@ -313,7 +325,7 @@ def pipeline_corpus_build_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     lineage exactly like connected_components' edge checkpoint."""
     docs = load_table(spark, sf_dir, "documents")
     deduped = _spread_checkpointed(
-        _quality_deduped(docs).localCheckpoint(), "doc_id"
+        _quality_deduped(docs), "doc_id", table_path(sf_dir, "documents")
     )
     toks = F.split("text", " ")
     shingled = (
@@ -495,7 +507,19 @@ def pipeline_corpus_build_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint; CC is pointer-jumping (O(log diameter) rounds);
     label and cluster-size joins broadcast below 5M clustered nodes and
     revert to keyed shuffles together above it; one survivor window,
-    one final lang groupBy. The corpus parquet is scanned once."""
+    one final lang groupBy. The corpus parquet is scanned once.
+
+    NOT ``_spread_checkpointed`` (r14, measured): this composition has no
+    ``_quality_deduped`` front — the docs side goes straight into the
+    survivor window. The sf0.1 stage split is pairs 2.2 s / CC 2.5 s
+    (6 rounds × the measured per-round driver constant on 1019 nodes) /
+    tail 0.7 s warm, i.e. fixed scheduling constants on a 2000-vector,
+    722-pair fixture, not serialized data compute. A spread fence cannot
+    help the pair stage: the self-join deliberately reuses the cell
+    window's exchange (ClusteredDistribution), so a fence between them
+    would ADD an exchange; the AQE-coalescing cost of that stage was
+    measured directly instead (2.23 s vs 1.60 s with coalescing off —
+    SCALING.md, r14 spread-extension note)."""
     emb = spread_for_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",

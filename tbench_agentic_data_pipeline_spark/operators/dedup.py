@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import (
     load_table,
+    release_local_checkpoint,
     source_bytes,
     spread_for_compute,
     table_path,
@@ -883,6 +884,7 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    prev_checkpoint = labels
     n_nodes = labels.count()
     small = n_nodes <= broadcast_labels_below
     hint = F.broadcast if small else (lambda df: df)
@@ -935,6 +937,13 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        # The previous round's label checkpoint is superseded the moment
+        # `jumped` materializes; without an explicit release its executor
+        # blocks stay pinned until driver-side Python GC (the r13
+        # checkpoint-residue mechanism), making CC's peak storage
+        # O(rounds × labels) instead of O(2 × labels).
+        release_local_checkpoint(prev_checkpoint)
+        prev_checkpoint = jumped
         if jumped.where(F.col("new_label") != F.col("label")).count() == 0:
             # Observability for the iterative heart of the dedup pipeline:
             # rounds-to-convergence is THE cost driver here (each round is

@@ -77,3 +77,30 @@ def test_spread_without_path_repartitions(spark):
     df = load_table(spark, SF, "documents")
     out = spread_for_compute(df, "doc_id")
     assert out is not df
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """r13 ADVICE: a superseded localCheckpoint's executor blocks stay
+    pinned until driver-side Python GC. The release helper must free them
+    immediately — and be a silent no-op on a plan that is not a
+    checkpoint (best-effort contract)."""
+    from pyspark.sql import functions as F
+
+    from tbench_agentic_data_pipeline_spark.catalog import (
+        release_local_checkpoint,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    cp = (
+        spark.range(10_000)
+        .select((F.col("id") % 13).alias("k"))
+        .groupBy("k")
+        .count()
+        .localCheckpoint()
+    )
+    assert jsc.getPersistentRDDs().size() == before + 1
+    release_local_checkpoint(cp)
+    assert jsc.getPersistentRDDs().size() == before
+    # no-op on a non-checkpointed plan: must not raise
+    release_local_checkpoint(spark.range(5))

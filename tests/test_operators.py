@@ -651,6 +651,60 @@ def test_corpus_neardup_scans_corpus_once(spark):
     assert "ExistingRDD" in plan  # the checkpointed front is what it reads
 
 
+def test_spread_checkpointed_single_copy_full_width(spark):
+    """r13 ADVICE, closed at the root (r14): the spread decision comes
+    from the source scan's size estimate BEFORE materializing, so the
+    helper checkpoints exactly once — no superseded narrow copy ever
+    exists to pin executor storage until driver GC. On a fixture-scale
+    source the output is at full parallelism and exactly ONE persistent
+    RDD is added."""
+    from tbench_agentic_data_pipeline_spark.catalog import (
+        load_table,
+        table_path,
+    )
+    from tbench_agentic_data_pipeline_spark.operators.corpus import (
+        _quality_deduped,
+        _spread_checkpointed,
+    )
+    from tests.conftest import SF_ORACLE
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = _spread_checkpointed(
+        _quality_deduped(load_table(spark, SF_ORACLE, "documents")),
+        "doc_id",
+        table_path(SF_ORACLE, "documents"),
+    )
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert out.count() > 0
+    assert jsc.getPersistentRDDs().size() == before + 1
+
+
+def test_connected_components_releases_superseded_rounds(spark):
+    """CC's per-round label checkpoints are superseded as soon as the next
+    round materializes; peak executor storage must be O(2 × labels), not
+    O(rounds × labels) (the r13 checkpoint-residue mechanism). After a
+    multi-round convergence only the edge base and the final label table
+    may remain pinned."""
+    from pyspark.sql import functions as F
+
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    # 200-node chain: diameter 199 forces several pointer-jump rounds
+    edges = spark.range(199).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components(edges)
+    labels = {r["node"]: r["label"] for r in out.collect()}
+    assert len(labels) == 200 and set(labels.values()) == {0}
+    assert connected_components.last_rounds >= 3
+    assert jsc.getPersistentRDDs().size() <= before + 2
+
+
 def test_resolve_near_duplicates_broadcasts_small_label_tables(spark):
     """The label join strategy is size-aware (r10): a localCheckpointed
     cluster table carries no stats, so below the threshold the resolver

@@ -46,7 +46,10 @@ END = "<!-- /AUTOGEN:CORPUS_STAGE_FLOOR -->"
 def _neardup_stages(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.catalog import (
+        load_table,
+        table_path,
+    )
     from tbench_agentic_data_pipeline_spark.operators.corpus import (
         NEARDUP_BANDS,
         NEARDUP_HASH,
@@ -69,7 +72,7 @@ def _neardup_stages(spark, sf_dir):
     t0 = time.perf_counter()
     docs = load_table(spark, sf_dir, "documents")
     deduped = _spread_checkpointed(
-        _quality_deduped(docs).localCheckpoint(), "doc_id"
+        _quality_deduped(docs), "doc_id", table_path(sf_dir, "documents")
     )
     out["front"] = time.perf_counter() - t0
 
