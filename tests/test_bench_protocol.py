@@ -175,6 +175,63 @@ def test_payload_carries_loadavg_stamp():
     )
 
 
+def test_calibration_stamp_ratio_and_probe_minima():
+    """r13 verdict task #3: environmental inflation must be a number in
+    the committed JSON, not a prose adjudication. At the floor SF with
+    both probes timed, the stamp carries calibration_ratio =
+    Σ min(probe passes) / Σ floors and the per-query probe minima; at
+    any other SF only raw probe seconds are stamped (no floor to
+    compare); a fully dead probe stamps nothing (and must not kill the
+    record)."""
+    from bench import (
+        CALIBRATION_FLOOR_SF,
+        CALIBRATION_FLOORS,
+        CALIBRATION_QUERIES,
+        _calibration_stamp,
+    )
+
+    q6, q14 = CALIBRATION_QUERIES
+    # pre-sweep pass slow, post-sweep pass at floor: min wins per query
+    passes = [
+        {q6: CALIBRATION_FLOORS[q6] * 2.0, q14: CALIBRATION_FLOORS[q14] * 2.0},
+        {q6: CALIBRATION_FLOORS[q6], q14: CALIBRATION_FLOORS[q14]},
+    ]
+    stamp = _calibration_stamp(passes, CALIBRATION_FLOOR_SF)
+    assert stamp["calibration_ratio"] == 1.0
+    assert stamp["calibration_probe_sec"] == {
+        n: round(t, 3) for n, t in CALIBRATION_FLOORS.items()
+    }
+    # a 1.5x-inflated box reads as 1.5
+    inflated = [{n: t * 1.5 for n, t in CALIBRATION_FLOORS.items()}]
+    assert _calibration_stamp(inflated, CALIBRATION_FLOOR_SF)[
+        "calibration_ratio"
+    ] == 1.5
+    # off-floor SF: probe seconds only, never a ratio
+    off = _calibration_stamp(passes, 0.01)
+    assert "calibration_ratio" not in off and "calibration_probe_sec" in off
+    # one probe missing from every pass: no ratio (partial sum would lie)
+    partial = _calibration_stamp([{q6: 0.4}], CALIBRATION_FLOOR_SF)
+    assert "calibration_ratio" not in partial
+    # dead probe shards: empty stamp, record survives
+    assert _calibration_stamp([{}, {}], CALIBRATION_FLOOR_SF) == {}
+    # the committed record must be round-trippable JSON
+    json.loads(json.dumps(stamp))
+
+
+def test_calibration_probes_exist_in_registry_and_not_headline():
+    """The probes must be real registered queries (the shard path runs
+    them by name) and byte-stable anchors OUTSIDE the headline sweep —
+    inside it their timings would churn with every headline protocol
+    change."""
+    from bench import CALIBRATION_QUERIES, HEADLINE
+    from tbench_agentic_data_pipeline_spark import registry
+
+    reg = registry.collect()
+    for name in CALIBRATION_QUERIES:
+        assert name in reg, name
+        assert name not in HEADLINE, name
+
+
 def test_hung_shard_is_killed_and_salvaged(monkeypatch):
     """r12 review + r12 ADVICE (bench.py:345): a hung query must surface
     as an attributed error at SHARD_TIMEOUT_S — with everything the
