@@ -500,42 +500,59 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_bands",
-    survey="P4,J1",
-    oracle="""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        ),
-        sh AS (
-            SELECT doc_id,
-                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  for i in range(1, len(w) - 1)]) AS shingles
-            FROM toks WHERE len(w) >= 3
-        ),
-        sig AS (
-            SELECT doc_id,
-                   [list_min(list_transform(shingles,
-                        s -> md5(s || '#' || CAST(h AS VARCHAR))))
-                    for h in range(0, 8)] AS mh
-            FROM sh
-        ),
-        bands AS (
-            SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
-            FROM sig, range(0, 4) t(b)
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
-                      AND a.doc_id < b2.doc_id
-    """,
-)
+# dedup_minhash_bands' former registry oracle, kept verbatim for the
+# LOCAL parity pin (tests/test_minhash_fast_recall.py) after the r14
+# twin consolidation (r13 verdict task #7, registry capacity policy):
+# the md5 twin's registration folded into dedup_minhash_fast, which
+# replays this exact candidate pipeline inside its own driver-checked
+# oracle (the `bands` CTE below appears there verbatim, plus the
+# max_bucket cap), as does dedup_ngram_jaccard — so the pipeline stays
+# hash-checked by the external driver through BOTH surviving queries,
+# and this constant keeps the retired query's own full-result check
+# running in every local suite.
+MINHASH_BANDS_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(shingles,
+                    s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                for h in range(0, 8)] AS mh
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+        FROM sig, range(0, 4) t(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b2 ON a.b = b2.b AND a.band_key = b2.band_key
+                  AND a.doc_id < b2.doc_id
+"""
+
+
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 3-gram shingles → 8 md5 minhashes
     → 4 bands × 2 rows → bucket self-join. Signature construction is pure
     per-row projection; the only shuffles are the band-bucket join and the
     final distinct. This is the shape that replaces O(n²) comparison at
-    corpus scale."""
+    corpus scale.
+
+    No longer a registered query (r14 twin consolidation — the registry
+    capacity policy): :func:`dedup_minhash_fast` is the registered
+    representative of the md5/xxhash64 twin pair and replays this exact
+    candidate pipeline inside its driver-checked oracle (as does
+    :func:`dedup_ngram_jaccard`, which calls this function for its
+    candidates). The retired oracle survives verbatim as
+    ``MINHASH_BANDS_ORACLE``, pinned against this function's full result
+    by the local parity test in ``tests/test_minhash_fast_recall.py``."""
     docs = spread_for_compute(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
@@ -670,7 +687,15 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contract costs ZERO extra exchanges (a second full
     explode→bucket→pair pipeline measured 8 shuffles, past the plan
     budget). Scale shape: one banded LSH pass (never all-pairs), verify
-    join only over candidates, xx signatures per-row in projection."""
+    join only over candidates, xx signatures per-row in projection.
+
+    Since r14 this is the registered REPRESENTATIVE of the md5/xxhash64
+    twin pair (registry capacity policy): ``dedup_minhash_bands``'s own
+    registration was retired, and its candidate pipeline lives on
+    hash-checked here (the oracle's ``bands``+``capped`` CTEs replay it
+    verbatim — one drifted hash constant flips this query's value hash)
+    and in ``dedup_ngram_jaccard``; its full-result oracle survives as a
+    local parity pin (``MINHASH_BANDS_ORACLE``)."""
     docs = spread_for_compute(
         load_table(spark, sf_dir, "documents"),
         "doc_id",

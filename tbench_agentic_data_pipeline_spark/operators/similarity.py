@@ -1874,8 +1874,10 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two map-side-combined cell aggregations build the stale
     and refit quantizers (|cells| rows each, broadcast back), and ONE
     more pass scores every vector against its own cell's two centroids —
-    3 exchanges total, no argmin crossJoin (``sim_ivf_incremental``
-    covers that form), corpus never shuffles for the centroid joins.
+    4 exchanges total (the three aggregations plus the final |cells|-row
+    ``orderBy`` range exchange; ``tests/test_plan_pins.py`` is the
+    authority), no argmin crossJoin (``sim_ivf_incremental`` covers that
+    form), corpus never shuffles for the centroid joins.
     Distances are floor-scaled by 1e6 per row before summing: exact and
     identical in both engines (positive integers, truncating div =
     floor), with BIGINT headroom past sf10."""

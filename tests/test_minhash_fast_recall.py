@@ -117,3 +117,28 @@ def test_md5_and_xxhash64_candidate_sets_agree(spark):
         f"candidate-set Jaccard between hash families = {overlap} "
         f"(md5={len(cand_md5)}, xxhash64={len(cand_xx)}, common={inter})"
     )
+
+
+def test_retired_bands_twin_still_matches_its_oracle(spark):
+    """r14 twin consolidation (registry capacity policy): the md5 twin
+    `dedup_minhash_bands` is no longer a registered query, but its
+    full-result oracle survives verbatim as MINHASH_BANDS_ORACLE and must
+    keep hash-matching the function through the SAME gate the external
+    driver applies (tests/oracle_harness.compare: rows + schema + sorted
+    value hash at the oracle SF). One drifted hash constant or band
+    grouping fails here exactly as it would have failed the driver."""
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        MINHASH_BANDS_ORACLE,
+        dedup_minhash_bands,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import compare
+
+    res = compare(
+        "dedup_minhash_bands(retired twin)",
+        spark,
+        dedup_minhash_bands,
+        MINHASH_BANDS_ORACLE,
+        SF_ORACLE,
+    )
+    assert res.ok, res

@@ -32,12 +32,23 @@ def run_worker_json(args: list[str], env: dict, what: str) -> dict:
 
 def splice_autogen(start: str, end: str, table: str, path: str | None = None) -> None:
     """Replace (or append) the ``start``..``end`` AUTOGEN block in
-    SCALING.md (or ``path``) with ``table``."""
+    SCALING.md (or ``path``) with ``table``. A half-corrupted block
+    (START present but END missing or before it) exits with a clear
+    message instead of an IndexError, leaving the file untouched (r13
+    ADVICE)."""
     path = path or os.path.join(REPO, "SCALING.md")
     text = open(path).read()
     block = f"{start}\n{table}\n{end}"
-    if start in text:
-        text = text.split(start)[0] + block + text.split(end)[1]
+    i = text.find(start)
+    if i >= 0:
+        j = text.find(end, i)
+        if j < 0:
+            sys.exit(
+                f"{path}: AUTOGEN block corrupted — START marker {start!r} "
+                f"present but END marker {end!r} missing or before it; "
+                "repair the block by hand, then re-run"
+            )
+        text = text[:i] + block + text[j + len(end):]
     else:
         text += "\n" + block + "\n"
     open(path, "w").write(text)

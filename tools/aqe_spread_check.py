@@ -33,7 +33,7 @@ volume heuristic — i.e. the 100 TB spreading behavior is selectable
 today with one conf — and NOT a serial dependency in the stage.
 
 Usage: python tools/aqe_spread_check.py [--update-md]
-       python tools/aqe_spread_check.py --worker <1=coalescing-off|0>
+       python tools/aqe_spread_check.py --worker <1=coalescing-off|0=default>
 """
 
 from __future__ import annotations
@@ -97,11 +97,11 @@ def _pair_stage(spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def worker(min_partitions: int) -> None:
+def worker(coalescing_off: bool) -> None:
     from tbench_agentic_data_pipeline_spark.session import get_session
 
     spark = get_session("aqe-spread")
-    if min_partitions > 0:
+    if coalescing_off:
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", "false"
         )
@@ -112,7 +112,7 @@ def worker(min_partitions: int) -> None:
 
 def main() -> None:
     if "--worker" in sys.argv:
-        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        worker(bool(int(sys.argv[sys.argv.index("--worker") + 1])))
         return
     if not os.path.isdir(os.path.join(SF_BIG, "documents.parquet")):
         sys.exit("~sf1 fixture missing — run tools/scaling_curve.py first")

@@ -176,7 +176,10 @@ EXTRA_CURVE = [
     "dedup_embedding_multiprobe",
     "q5_local_supplier_volume",
     "q7_nation_volume",
-    "dedup_minhash_bands",
+    # r14 twin consolidation: dedup_minhash_bands' registration retired;
+    # the production xxhash64 twin takes its curve slot (same banded-LSH
+    # scale shape, plus the in-plan recall-contract verify join)
+    "dedup_minhash_fast",
     # r9 fill: the rest of the 2-exchange registry tail, so everything
     # left un-curved is a trivial <=1-exchange scan-bound shape. (The
     # fold-cosine `sim_knn_join` stays out by the standing r7 decision.)

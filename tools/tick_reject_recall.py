@@ -62,6 +62,17 @@ def build_planted_sf_dir(spark, sf_dir: str, out_dir: str):
     graded-Jaccard partner per EVERY-th history doc. Returns the planted
     ground truth as {partner_doc_id: grade_index}."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # Planted partners live at base_id + PARTNER_OFFSET; a fixture whose
+    # ids reach the offset would silently alias partners onto real docs,
+    # corrupting both the truth map and the recall/false-reject counts
+    # (r13 ADVICE) — refuse loudly instead.
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is None or max_id >= PARTNER_OFFSET:
+        sys.exit(
+            f"{sf_dir}: max doc_id {max_id} >= PARTNER_OFFSET "
+            f"{PARTNER_OFFSET}; planted partner ids would collide with "
+            "real docs — raise PARTNER_OFFSET for this fixture"
+        )
     grade_j = F.array(*[F.lit(j) for j in J_GRADES])[
         _grade_expr(F.col("doc_id")).cast("int")
     ]
