@@ -457,33 +457,37 @@ def _box_stamp() -> dict:
 
 
 # Box-health calibration (r13 verdict task #3): two byte-stable TPC-H
-# probes run through the SAME fresh-shard path as the sweep, once before
-# and once after it, so environmental inflation becomes a NUMBER in the
-# committed JSON instead of a prose adjudication (r12 and r13 both
-# needed one). The floors are the per-query minima of five quiet-box
-# shard invocations at the committed bench SF (sf0.1, local[32],
-# loadavg ~1.3, 2026-08-16); the probes are q6 (single-table scan+agg)
-# and q14 (lineitem⋈part join+agg) — files untouched since r11, chosen
-# exactly because no round churns them. calibration_ratio =
-# Σ min(probe runs) / Σ floors: ~1.0 on a quiet box, and r13's +76%
-# byte-identical inflation would have read ~1.5-1.8. Ratio is stamped
-# only at the floor's SF; other SFs stamp raw probe seconds (the quick
-# sf0.01 verify run has no floor to compare against).
-CALIBRATION_QUERIES = ("q6_forecast_revenue", "q14_promo_revenue")
-CALIBRATION_FLOOR_SF = 0.1
+# probes run through the SAME fresh-shard path as the sweep — before it,
+# between passes, and after it — so environmental inflation becomes a
+# NUMBER in the committed JSON instead of a prose adjudication (r12 and
+# r13 both needed one). The floors are the per-query minima of five
+# quiet-box shard invocations at the committed bench SF (sf0.1,
+# local[32], loadavg ~1.3, 2026-08-16); the probes are q6 (single-table
+# scan+agg) and q14 (lineitem⋈part join+agg) — files untouched since
+# r11, chosen exactly because no round churns them. Two ratios are
+# stamped at the floor SF: calibration_ratio = Σ per-query minima /
+# Σ floors (the quiet-floor evidence — ~1.0 means at least one probe
+# window was clean; r13's +76% byte-identical inflation would have read
+# ~1.5-1.8 here) and calibration_ratio_worst = max over probe
+# invocations of its own Σ/floors (the burst evidence — a CPU-neighbor
+# burst confined BETWEEN the outer probes still shows in the mid-sweep
+# one; r14 self-review closed that blind spot). Other SFs stamp raw
+# probe seconds only (the quick sf0.01 verify run has no floor).
 CALIBRATION_FLOORS = {
     "q6_forecast_revenue": 0.396,
     "q14_promo_revenue": 0.529,
 }
+CALIBRATION_QUERIES = tuple(CALIBRATION_FLOORS)  # single source of truth
+CALIBRATION_FLOOR_SF = 0.1
 
 
 def _calibration_stamp(probe_passes: list[dict], sf: object) -> dict:
-    """Fold pre/post-sweep probe timings into the committed stamp.
+    """Fold the pre/mid/post-sweep probe timings into the committed stamp.
 
     ``probe_passes``: per-invocation {name: seconds} dicts (missing
     queries tolerated — a dead probe shard must not kill the record).
     Returns {} when nothing was timed; otherwise stamps per-query minima
-    and, at the floor SF, the single headline ratio."""
+    and, at the floor SF, the best-window and worst-window ratios."""
     best: dict[str, float] = {}
     for run in probe_passes:
         for n, t in run.items():
@@ -493,8 +497,19 @@ def _calibration_stamp(probe_passes: list[dict], sf: object) -> dict:
         return {}
     stamp: dict = {"calibration_probe_sec": {n: round(t, 3) for n, t in best.items()}}
     if sf == CALIBRATION_FLOOR_SF and set(best) == set(CALIBRATION_FLOORS):
-        ratio = sum(best.values()) / sum(CALIBRATION_FLOORS.values())
-        stamp["calibration_ratio"] = round(ratio, 3)
+        floor_sum = sum(CALIBRATION_FLOORS.values())
+        stamp["calibration_ratio"] = round(sum(best.values()) / floor_sum, 3)
+        complete = [
+            run for run in probe_passes if set(CALIBRATION_FLOORS) <= set(run)
+        ]
+        if complete:
+            stamp["calibration_ratio_worst"] = round(
+                max(
+                    sum(run[n] for n in CALIBRATION_FLOORS) / floor_sum
+                    for run in complete
+                ),
+                3,
+            )
     return stamp
 
 
@@ -520,7 +535,8 @@ def main() -> None:
         probe_passes.append(p_times)
 
     _run_probe()  # pre-sweep box-health probe
-    for _ in range(max(1, PASSES)):
+    n_passes = max(1, PASSES)
+    for p in range(n_passes):
         for shard in shards:
             s_times, s_errors, s_cc = _parse_shard_output(
                 shard, *_invoke_shard(shard)
@@ -528,7 +544,10 @@ def main() -> None:
             _fold_pass(times, errors, s_times, s_errors)
             if s_cc is not None:
                 cc_rounds = s_cc
-    _run_probe()  # post-sweep: a burst that started mid-sweep still shows
+        if p < n_passes - 1:
+            _run_probe()  # mid-sweep: a burst confined between the outer
+            # probes (starts after pre, ends before post) still shows
+    _run_probe()  # post-sweep probe
     # A later pass's success clears an earlier pass's failure (and the
     # reverse): only queries with no timing from ANY pass report an error.
     errors = {n: msg for n, msg in errors.items() if n not in times}

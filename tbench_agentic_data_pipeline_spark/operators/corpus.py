@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbench_agentic_data_pipeline_spark.catalog import (
+    _target_parallelism,
     load_table,
+    release_local_checkpoint,
     spread_for_compute,
     table_path,
 )
@@ -104,9 +106,10 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deliberately NOT ``_spread_checkpointed`` (r14, measured): the spread
     fence exists to parallelize heavy post-window compute (neardup's
     shingle/minhash build); here everything after the window is a trivial
-    sample filter + groupBy, so the fence's double materialization only
-    adds cost — interleaved min-of-4 at sf0.1 warm: 0.68 s plain vs
-    1.05 s fenced (SCALING.md, r14 spread-extension note)."""
+    sample filter + groupBy, so the fence's extra exchange +
+    materialization only add cost — interleaved min-of-4 at sf0.1 warm:
+    0.68 s plain vs 1.05 s fenced (SCALING.md, r14 spread-extension
+    note)."""
     deduped = _quality_deduped(load_table(spark, sf_dir, "documents"))
     sampled = deduped.where(_sample_bucket() < _sample_rate())
     return sampled.groupBy("lang").agg(
@@ -123,24 +126,37 @@ def _spread_checkpointed(df: DataFrame, key: str, source_path: str) -> DataFrame
     to a handful of partitions (~6 at ~sf1), which then serializes the
     downstream shingle/minhash compute on a 32-thread session — the
     pair stage measured 4.34 s coalesced vs 1.76 s at full parallelism
-    @32. The narrow/wide decision comes from the SOURCE SCAN's cached
-    file-size estimate (the ``spread_for_compute`` machinery,
+    @32. The narrow/wide decision comes FIRST from the SOURCE SCAN's
+    cached file-size estimate (the ``spread_for_compute`` machinery,
     ``source_path`` = the corpus parquet): a scan narrower than the
     session's parallelism means fixture-volume data whose downstream
-    exchanges AQE will coalesce below parallelism — spread; a
-    volume-scale scan means the window output is already wider than any
-    executor count — provable no-op. Deciding LAZILY from the estimate
-    (r14, closes the r13 ADVICE finding at the root) means ONE
-    localCheckpoint always: the r13 form checkpointed first to read the
-    materialized width, then re-checkpointed the spread copy, leaving
-    the superseded narrow copy pinned until driver GC — the exact
-    checkpoint-residue class the bench's inter-query gc.collect was
-    added to counter, here within a single query. The explicit
-    ``repartition(n, key)`` pins its partition count (AQE does not
-    coalesce user-numbered repartitions), and the single checkpoint
-    keeps downstream consumers (edge build AND survivors side) reading
-    one in-memory copy — the single-corpus-scan contract."""
-    return spread_for_compute(df, key, source_path=source_path).localCheckpoint()
+    exchanges AQE will coalesce below parallelism — spread BEFORE the
+    one localCheckpoint (r14, closes the r13 ADVICE finding at the
+    root: the r13 form checkpointed first to read the materialized
+    width, then re-checkpointed the spread copy, leaving the superseded
+    narrow copy pinned until driver GC — the exact checkpoint-residue
+    class the bench's inter-query gc.collect was added to counter).
+    When the estimate says WIDE, the materialized width is still
+    verified against the checkpoint's free partition-count metadata —
+    the estimate is a proxy, and there is a mid-scale gap (r14
+    self-review) where the scan is wide but the post-gate slice is
+    small enough that AQE coalesces the window exchange below
+    parallelism anyway; only in that gap does the r13-style re-spread +
+    re-checkpoint fire, and the superseded copy is then released
+    immediately (``release_local_checkpoint``). At 100 TB both the
+    estimate and the materialized width are wide — provable no-op. The
+    explicit ``repartition(n, key)`` pins its partition count (AQE does
+    not coalesce user-numbered repartitions), and the checkpoint keeps
+    downstream consumers (edge build AND survivors side) reading one
+    in-memory copy — the single-corpus-scan contract."""
+    target = _target_parallelism(df.sparkSession)
+    spread = spread_for_compute(df, key, source_path=source_path)
+    cp = spread.localCheckpoint()
+    if spread is df and cp.rdd.getNumPartitions() < target:
+        wide = cp.repartition(target, key).localCheckpoint()
+        release_local_checkpoint(cp)
+        return wide
+    return cp
 
 
 def _quality_deduped(docs: DataFrame) -> DataFrame:

@@ -27,12 +27,19 @@ def _clear_stale_location(spark: SparkSession, table: str) -> None:
     ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS and
     ``mode("overwrite")`` cannot help because overwrite only reclaims
     locations the catalog owns. A location with no catalog entry is
-    unreachable residue, so deleting it is safe. Only unqualified names in
-    the default database are handled (the managed location is
-    ``<warehouse>/<lowercased name>``); qualified names keep Spark's own
-    behavior.
+    unreachable residue, so deleting it is safe. Only unqualified names
+    resolved against the DEFAULT database are handled — the path cleared
+    is the default database's managed location (``<warehouse>/<name>``),
+    so when the session's current database is anything else, an
+    unqualified ``tableExists`` would consult the wrong namespace and
+    the clear could destroy a LIVE ``default.<name>``'s data (r14
+    self-review); qualified names and non-default sessions keep Spark's
+    own behavior. Deletion failures (permissions, odd residue) are
+    swallowed so ``saveAsTable`` surfaces the real, actionable error.
     """
-    if "." in table or spark.catalog.tableExists(table):
+    if "." in table or spark.catalog.currentDatabase() != "default":
+        return
+    if spark.catalog.tableExists(table):
         return
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     for prefix in ("file://", "file:"):
@@ -42,8 +49,13 @@ def _clear_stale_location(spark: SparkSession, table: str) -> None:
     if not warehouse:
         return
     location = Path(warehouse) / table.lower()
-    if location.exists():
-        shutil.rmtree(location, ignore_errors=True)
+    try:
+        if location.is_dir():
+            shutil.rmtree(location)
+        elif location.exists():
+            location.unlink()  # stale residue can be a plain file too
+    except OSError:
+        pass
 
 
 def write_bucketed(

@@ -20,3 +20,14 @@ def spark():
     spark = get_session("tests", shuffle_partitions=8)
     yield spark
     spark.stop()
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of currently persisted RDDs (storage-residue assertions).
+
+    Tests must compare ID SETS, not global counts: ContextCleaner
+    asynchronously unpersists residue from EARLIER tests whenever their
+    driver-side refs get GC'd, so a count captured "before" can shrink
+    underneath an equality assertion mid-test (r14 self-review)."""
+    key_set = spark.sparkContext._jsc.getPersistentRDDs().keySet()
+    return {int(i) for i in key_set.toArray()}

@@ -191,21 +191,31 @@ def test_calibration_stamp_ratio_and_probe_minima():
     )
 
     q6, q14 = CALIBRATION_QUERIES
-    # pre-sweep pass slow, post-sweep pass at floor: min wins per query
+    assert CALIBRATION_QUERIES == tuple(CALIBRATION_FLOORS)  # one truth
+    # pre-sweep pass slow, post-sweep pass at floor: min wins per query,
+    # and the slow window is preserved in the WORST ratio (the mid-sweep
+    # burst evidence — r14 self-review)
     passes = [
         {q6: CALIBRATION_FLOORS[q6] * 2.0, q14: CALIBRATION_FLOORS[q14] * 2.0},
         {q6: CALIBRATION_FLOORS[q6], q14: CALIBRATION_FLOORS[q14]},
     ]
     stamp = _calibration_stamp(passes, CALIBRATION_FLOOR_SF)
     assert stamp["calibration_ratio"] == 1.0
+    assert stamp["calibration_ratio_worst"] == 2.0
     assert stamp["calibration_probe_sec"] == {
         n: round(t, 3) for n, t in CALIBRATION_FLOORS.items()
     }
-    # a 1.5x-inflated box reads as 1.5
+    # a 1.5x-inflated box reads as 1.5 on both ratios
     inflated = [{n: t * 1.5 for n, t in CALIBRATION_FLOORS.items()}]
-    assert _calibration_stamp(inflated, CALIBRATION_FLOOR_SF)[
-        "calibration_ratio"
-    ] == 1.5
+    st2 = _calibration_stamp(inflated, CALIBRATION_FLOOR_SF)
+    assert st2["calibration_ratio"] == 1.5
+    assert st2["calibration_ratio_worst"] == 1.5
+    # an incomplete invocation (probe shard died mid-run) is excluded
+    # from the worst-window max but its timed query still feeds the min
+    mixed = passes + [{q6: CALIBRATION_FLOORS[q6] * 9.0}]
+    st3 = _calibration_stamp(mixed, CALIBRATION_FLOOR_SF)
+    assert st3["calibration_ratio"] == 1.0
+    assert st3["calibration_ratio_worst"] == 2.0
     # off-floor SF: probe seconds only, never a ratio
     off = _calibration_stamp(passes, 0.01)
     assert "calibration_ratio" not in off and "calibration_probe_sec" in off

@@ -89,9 +89,9 @@ def test_release_local_checkpoint_frees_blocks(spark):
     from tbench_agentic_data_pipeline_spark.catalog import (
         release_local_checkpoint,
     )
+    from tests.conftest import persistent_rdd_ids
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    before = persistent_rdd_ids(spark)
     cp = (
         spark.range(10_000)
         .select((F.col("id") % 13).alias("k"))
@@ -99,8 +99,9 @@ def test_release_local_checkpoint_frees_blocks(spark):
         .count()
         .localCheckpoint()
     )
-    assert jsc.getPersistentRDDs().size() == before + 1
+    added = persistent_rdd_ids(spark) - before
+    assert len(added) == 1, added
     release_local_checkpoint(cp)
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (added & persistent_rdd_ids(spark)), "blocks not freed"
     # no-op on a non-checkpointed plan: must not raise
     release_local_checkpoint(spark.range(5))

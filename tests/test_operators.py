@@ -653,11 +653,11 @@ def test_corpus_neardup_scans_corpus_once(spark):
 
 def test_spread_checkpointed_single_copy_full_width(spark):
     """r13 ADVICE, closed at the root (r14): the spread decision comes
-    from the source scan's size estimate BEFORE materializing, so the
-    helper checkpoints exactly once — no superseded narrow copy ever
-    exists to pin executor storage until driver GC. On a fixture-scale
-    source the output is at full parallelism and exactly ONE persistent
-    RDD is added."""
+    from the source scan's size estimate BEFORE materializing, so on a
+    fixture-scale source the helper checkpoints exactly once — no
+    superseded narrow copy ever exists to pin executor storage until
+    driver GC. Output at full parallelism, exactly ONE persistent RDD
+    added."""
     from tbench_agentic_data_pipeline_spark.catalog import (
         load_table,
         table_path,
@@ -666,10 +666,9 @@ def test_spread_checkpointed_single_copy_full_width(spark):
         _quality_deduped,
         _spread_checkpointed,
     )
-    from tests.conftest import SF_ORACLE
+    from tests.conftest import SF_ORACLE, persistent_rdd_ids
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    before = persistent_rdd_ids(spark)
     out = _spread_checkpointed(
         _quality_deduped(load_table(spark, SF_ORACLE, "documents")),
         "doc_id",
@@ -677,7 +676,62 @@ def test_spread_checkpointed_single_copy_full_width(spark):
     )
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
     assert out.count() > 0
-    assert jsc.getPersistentRDDs().size() == before + 1
+    added = persistent_rdd_ids(spark) - before
+    assert len(added) == 1, added
+
+
+def test_spread_checkpointed_mid_scale_gap_respreads_and_releases(spark):
+    """The estimate is a proxy (r14 self-review): when the scan estimate
+    says WIDE but AQE still coalesces the post-gate slice below
+    parallelism, the helper must verify the materialized width and fall
+    back to the r13-style re-spread — and release the superseded narrow
+    checkpoint instead of pinning it until driver GC. Simulated by
+    forcing maxPartitionBytes tiny so the fixture scan ESTIMATES wide
+    while the data volume still coalesces narrow."""
+    from tbench_agentic_data_pipeline_spark.catalog import (
+        _scan_partition_estimate,
+        load_table,
+        table_path,
+    )
+    from tbench_agentic_data_pipeline_spark.operators.corpus import (
+        _quality_deduped,
+        _spread_checkpointed,
+    )
+    from tests.conftest import SF_ORACLE, persistent_rdd_ids
+
+    import os as _os
+
+    src = table_path(SF_ORACLE, "documents")
+    par = spark.sparkContext.defaultParallelism
+    size = _os.path.getsize(src)
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    try:
+        mpb = str(max(1, size // (par * 2)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        assert _scan_partition_estimate(src, int(mpb), 0, par) >= par
+        before = persistent_rdd_ids(spark)
+        out = _spread_checkpointed(
+            _quality_deduped(load_table(spark, SF_ORACLE, "documents")),
+            "doc_id",
+            src,
+        )
+        assert out.rdd.getNumPartitions() >= par
+        assert out.count() > 0
+        # the narrow first checkpoint was superseded AND released:
+        # exactly one persistent copy survives
+        added = persistent_rdd_ids(spark) - before
+        assert len(added) == 1, added
+    finally:
+        for key, prev in (
+            ("spark.sql.files.maxPartitionBytes", prev_mpb),
+            ("spark.sql.files.openCostInBytes", prev_oc),
+        ):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def test_connected_components_releases_superseded_rounds(spark):
@@ -691,9 +745,9 @@ def test_connected_components_releases_superseded_rounds(spark):
     from tbench_agentic_data_pipeline_spark.operators.dedup import (
         connected_components,
     )
+    from tests.conftest import persistent_rdd_ids
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    before = persistent_rdd_ids(spark)
     # 200-node chain: diameter 199 forces several pointer-jump rounds
     edges = spark.range(199).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
@@ -702,7 +756,8 @@ def test_connected_components_releases_superseded_rounds(spark):
     labels = {r["node"]: r["label"] for r in out.collect()}
     assert len(labels) == 200 and set(labels.values()) == {0}
     assert connected_components.last_rounds >= 3
-    assert jsc.getPersistentRDDs().size() <= before + 2
+    survivors = (persistent_rdd_ids(spark) - before)
+    assert len(survivors) <= 2, survivors
 
 
 def test_resolve_near_duplicates_broadcasts_small_label_tables(spark):
