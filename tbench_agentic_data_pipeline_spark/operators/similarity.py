@@ -1993,27 +1993,49 @@ def bounded_cell_keys(
     is locality-sensitive: a pair at cosine s lands in the same sub-
     bucket with probability (1 − arccos(s)/π)^depth per probe, the
     standard hyperplane-LSH recall (≥ 0.85^depth at s ≥ 0.9, the
-    near-dup regime). Depth is a per-CELL quantity (window count over
-    the cell — and hashpartitioning(cell) satisfies the downstream
-    join's ClusteredDistribution(cell, subkey), so the pair join reuses
-    the window's exchange instead of adding one), so both members of a
-    candidate pair always agree on it. With ``depth_col`` set, the
+    near-dup regime). Depth is a per-CELL quantity, so both members of
+    a candidate pair always agree on it. With ``depth_col`` set, the
     per-cell split depth is also attached — :func:`multiprobe_keys`
-    needs it to know which bits participate in hamming-1 expansion."""
-    cnt = F.count(F.lit(1)).over(Window.partitionBy(cell_col))
+    needs it to know which bits participate in hamming-1 expansion.
+
+    Depth comes from a map-side-combined ``groupBy(cell).count()``
+    broadcast back onto the corpus (r14; previously a window count over
+    the cell). The window form forced every row through one
+    hash(cell) exchange BEFORE the signature GEMM, and at fixture
+    volume AQE coalesces that exchange to a handful of partitions — the
+    embdup pair stage measured 7.2-8.7 s ACROSS 8/16/32 threads at
+    ~sf1, thread-invariant because the GEMM, probe explode, and verify
+    all ran on the coalesced width (`tools/aqe_spread_check.py`'s
+    mechanism, reconfirmed by this stage's strong-scaling row). The
+    groupBy produces |cells| rows (cells are IVF-style coarse labels —
+    codebook-bounded, thousands at any corpus size, always
+    broadcastable by design) and the broadcast join back adds ZERO
+    exchange on the corpus side, so the per-row signature work keeps
+    the scan's full-width partitioning at every scale. Rows with a
+    NULL cell take the left-join NULL depth — they can never satisfy
+    the equality pair join either way, so pair output is unchanged
+    (the r14 parity sweep hash-pins this)."""
+    counts = df.groupBy(F.col(cell_col).alias("__cell")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     depth = F.greatest(
         F.lit(0).cast("long"),
         F.least(
             F.lit(planes).cast("long"),
-            F.ceil(F.log2(cnt.cast("double") / float(max_cell))),
+            F.ceil(F.log2(F.col("__cnt").cast("double") / float(max_cell))),
         ),
     )
-    mask = F.pow(F.lit(2.0), depth.cast("double")).cast("bigint") - F.lit(1).cast("bigint")
+    cells = F.broadcast(counts.select("__cell", depth.alias("__depth")))
+    joined = df.join(cells, df[cell_col] == F.col("__cell"), "left")
+    mask = (
+        F.pow(F.lit(2.0), F.col("__depth").cast("double")).cast("bigint")
+        - F.lit(1).cast("bigint")
+    )
     bucket = lsh_bucket_assign_arrow(F.col(vec_col), planes=planes, dim=dim)
-    out = df.withColumn("subkey", bucket.bitwiseAND(mask))
+    out = joined.withColumn("subkey", bucket.bitwiseAND(mask))
     if depth_col is not None:
-        out = out.withColumn(depth_col, depth)
-    return out
+        out = out.withColumn(depth_col, F.col("__depth"))
+    return out.drop("__cell", "__depth")
 
 
 def multiprobe_keys(subkey: Column, depth: Column) -> Column:
