@@ -130,86 +130,86 @@ def query(
 # (newest file = _WINDOW_ROUND). At each round start, bump this stamp
 # FIRST — the staleness test then prints the exact mandatory block the
 # new window must contain (tools/next_window.py computes it any time).
-_WINDOW_ROUND: int = 14
+_WINDOW_ROUND: int = 15
 
-# Round-14 rotation (tools/next_window.py at r13-close printed exactly this
+# Round-15 rotation (tools/next_window.py at r14-close printed exactly this
 # mandatory block):
-# - the 48 queries whose newest external row is round 11 — staleness
-#   ceiling, non-negotiable: the text family (bpe/langid/quality/token/
-#   normalize/chunking/sample/packing/fingerprint/mixture/pii/repetition),
-#   the approx-agg family (a_approx_distinct/percentile, a_pivot,
-#   a_profile, a_retention, a_rollup, a_value_histogram, a1/a4/a5/a6),
-#   dedup incremental/simhash/ngram-jaccard/embedding-multiprobe, the
-#   q3/q5/q10 TPC-H rows, flagship, j1/j5, mm_audio_codec, sim_ivf_probe/
-#   sim_knn_join, so1, st_interval_join/st_sliding_window, w1/w3, x1/x6,
-#   f_line_cleanup/f_markdown_render/f_substring_extract, and both corpus
-#   compositions (pipeline_corpus_build, pipeline_corpus_build_embdup —
-#   the latter also gets this round's _spread_checkpointed extension);
-# - round-12 greens prefilled into the 2 remaining slots. All 50 r12
-#   greens expire together at r15, so prefills MUST come from that set
-#   (every slot spent on anything else makes the r15 window 100%
-#   mandatory). Chosen: the two corpus.py r12 greens — the file churns
-#   this round (spread-fix extension + checkpoint-release ADVICE fix),
-#   so these double as driver-side regression checks on the churn.
+# - the 48 queries whose newest external row is round 12 — staleness
+#   ceiling, non-negotiable: the filter family p1-p8, the mutation family
+#   u2/u3/u4/u6/u8, windows w2/w4/w5/w6, the PQ/quantized sim family,
+#   sim_topk_cosine/sim_lsh_buckets, snapshot compaction twins, setops
+#   so2/so3, queue/validation (st1, x7, x_fail_first), streaming
+#   st_incremental_rollup, curation (contamination/ngram_novelty),
+#   text_tfidf/zipf, dedup_cluster_components/dedup_minhash_fast,
+#   events_funnel, a8 pair, a_percentiles/a_salted_sum/a_stats_gauntlet,
+#   j2/j3/j4, and the mm codec trio;
+# - round-13 greens prefilled into the 2 remaining slots. The 49
+#   registered r13 greens expire together at r16, so prefills MUST come
+#   from that cohort to keep the r16 window schedulable. Chosen: the two
+#   similarity.py r13 greens sim_ivf_retrain + sim_ivfpq_topk — the file
+#   churns this round (bounded_cell_keys collision guard + docstring
+#   fixes, r14 ADVICE), so these double as driver-side regression checks
+#   on the churn. New queries registered this round replace prefills
+#   from the BOTTOM up.
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r11: staleness ceiling forces these 48 ---------------
-    "a1_status_histogram_zero_filled",
-    "a4_completion_rate",
-    "a5_map_value_sum_check",
-    "a6_error_rollup",
-    "a_approx_distinct",
-    "a_approx_percentile",
-    "a_pivot_type_by_dow",
-    "a_profile_documents",
-    "a_retention_cohorts",
-    "a_rollup_revenue",
-    "a_value_histogram",
-    "dedup_embedding_multiprobe",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "f_line_cleanup",
-    "f_markdown_render",
-    "f_substring_extract",
-    "flagship_pricing_summary",
-    "j1_semi_join_customers_with_orders",
-    "j5_broadcast_dim_join",
-    "mm_audio_codec",
-    "pipeline_corpus_build",
-    "pipeline_corpus_build_embdup",
-    "q10_returned_items",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "sim_ivf_probe",
-    "sim_knn_join",
-    "so1_union_by_name",
-    "st_interval_join",
-    "st_sliding_window",
-    "text_bpe_pairs",
-    "text_chunking",
-    "text_fingerprint",
-    "text_langid",
-    "text_mixture_weights",
-    "text_normalize",
-    "text_pii_redaction",
-    "text_quality_score",
-    "text_repetition_filter",
-    "text_sequence_packing",
-    "text_stratified_sample",
-    "text_token_count",
-    "w1_ordered_scan",
-    "w3_pergroup_topn",
-    "x1_ast_test_discovery",
-    "x6_test_codegen",
-    # -- round-12 greens prefilled (corpus.py churns this round; all 50 r12
-    # -- greens expire at r15, so prefills must re-green r12 rows); new
+    # -- newest row is r12: staleness ceiling forces these 48 ---------------
+    "a8_distinct_users_per_type",
+    "a8_pytest_summary_parse",
+    "a_percentiles",
+    "a_salted_sum",
+    "a_stats_gauntlet",
+    "dedup_cluster_components",
+    "dedup_minhash_fast",
+    "events_funnel",
+    "j2_anti_join_customers_without_orders",
+    "j3_full_outer_reconciliation",
+    "j4_parent_child_counts",
+    "mm_decode_features",
+    "mm_gif_codec",
+    "mm_video_codec",
+    "p1_point_lookup",
+    "p2_filter_project",
+    "p3_first_match_claim",
+    "p4_existence_guard",
+    "p5_stage_predicate",
+    "p6_timeout_predicate",
+    "p7_ownership_predicate",
+    "p8_prefix_projection",
+    "sim_lsh_buckets",
+    "sim_pq_adc_topk",
+    "sim_pq_trained_topk",
+    "sim_quantized_topk",
+    "sim_topk_cosine",
+    "snap_compact_vacuum",
+    "snap_merge_on_read",
+    "so2_delete_by_key",
+    "so3_key_set_difference",
+    "st1_claim_assignment",
+    "st_incremental_rollup",
+    "text_contamination",
+    "text_ngram_novelty",
+    "text_tfidf_topk",
+    "text_zipf_fluency",
+    "u2_map_mutation",
+    "u3_claim_transition",
+    "u4_complete_transition",
+    "u6_timeout_release",
+    "u8_production_derivation",
+    "w2_global_topn",
+    "w4_fifo_claim_order",
+    "w5_running_total",
+    "w6_lag_gap_seconds",
+    "x7_validation_pipeline",
+    "x_fail_first_policy",
+    # -- round-13 greens prefilled (similarity.py churns this round; the
+    # -- r13 cohort expires at r16, so prefills re-green r13 rows); new
     # -- queries registered this round replace prefills from the BOTTOM up --
-    "pipeline_corpus_build_neardup",
-    "pipeline_incremental_tick",
+    "sim_ivf_retrain",
+    "sim_ivfpq_topk",
 )
 
 
