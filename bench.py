@@ -481,13 +481,29 @@ CALIBRATION_QUERIES = tuple(CALIBRATION_FLOORS)  # single source of truth
 CALIBRATION_FLOOR_SF = 0.1
 
 
+CALIBRATION_NOISY_THRESHOLD = 1.3  # worst-window ratio above this → warn-stamp
+
+
 def _calibration_stamp(probe_passes: list[dict], sf: object) -> dict:
     """Fold the pre/mid/post-sweep probe timings into the committed stamp.
 
     ``probe_passes``: per-invocation {name: seconds} dicts (missing
     queries tolerated — a dead probe shard must not kill the record).
     Returns {} when nothing was timed; otherwise stamps per-query minima
-    and, at the floor SF, the best-window and worst-window ratios."""
+    and, at the floor SF, the best-window and worst-window ratios.
+
+    Worst-window evidence counts INCOMPLETE probe invocations too (r14
+    ADVICE: a probe window hit so hard one query timed out is exactly
+    the burst the stamp exists to capture — dropping it understates the
+    noise): a partial invocation contributes the max of its per-query
+    t/floor ratios, and ``calibration_probe_incomplete`` stamps how many
+    invocations were missing a probe query so a reader knows the worst
+    ratio may rest on partial windows. A record whose worst window
+    exceeds ``CALIBRATION_NOISY_THRESHOLD`` is warn-stamped
+    (``calibration_warning``) rather than refused — the driver must
+    always get its one JSON line — so the committed record is
+    self-labeling and the round-close protocol re-runs on a quiet box
+    (r14 verdict task #6)."""
     best: dict[str, float] = {}
     for run in probe_passes:
         for n, t in run.items():
@@ -499,16 +515,31 @@ def _calibration_stamp(probe_passes: list[dict], sf: object) -> dict:
     if sf == CALIBRATION_FLOOR_SF and set(best) == set(CALIBRATION_FLOORS):
         floor_sum = sum(CALIBRATION_FLOORS.values())
         stamp["calibration_ratio"] = round(sum(best.values()) / floor_sum, 3)
-        complete = [
-            run for run in probe_passes if set(CALIBRATION_FLOORS) <= set(run)
-        ]
-        if complete:
-            stamp["calibration_ratio_worst"] = round(
-                max(
-                    sum(run[n] for n in CALIBRATION_FLOORS) / floor_sum
-                    for run in complete
-                ),
-                3,
+        worst = 0.0
+        incomplete = 0
+        for run in probe_passes:
+            timed = {n: t for n, t in run.items() if n in CALIBRATION_FLOORS}
+            if not timed:
+                incomplete += 1  # probe shard died entirely: burst evidence
+                continue
+            if set(timed) == set(CALIBRATION_FLOORS):
+                ratio = sum(timed.values()) / floor_sum
+            else:
+                incomplete += 1
+                ratio = max(
+                    t / CALIBRATION_FLOORS[n] for n, t in timed.items()
+                )
+            worst = max(worst, ratio)
+        # best was non-empty and complete, so at least one invocation
+        # timed a probe query → worst > 0 here always.
+        stamp["calibration_ratio_worst"] = round(worst, 3)
+        if incomplete:
+            stamp["calibration_probe_incomplete"] = incomplete
+        if worst > CALIBRATION_NOISY_THRESHOLD:
+            stamp["calibration_warning"] = (
+                f"noisy box: worst probe window {round(worst, 3)}x floors "
+                f"(threshold {CALIBRATION_NOISY_THRESHOLD}); "
+                "cross-round comparisons need a quiet re-run"
             )
     return stamp
 

@@ -518,8 +518,11 @@ def pipeline_corpus_build_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by cluster size (graph-node count — the oracle replays the same),
     so wrong labeling or wrong survivor choice shifts the sums.
 
-    Scale shape: the pair build is one window/join exchange on the cell
-    key with a bounded (1+depth)× probe explode, all inside the CC
+    Scale shape: the pair build takes its per-cell split depth from a
+    map-side-combined ``groupBy(cell).count()`` broadcast (codebook-
+    bounded, zero corpus-side exchange — the r14 depth-broadcast
+    restructure) and carries one pair-join exchange on the (cell, key)
+    pair with a bounded (1+depth)× probe explode, all inside the CC
     localCheckpoint; CC is pointer-jumping (O(log diameter) rounds);
     label and cluster-size joins broadcast below 5M clustered nodes and
     revert to keyed shuffles together above it; one survivor window,
@@ -530,12 +533,14 @@ def pipeline_corpus_build_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor window. The sf0.1 stage split is pairs 2.2 s / CC 2.5 s
     (6 rounds × the measured per-round driver constant on 1019 nodes) /
     tail 0.7 s warm, i.e. fixed scheduling constants on a 2000-vector,
-    722-pair fixture, not serialized data compute. A spread fence cannot
-    help the pair stage: the self-join deliberately reuses the cell
-    window's exchange (ClusteredDistribution), so a fence between them
-    would ADD an exchange; the AQE-coalescing cost of that stage was
-    measured directly instead (2.23 s vs 1.60 s with coalescing off —
-    SCALING.md, r14 spread-extension note)."""
+    722-pair fixture, not serialized data compute. A spread fence is
+    unnecessary for the pair stage since the r14 depth-broadcast
+    restructure: the per-row signature work now runs on the scan's own
+    partitioning (no pre-GEMM exchange left to coalesce), and the one
+    remaining pair-join exchange sits AFTER the per-row work — the
+    historical AQE-coalescing cost of the old window form was measured
+    at 2.23 s vs 1.60 s with coalescing off (SCALING.md, r14
+    spread-extension note) before the restructure removed it."""
     emb = spread_for_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",

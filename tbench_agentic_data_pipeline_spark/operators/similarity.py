@@ -2015,6 +2015,16 @@ def bounded_cell_keys(
     NULL cell take the left-join NULL depth — they can never satisfy
     the equality pair join either way, so pair output is unchanged
     (the r14 parity sweep hash-pins this)."""
+    taken = set(df.columns)
+    clash = taken.intersection({"__cell", "__depth", "__cnt"})
+    if clash:
+        # The split works on caller-supplied frames; silently joining on
+        # a caller column of the same name would either make the join
+        # ambiguous or drop the caller's data (r14 ADVICE).
+        raise ValueError(
+            "bounded_cell_keys reserves temp columns __cell/__depth/__cnt; "
+            f"input already has {sorted(clash)}"
+        )
     counts = df.groupBy(F.col(cell_col).alias("__cell")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
@@ -2263,8 +2273,10 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuous — ``tests/test_ann.py`` additionally pins
     ``recovered`` to be nonzero at the smoke scale. The oracle replays
     signature, depth, probe expansion, and the capped join in pure SQL.
-    Scale shape: identical to the single-probe query — one window/join
-    exchange on the cell key — with the explode adding rows only inside
+    Scale shape: identical to the single-probe query — split depth from
+    a map-side-combined ``groupBy(cell).count()`` broadcast (codebook-
+    bounded, zero corpus-side exchange) and one pair-join exchange on
+    the (cell, key) pair — with the explode adding rows only inside
     already-bounded buckets."""
     emb = spread_for_compute(
         load_table(spark, sf_dir, "embeddings"),
@@ -2297,8 +2309,13 @@ def embedding_multiprobe_pairs(
     single-probe join would have dropped. Each qualifying pair appears
     exactly once: one side keeps its exact (cell, subkey), the other
     explodes to its probe set, whose keys are pairwise distinct, and
-    the ``vec_a < vec_b`` guard fixes the orientation. Scale shape: one
-    window/join exchange on the cell key; the explode adds rows only
+    the ``vec_a < vec_b`` guard fixes the orientation. Scale shape
+    (r14 depth-broadcast restructure): per-cell split depth comes from
+    a map-side-combined ``groupBy(cell).count()`` broadcast back onto
+    the corpus (codebook-bounded cell count, zero corpus-side
+    exchange), so the signature GEMM and probe explode keep the scan's
+    full-width partitioning; the pair self-join then carries its own
+    single exchange on the (cell, key) pair. The explode adds rows only
     inside already-bounded buckets — (1+depth)× candidate cost, linear
     in corpus size at fixed cap."""
     keyed = bounded_cell_keys(

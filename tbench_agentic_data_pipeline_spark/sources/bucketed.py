@@ -34,13 +34,30 @@ def _clear_stale_location(spark: SparkSession, table: str) -> None:
     unqualified ``tableExists`` would consult the wrong namespace and
     the clear could destroy a LIVE ``default.<name>``'s data (r14
     self-review); qualified names and non-default sessions keep Spark's
-    own behavior. Deletion failures (permissions, odd residue) are
-    swallowed so ``saveAsTable`` surfaces the real, actionable error.
+    own behavior. Two further guards bound the rm -rf blast radius (r14
+    ADVICE — an EXTERNAL table in another database LOCATION'd at the
+    default warehouse path would otherwise be live data): the delete is
+    skipped when any other database carries a same-named table (the
+    plausible way such an external gets created; skipping only forfeits
+    cleanup — ``saveAsTable`` then surfaces the real error), and the
+    directory is deleted only when every top-level entry is shaped like
+    Spark task output (part-*/_SUCCESS/_committed*/_temporary/CRCs), so
+    a location holding anything a human put there survives. Deletion
+    failures (permissions, odd residue) are swallowed so
+    ``saveAsTable`` surfaces the real, actionable error.
     """
     if "." in table or spark.catalog.currentDatabase() != "default":
         return
     if spark.catalog.tableExists(table):
         return
+    try:
+        for db in spark.catalog.listDatabases():
+            if db.name != "default" and spark.catalog.tableExists(
+                f"`{db.name}`.`{table}`"
+            ):
+                return
+    except Exception:
+        return  # can't prove the location is orphaned → don't delete
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     for prefix in ("file://", "file:"):
         if warehouse.startswith(prefix):
@@ -51,11 +68,26 @@ def _clear_stale_location(spark: SparkSession, table: str) -> None:
     location = Path(warehouse) / table.lower()
     try:
         if location.is_dir():
-            shutil.rmtree(location)
+            if all(_spark_output_shaped(p.name) for p in location.iterdir()):
+                shutil.rmtree(location)
         elif location.exists():
             location.unlink()  # stale residue can be a plain file too
     except OSError:
         pass
+
+
+def _spark_output_shaped(name: str) -> bool:
+    """True when a directory entry looks like Spark task/commit output —
+    the only content ``_clear_stale_location`` may delete."""
+    return (
+        name.startswith("part-")
+        or name.startswith(".part-")
+        or name.startswith("_SUCCESS")
+        or name.startswith("_committed")
+        or name.startswith("_started")
+        or name.startswith("_temporary")
+        or name.endswith(".crc")
+    )
 
 
 def write_bucketed(

@@ -873,6 +873,25 @@ def test_bounded_cell_keys_caps_oversized_cells(spark):
     assert sizes.max() < 300
 
 
+def test_bounded_cell_keys_rejects_reserved_column_collisions(spark):
+    """r14 ADVICE: the split joins on temp columns __cell/__depth/__cnt
+    and then drops them; a caller frame already carrying one of those
+    names would make the join ambiguous or silently drop caller data.
+    The helper must refuse loudly instead."""
+    import pytest as pytest_local
+
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        bounded_cell_keys,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, [0.1] * 64, 7)],
+        "label string, vec_id long, emb array<double>, __cell int",
+    )
+    with pytest_local.raises(ValueError, match="__cell"):
+        bounded_cell_keys(df, "label", "emb")
+
+
 def test_pq_arrow_paths_accept_string_keys(spark):
     """r7 ADVICE: pq_encode_arrow / pq_search_topk_arrow hardcoded `long`
     key columns in their Arrow out-schemas while exposing the key names as

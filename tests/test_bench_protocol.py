@@ -210,12 +210,30 @@ def test_calibration_stamp_ratio_and_probe_minima():
     st2 = _calibration_stamp(inflated, CALIBRATION_FLOOR_SF)
     assert st2["calibration_ratio"] == 1.5
     assert st2["calibration_ratio_worst"] == 1.5
-    # an incomplete invocation (probe shard died mid-run) is excluded
-    # from the worst-window max but its timed query still feeds the min
+    # an incomplete invocation (probe shard died mid-run) still counts
+    # as worst-window evidence via its per-query ratio (r14 ADVICE: the
+    # hardest-hit window is exactly the burst the stamp must capture),
+    # and the record is labeled with how many windows were partial
     mixed = passes + [{q6: CALIBRATION_FLOORS[q6] * 9.0}]
     st3 = _calibration_stamp(mixed, CALIBRATION_FLOOR_SF)
     assert st3["calibration_ratio"] == 1.0
-    assert st3["calibration_ratio_worst"] == 2.0
+    assert st3["calibration_ratio_worst"] == 9.0
+    assert st3["calibration_probe_incomplete"] == 1
+    # 9x floors is past the noisy threshold → warn-stamp, never refusal
+    # (the driver must always get its one JSON line); the 2x-burst
+    # window in `passes` also trips it (r14 verdict task #6)
+    assert "noisy box" in st3["calibration_warning"]
+    assert "noisy box" in stamp["calibration_warning"]
+    # quiet complete windows: no incomplete count, no warning
+    quiet = [dict(CALIBRATION_FLOORS), dict(CALIBRATION_FLOORS)]
+    st_q = _calibration_stamp(quiet, CALIBRATION_FLOOR_SF)
+    assert st_q["calibration_ratio_worst"] == 1.0
+    assert "calibration_probe_incomplete" not in st_q
+    assert "calibration_warning" not in st_q
+    # an entirely dead invocation among live ones counts as incomplete
+    st4 = _calibration_stamp(passes + [{}], CALIBRATION_FLOOR_SF)
+    assert st4["calibration_probe_incomplete"] == 1
+    assert st4["calibration_ratio_worst"] == 2.0
     # off-floor SF: probe seconds only, never a ratio
     off = _calibration_stamp(passes, 0.01)
     assert "calibration_ratio" not in off and "calibration_probe_sec" in off

@@ -77,6 +77,60 @@ def test_write_bucketed_survives_stale_warehouse_residue(spark):
         shutil.rmtree(location, ignore_errors=True)
 
 
+def test_stale_clear_spares_non_spark_content_and_foreign_tables(spark):
+    # r14 ADVICE: the residue clear is an rm -rf — it must only fire on
+    # content shaped like orphaned Spark task output, and must stand
+    # down when another database carries a same-named table (the
+    # plausible way a live external table ends up at the default
+    # warehouse path). In both cases the location survives and
+    # saveAsTable surfaces the real error.
+    import shutil
+    from pathlib import Path
+
+    from tbench_agentic_data_pipeline_spark.sources.bucketed import (
+        _clear_stale_location,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+
+    # 1) human-placed content at the candidate location → untouched
+    table = "b_human_content_probe"
+    location = Path(warehouse) / table
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    location.mkdir(parents=True, exist_ok=True)
+    (location / "notes.txt").write_text("precious")
+    (location / "part-00000.parquet").write_bytes(b"x")  # mixed content
+    try:
+        _clear_stale_location(spark, table)
+        assert (location / "notes.txt").read_text() == "precious"
+    finally:
+        shutil.rmtree(location, ignore_errors=True)
+
+    # 2) same-named table in another database → clear stands down even
+    # for Spark-shaped residue
+    table2 = "b_foreign_twin_probe"
+    loc2 = Path(warehouse) / table2
+    spark.sql("CREATE DATABASE IF NOT EXISTS b_probe_db")
+    spark.sql(f"DROP TABLE IF EXISTS {table2}")
+    spark.sql(f"DROP TABLE IF EXISTS b_probe_db.{table2}")
+    spark.sql(
+        f"CREATE TABLE b_probe_db.{table2} (k INT) USING PARQUET"
+    )
+    loc2.mkdir(parents=True, exist_ok=True)
+    (loc2 / "part-00000.parquet").write_bytes(b"x")
+    try:
+        _clear_stale_location(spark, table2)
+        assert (loc2 / "part-00000.parquet").exists()
+    finally:
+        shutil.rmtree(loc2, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS b_probe_db.{table2}")
+        spark.sql("DROP DATABASE IF EXISTS b_probe_db")
+
+
 def test_unbucketed_join_does_shuffle(spark, no_broadcast):
     # Control: the same join on raw parquet shuffles both sides.
     orders = load_table(spark, SF_SMOKE, "orders")
