@@ -137,6 +137,11 @@ HEADLINE = [
     # means + integer-exact retrain decision — the oracle twin of
     # clustering.ivf_retrain's full lifecycle)
     "sim_ivf_retrain",
+    # round-15 addition, benched from birth: the streaming minhash-dedup
+    # batch mirror (per-row signatures over one documents scan, band
+    # join against the arrival-rank index state, exact-Jaccard verify —
+    # the dedup family's streaming-ingestion shape)
+    "st_minhash_dedup",
 ]
 
 

@@ -2077,10 +2077,7 @@ def multiprobe_keys(subkey: Column, depth: Column) -> Column:
     return F.concat(F.array(subkey), flips)
 
 
-@query(
-    "dedup_embedding_cosine",
-    survey="P4,J5",
-    oracle="""
+EMBEDDING_COSINE_ORACLE = """
         WITH c AS (
             SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -2130,14 +2127,25 @@ def multiprobe_keys(subkey: Column, depth: Column) -> Column:
         SELECT vec_a, vec_b, label,
                ROUND(raw_cos * (1 + 5e-13), 4) AS cos
         FROM scored WHERE raw_cos >= 0.3
-    """,
-)
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs with a BOUNDED pair join — the
     lower-cost single-probe variant (r10: the documented production
     default for embedding near-dup is :func:`dedup_embedding_multiprobe`,
     which recovers ~half the pairs this one drops above the cap for a
-    bounded (1+depth)× candidate cost). Candidates
+    bounded (1+depth)× candidate cost).
+
+    No longer a registered query (r15 twin consolidation — the registry
+    capacity policy, following the r14 ``dedup_minhash_bands``
+    precedent): :func:`dedup_embedding_multiprobe` is the registered
+    representative of the single/multi-probe pair — it exercises the
+    same signature, adaptive depth, and capped join, PLUS the hamming-1
+    recovery this one lacks. The retired oracle survives verbatim as
+    ``EMBEDDING_COSINE_ORACLE``, pinned against this function's full
+    result through the driver's own gate by the local parity test in
+    ``tests/test_ann.py``. Candidates
     bucket by the coarse partition (label ≙ centroid id) refined by
     :func:`bounded_cell_keys` — cells past 64 rows split on hyperplane
     sign bits with per-cell adaptive depth, so the within-bucket

@@ -205,11 +205,13 @@ _FRONT_ORDER: tuple[str, ...] = (
     "w6_lag_gap_seconds",
     "x7_validation_pipeline",
     "x_fail_first_policy",
-    # -- round-13 greens prefilled (similarity.py churns this round; the
-    # -- r13 cohort expires at r16, so prefills re-green r13 rows); new
-    # -- queries registered this round replace prefills from the BOTTOM up --
+    # -- round-13 green prefilled (similarity.py churns this round; the
+    # -- r13 cohort expires at r16, so the prefill re-greens an r13 row) --
     "sim_ivf_retrain",
-    "sim_ivfpq_topk",
+    # -- new this round (replaced the bottom prefill, per policy): the
+    # -- streaming minhash-dedup twin, registered in the same commit that
+    # -- retired dedup_embedding_cosine (capacity policy) --
+    "st_minhash_dedup",
 )
 
 

@@ -308,7 +308,9 @@ class SnapshotTable:
         )
         return self.commit(merged, operation="append")
 
-    def append_delta(self, rows: DataFrame) -> int:
+    def append_delta(
+        self, rows: DataFrame, operation: str = "append_delta"
+    ) -> int:
         """O(|batch|) append: write ONLY the new rows as a delta version
         chained to the current one — the Delta-log mechanic that makes
         appends affordable at 100 TB (COW ``append`` rewrites the whole
@@ -318,11 +320,15 @@ class SnapshotTable:
         prior version keeps meaning. Long chains tax readers with
         per-delta file listings — ``compact()`` collapses the chain back
         to one full commit on a cadence, after which ``vacuum()`` can
-        reclaim it (``vacuum`` never drops a kept delta's parents)."""
+        reclaim it (``vacuum`` never drops a kept delta's parents).
+        ``operation`` customizes the history stamp so streaming drains
+        can use the commit log as their applied-transaction guard (the
+        ``incremental_rollup_drain`` pattern — a replayed micro-batch id
+        consults ``history()`` and skips)."""
         manifest = self._read_manifest()
         cur = manifest["current"]
         if cur is None:
-            return self.commit(rows, operation="append")
+            return self.commit(rows, operation=operation)
         next_v = cur + 1
         rows.write.mode("overwrite").parquet(
             os.path.join(self.root, f"v={next_v}")
@@ -332,7 +338,7 @@ class SnapshotTable:
         manifest.setdefault("history", []).append(
             {
                 "version": next_v,
-                "operation": "append_delta",
+                "operation": operation,
                 "ts": time.time(),
                 "partition_by": [],
                 "parent": cur,

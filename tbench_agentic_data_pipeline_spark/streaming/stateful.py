@@ -288,3 +288,249 @@ def incremental_rollup_drain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_ST_MINHASH_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    t AS (
+        SELECT doc_id, list_distinct(w) AS toks FROM toks
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(shingles,
+                    s -> md5(s || '#' || CAST(h AS VARCHAR))))
+                for h in range(0, 8)] AS mh
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b, md5(mh[2*b+1] || mh[2*b+2]) AS band_key
+        FROM sig, range(0, 4) r(b)
+    ),
+    ranked AS (
+        -- arrival order: even ids are the pre-indexed history (rank -1),
+        -- odd ids arrive in three micro-batches by (doc_id % 6) // 2
+        SELECT doc_id, b, band_key,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN -1
+                    ELSE (doc_id % 6) // 2 END AS BIGINT) AS rnk
+        FROM bands
+    ),
+    cand AS (
+        -- a doc matches the INDEX STATE AT ITS ARRIVAL: history plus
+        -- every batch drained before its own (strictly earlier rank)
+        SELECT DISTINCT n.rnk AS batch, n.doc_id AS new_id,
+                        e.doc_id AS dup_of
+        FROM ranked n
+        JOIN ranked e ON n.b = e.b AND n.band_key = e.band_key
+                      AND e.rnk < n.rnk
+        WHERE n.rnk >= 0
+    )
+    SELECT c.batch, c.new_id, c.dup_of,
+           (len(list_intersect(tn.toks, te.toks)) * 1000)
+               // (len(tn.toks) + len(te.toks)
+                   - len(list_intersect(tn.toks, te.toks)))
+               AS jaccard_milli
+    FROM cand c
+    JOIN t tn ON tn.doc_id = c.new_id
+    JOIN t te ON te.doc_id = c.dup_of
+    WHERE (len(list_intersect(tn.toks, te.toks)) * 1000)
+              // (len(tn.toks) + len(te.toks)
+                  - len(list_intersect(tn.toks, te.toks))) >= 500
+"""
+
+
+@query("st_minhash_dedup", survey="ST3,ST6,P4,J1", oracle=_ST_MINHASH_ORACLE)
+def st_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingestion, proven by its batch mirror: arriving
+    documents drain through the persisted MinHash band index, each
+    micro-batch matched against the INDEX STATE AT ITS ARRIVAL and then
+    appended to the index — the r14 verdict's missing streaming
+    expression of the dedup family, making the incremental tick's
+    front-end a true streaming job (``minhash_dedup_drain`` below is the
+    production ``foreachBatch`` form; its availableNow drain is
+    equivalence- and resume-pinned against this query in
+    tests/test_streaming.py).
+
+    The fixture split mirrors the drain's trigger boundaries exactly like
+    ``st_incremental_rollup`` does for the rollup: even doc_ids are the
+    pre-indexed history (arrival rank -1), odd doc_ids arrive in three
+    micro-batches by ``(doc_id % 6) div 2`` (ranks 0/1/2). The union of
+    per-batch matches against the growing index equals ONE band
+    self-join with the strictly-earlier-rank predicate — index state
+    before batch b IS the set of rows with rank < b, which is the
+    index-maintenance algebra (unconditional band append per drained
+    batch) the driver hash certifies. Within-batch pairs are excluded by
+    the strict inequality: intra-batch dedup is the drain's own
+    ``dropDuplicates`` seam, not an index lookup. Candidates feed the
+    same exact token-Jaccard ≥ 0.5 verify as ``dedup_incremental`` (the
+    md5 twin keeps the whole chain oracle-checkable; production drains
+    use xxhash64).
+
+    Scale shape: signatures/bands are per-row projections over ONE
+    documents scan; the candidate step is one band equi-join plus a
+    distinct; the verify joins follow ``_verify_join_sides``'s
+    size-derived broadcast/shuffle split. Per-batch drain cost is
+    ∝ |batch| bands against an indexed history — never a re-signature
+    of the corpus (reference analog: the task queue re-scans state on
+    every claim, ``task_manager/task_manager.py:109-138``)."""
+    from tbench_agentic_data_pipeline_spark.catalog import (
+        spread_for_compute, table_path,
+    )
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        _verify_join_sides, jaccard_milli, minhash_index,
+    )
+
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        source_path=table_path(sf_dir, "documents"),
+    )
+    idx = minhash_index(docs, hash_fn="md5")
+    rnk = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit(-1))
+        .otherwise(F.expr("pmod(doc_id, 6) div 2"))
+        .cast("bigint")
+    )
+    ranked = idx.withColumn("rnk", rnk)
+    new = ranked.where(F.col("rnk") >= 0).select(
+        F.col("doc_id").alias("new_id"),
+        "b",
+        "band_key",
+        F.col("rnk").alias("batch"),
+    )
+    hist = ranked.select(
+        F.col("doc_id").alias("dup_of"), "b", "band_key",
+        F.col("rnk").alias("e_rnk"),
+    )
+    cand = (
+        new.join(hist, ["b", "band_key"])
+        .where(F.col("e_rnk") < F.col("batch"))
+        .select("batch", "new_id", "dup_of")
+        .distinct()
+    )
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    tn = t.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("toks_n"))
+    te = t.select(F.col("doc_id").alias("dup_of"), F.col("toks").alias("toks_e"))
+    tn, te = _verify_join_sides(sf_dir, tn, te)
+    return (
+        cand.join(tn, "new_id")
+        .join(te, "dup_of")
+        .withColumn(
+            "jaccard_milli", jaccard_milli(F.col("toks_n"), F.col("toks_e"))
+        )
+        .where(F.col("jaccard_milli") >= 500)
+        .select("batch", "new_id", "dup_of", "jaccard_milli")
+    )
+
+
+def minhash_dedup_drain(
+    stream: DataFrame,
+    index_table,
+    corpus_table,
+    matches_table,
+    checkpoint: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    tau_milli: int = 500,
+):
+    """Streaming near-dup ingestion against a PERSISTED MinHash index
+    (the production form of :func:`st_minhash_dedup`'s batch mirror).
+    Per micro-batch, in index-state order: (1) dedup the batch on
+    ``key_col`` (the intra-batch seam), (2) band-join the batch's
+    signatures against the index snapshot and exact-verify token-Jaccard
+    ≥ ``tau_milli`` against the persisted corpus tokens, appending
+    matches (batch, new_id, dup_of, jaccard_milli) to ``matches_table``,
+    (3) append the batch's bands and tokens to ``index_table`` /
+    ``corpus_table`` as one delta commit each (O(|batch|) merge-on-read
+    ingestion, the ``upsert_drain_delta`` posture — never a rewrite of
+    history). Docs too short to shingle (< 3 tokens) contribute no bands
+    and can never match, mirroring the batch pipeline.
+
+    Exactly-once: the checkpoint prevents re-delivery; a crash inside a
+    batch re-runs ``foreachBatch``, so every table commit is guarded by
+    an ``operation`` stamp consulted in that table's own history —
+    whichever commits already landed are skipped, the missing ones
+    apply, and the batch converges to applied-exactly-once per table
+    (the ``incremental_rollup_drain`` transaction-log pattern)."""
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        jaccard_milli as _jm, minhash_index,
+    )
+
+    def _guarded_commit(table, df: DataFrame, op: str) -> None:
+        if any(h.get("operation") == op for h in table.history()):
+            return  # replayed batch — this table already has it
+        if table.current_version() is None:
+            table.commit(df, operation=op)
+        else:
+            table.append_delta(df, operation=op)
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        fresh = batch.dropDuplicates([key_col])
+        bands = minhash_index(
+            fresh, key_col=key_col, text_col=text_col, hash_fn=hash_fn
+        ).localCheckpoint()
+        toks = fresh.select(
+            F.col(key_col),
+            F.array_distinct(F.split(text_col, " ")).alias("toks"),
+        ).localCheckpoint()
+        if index_table.current_version() is not None:
+            idx = index_table.read().select(
+                F.col(key_col).alias("dup_of"), "b", "band_key"
+            )
+            corpus = corpus_table.read().select(
+                F.col(key_col).alias("dup_of"),
+                F.col("toks").alias("toks_e"),
+            )
+            cand = (
+                bands.select(F.col(key_col).alias("new_id"), "b", "band_key")
+                .join(idx, ["b", "band_key"])
+                .select("new_id", "dup_of")
+                .distinct()
+            )
+            matches = (
+                cand.join(
+                    toks.select(
+                        F.col(key_col).alias("new_id"),
+                        F.col("toks").alias("toks_n"),
+                    ),
+                    "new_id",
+                )
+                .join(corpus, "dup_of")
+                .withColumn(
+                    "jaccard_milli", _jm(F.col("toks_n"), F.col("toks_e"))
+                )
+                .where(F.col("jaccard_milli") >= tau_milli)
+                .select(
+                    F.lit(batch_id).cast("bigint").alias("batch"),
+                    "new_id",
+                    "dup_of",
+                    "jaccard_milli",
+                )
+            )
+        else:
+            key_type = dict(fresh.dtypes)[key_col]
+            matches = fresh.sparkSession.createDataFrame(
+                [],
+                f"batch bigint, new_id {key_type}, dup_of {key_type}, "
+                "jaccard_milli bigint",
+            )
+        _guarded_commit(matches_table, matches, f"minhash_matches_{batch_id}")
+        _guarded_commit(index_table, bands, f"minhash_index_{batch_id}")
+        _guarded_commit(corpus_table, toks, f"minhash_corpus_{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -873,6 +873,33 @@ def test_bounded_cell_keys_caps_oversized_cells(spark):
     assert sizes.max() < 300
 
 
+def test_retired_embedding_cosine_twin_still_matches_its_oracle(spark):
+    """r15 twin consolidation (registry capacity policy): the
+    single-probe twin `dedup_embedding_cosine` is no longer a registered
+    query — `dedup_embedding_multiprobe` is the registered
+    representative — but its full-result oracle survives verbatim as
+    EMBEDDING_COSINE_ORACLE and must keep hash-matching the function
+    through the SAME gate the external driver applies (rows + schema +
+    sorted value hash at the oracle SF). A drifted plane constant,
+    depth formula, or cap would fail here exactly as it would have
+    failed the driver."""
+    from tbench_agentic_data_pipeline_spark.operators.similarity import (
+        EMBEDDING_COSINE_ORACLE,
+        dedup_embedding_cosine,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import compare
+
+    res = compare(
+        "dedup_embedding_cosine(retired twin)",
+        spark,
+        dedup_embedding_cosine,
+        EMBEDDING_COSINE_ORACLE,
+        SF_ORACLE,
+    )
+    assert res.ok, res
+
+
 def test_bounded_cell_keys_rejects_reserved_column_collisions(spark):
     """r14 ADVICE: the split joins on temp columns __cell/__depth/__cnt
     and then drops them; a caller frame already carrying one of those

@@ -141,6 +141,13 @@ _PINS = {
     # cell agg over all rows + per-cell report agg + ordered output; the
     # two centroid joins broadcast (corpus side never shuffles for them)
     "sim_ivf_retrain": 4,
+    # r15 addition: the streaming minhash-dedup batch mirror — the
+    # dedup_incremental shape plus the arrival-rank predicate: one
+    # conditional spread exchange on the narrow fixture scan, the band
+    # self-join's two sides, and the candidate distinct; the
+    # token-Jaccard verify joins broadcast at the oracle SF
+    # (_verify_join_sides' size split)
+    "st_minhash_dedup": 4,
 }
 
 

@@ -721,3 +721,96 @@ def test_incremental_rollup_query_covers_negative_and_null_ids(spark, tmp_path):
         .collect()
     }
     assert got == want and sum(n for n, _ in got.values()) == len(rows)
+
+
+def test_minhash_dedup_drain_matches_batch_mirror(spark, tmp_path):
+    """r14 verdict task #7: the streaming near-dup drain must equal its
+    registered batch mirror (`st_minhash_dedup`) when the three arriving
+    micro-batches cross the same trigger boundaries the mirror encodes
+    as arrival ranks — same matches, same batch attribution, same
+    jaccard values — and the index/corpus tables must advance by one
+    delta commit per batch. Then two exactly-once seams: a SAME-
+    checkpoint re-drain with no new data is a no-op, and a FRESH-
+    checkpoint replay over the full source (batch ids restart at 0 —
+    the crash-between-commit-and-checkpoint shape) is absorbed by the
+    per-table operation guard with every table byte-unchanged."""
+    from tbench_agentic_data_pipeline_spark.catalog import load_table
+    from tbench_agentic_data_pipeline_spark.operators.dedup import minhash_index
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+    from tbench_agentic_data_pipeline_spark.streaming.stateful import (
+        minhash_dedup_drain, st_minhash_dedup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    index_table = SnapshotTable(spark, str(tmp_path / "band_index"))
+    corpus_table = SnapshotTable(spark, str(tmp_path / "corpus_toks"))
+    matches_table = SnapshotTable(spark, str(tmp_path / "matches"))
+    index_table.commit(
+        minhash_index(history, hash_fn="md5"), operation="minhash_seed"
+    )
+    corpus_table.commit(
+        history.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        ),
+        operation="minhash_seed",
+    )
+
+    src = tmp_path / "arriving"
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(checkpoint=ckpt):
+        stream = spark.readStream.schema(docs.schema).parquet(str(src))
+        q = minhash_dedup_drain(
+            stream, index_table, corpus_table, matches_table,
+            checkpoint, hash_fn="md5",
+        )
+        q.awaitTermination(120)
+
+    for b in range(3):
+        batch = docs.where(
+            (F.col("doc_id") % 2 == 1)
+            & (F.expr("pmod(doc_id, 6) div 2") == b)
+        )
+        batch.coalesce(1).write.mode("append").parquet(str(src))
+        drain()  # same checkpoint: each drain folds ONLY the new file
+
+    got = {
+        (r["batch"], r["new_id"], r["dup_of"], r["jaccard_milli"])
+        for r in matches_table.read().collect()
+    }
+    want = {
+        (r["batch"], r["new_id"], r["dup_of"], r["jaccard_milli"])
+        for r in st_minhash_dedup(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
+    # one delta commit per table per batch, on top of the seed
+    assert len(index_table.versions()) == 4
+    assert len(corpus_table.versions()) == 4
+
+    v_before = (
+        index_table.current_version(),
+        corpus_table.current_version(),
+        matches_table.current_version(),
+    )
+    drain()  # same checkpoint, no new data → checkpoint prevents re-read
+    assert (
+        index_table.current_version(),
+        corpus_table.current_version(),
+        matches_table.current_version(),
+    ) == v_before
+
+    # fresh checkpoint: all three files re-deliver as batch 0, whose ops
+    # are already in every table's history → guard skips all commits
+    drain(checkpoint=str(tmp_path / "ckpt2"))
+    assert (
+        index_table.current_version(),
+        corpus_table.current_version(),
+        matches_table.current_version(),
+    ) == v_before
+    got2 = {
+        (r["batch"], r["new_id"], r["dup_of"], r["jaccard_milli"])
+        for r in matches_table.read().collect()
+    }
+    assert got2 == got

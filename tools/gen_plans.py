@@ -56,6 +56,7 @@ COMMENTARY = {
     "text_ngram_novelty": "Corpus-vs-itself memorization audit: distinct 8-grams per doc via array_distinct INSIDE the generator (no pre-shuffle dedup), window count over gram (count-only frame, no join-back), per-doc rollup — spread exchange + gram window + doc agg = 3 exchanges, one corpus scan.",
     "st_incremental_rollup": "Incremental view maintenance certified against the one-pass aggregate: three micro-batch partials (one key-cardinality exchange each) folded via the streaming drain's own union+re-aggregate merge — the merges reuse the partials' partitioning, so 3 exchanges total and ONE events scan (checkpointed projection).",
     "sim_ivf_retrain": "Drift->retrain-and-swap twin (clustering.ivf_retrain): stale per-cell quantizer aggregated from the history half, refit quantizer over history+batch (two map-side-combined cell exchanges), then ONE scoring pass joins both broadcast centroid tables and folds the per-cell pre/post report + integer-exact retrain decision — cell aggs + report agg + ordered output = 4 exchanges, the corpus never shuffles for the centroid joins.",
+    "st_minhash_dedup": "Streaming near-dup ingestion's batch mirror: per-row signatures/bands over one documents scan, band self-join with the strictly-earlier arrival-rank predicate (union of per-batch matches against the growing index, collapsed to one join), candidate distinct, size-split token-Jaccard verify — spread exchange + band-join sides + distinct = 4 exchanges; the production foreachBatch drain pays one |batch|-band join per micro-batch against the persisted index, never a corpus re-signature.",
 }
 
 SF = "/root/testdata/sf0.01"

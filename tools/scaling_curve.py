@@ -152,7 +152,9 @@ EXTRA_CURVE = [
     # agg, sliding window) — the shapes most worth a scale reading among
     # the un-curved <=2-exchange queries
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    # r15 twin consolidation: dedup_embedding_cosine's registration
+    # retired; its scale shape (bounded-cell pair join) stays curved via
+    # the registered multi-probe twin below (r9 section)
     "sim_lsh_buckets",
     "text_sequence_packing",
     "a_salted_sum",
@@ -199,6 +201,10 @@ EXTRA_CURVE = [
     # addition) is a 0-exchange fused Arrow scan, exempt by the standing
     # <=1-exchange rule.
     "pipeline_corpus_build_neardup",
+    # r15 addition: the streaming minhash-dedup batch mirror (band join
+    # with the arrival-rank predicate + verify joins — the ingestion
+    # shape whose per-batch cost must stay ∝ batch across scales)
+    "st_minhash_dedup",
 ]
 
 

@@ -189,6 +189,15 @@ def main() -> None:
         "| **total** | " + " | ".join(f"{t:.2f}" for t in tot)
         + f" | {sp:.2f}× | {sp / (THREADS[-1] / base):.0%} |"
     )
+    lines.append("")
+    lines.append(
+        "`sim_ivfpq_topk`'s flat row is a fixed ~2.4 s in-query index "
+        "LIFECYCLE constant (stats build + snapshot save/load + probe "
+        "before the ADC scan — the r12 bench-step adjudication below), "
+        "not a scaling defect of the search path; the thread-responsive "
+        "ADC/search half is covered by `sim_pq_adc_topk` in the scale "
+        "curve."
+    )
     table = "\n".join(lines)
     print(table)
     if "--update-md" in sys.argv:
