@@ -391,3 +391,30 @@ def test_unkillable_writer_still_salvages_buffered_output(monkeypatch):
             _os.killpg(p.pid, _signal.SIGKILL)
         except ProcessLookupError:
             pass
+
+
+def test_composition_floors_reference_registered_queries():
+    """r14 verdict task #3: the composition-family quiet floors must
+    track real registry entries (a renamed query would silently orphan
+    its floor and the adjudication protocol with it), be positive, and
+    cover exactly the four queries the r12-r14 adjudication cycles were
+    spent on."""
+    from bench import COMPOSITION_FLOORS, HEADLINE
+    from tbench_agentic_data_pipeline_spark import registry
+
+    names = set(registry.queries())
+    assert set(COMPOSITION_FLOORS) == {
+        "pipeline_corpus_build",
+        "pipeline_corpus_build_neardup",
+        "pipeline_corpus_build_embdup",
+        "pipeline_incremental_tick",
+    }
+    assert set(COMPOSITION_FLOORS) <= names
+    assert all(v > 0 for v in COMPOSITION_FLOORS.values())
+    # the three benched compositions stamp composition_floor_ratio in
+    # the committed record; pipeline_corpus_build is registry-only
+    assert {
+        "pipeline_corpus_build_neardup",
+        "pipeline_corpus_build_embdup",
+        "pipeline_incremental_tick",
+    } <= set(HEADLINE)
