@@ -442,6 +442,7 @@ def minhash_dedup_drain(
     text_col: str = "text",
     hash_fn: str = "xxhash64",
     tau_milli: int = 500,
+    trigger: dict | None = None,
 ):
     """Streaming near-dup ingestion against a PERSISTED MinHash index
     (the production form of :func:`st_minhash_dedup`'s batch mirror).
@@ -461,7 +462,13 @@ def minhash_dedup_drain(
     an ``operation`` stamp consulted in that table's own history —
     whichever commits already landed are skipped, the missing ones
     apply, and the batch converges to applied-exactly-once per table
-    (the ``incremental_rollup_drain`` transaction-log pattern)."""
+    (the ``incremental_rollup_drain`` transaction-log pattern).
+
+    ``trigger`` defaults to the availableNow drain (process everything
+    pending, checkpoint, stop); pass e.g. ``{"processingTime": "1
+    second"}`` for a LIVE continuous job — resume semantics are
+    identical either way, pinned by the live-mode stop/restart test in
+    tests/test_streaming.py."""
     from tbench_agentic_data_pipeline_spark.operators.dedup import (
         jaccard_milli as _jm, minhash_index,
     )
@@ -531,6 +538,6 @@ def minhash_dedup_drain(
     return (
         stream.writeStream.foreachBatch(step)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
