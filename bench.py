@@ -474,9 +474,11 @@ def _box_stamp() -> dict:
 # Σ floors (the quiet-floor evidence — ~1.0 means at least one probe
 # window was clean; r13's +76% byte-identical inflation would have read
 # ~1.5-1.8 here) and calibration_ratio_worst = max over probe
-# invocations of its own Σ/floors (the burst evidence — a CPU-neighbor
-# burst confined BETWEEN the outer probes still shows in the mid-sweep
-# one; r14 self-review closed that blind spot). Other SFs stamp raw
+# invocations of its max per-query t/floor (the burst evidence — a
+# CPU-neighbor burst confined BETWEEN the outer probes still shows in
+# the mid-sweep one, and a single-query burst can't hide behind the
+# other probe's quiet reading the way a Σ-ratio allowed; r14/r15
+# self-reviews closed those blind spots). Other SFs stamp raw
 # probe seconds only (the quick sf0.01 verify run has no floor).
 CALIBRATION_FLOORS = {
     "q6_forecast_revenue": 0.396,
@@ -533,9 +535,11 @@ def _calibration_stamp(probe_passes: list[dict], sf: object) -> dict:
     Worst-window evidence counts INCOMPLETE probe invocations too (r14
     ADVICE: a probe window hit so hard one query timed out is exactly
     the burst the stamp exists to capture — dropping it understates the
-    noise): a partial invocation contributes the max of its per-query
-    t/floor ratios, and ``calibration_probe_incomplete`` stamps how many
-    invocations were missing a probe query so a reader knows the worst
+    noise): every invocation — complete or partial — contributes the
+    max of its per-query t/floor ratios (uniform per-query max, r15
+    self-review: a Σ-ratio let one quiet probe mask the other's burst),
+    and ``calibration_probe_incomplete`` stamps how many invocations
+    were missing a probe query so a reader knows the worst
     ratio may rest on partial windows. A record whose worst window
     exceeds ``CALIBRATION_NOISY_THRESHOLD`` is warn-stamped
     (``calibration_warning``) rather than refused — the driver must
@@ -560,14 +564,17 @@ def _calibration_stamp(probe_passes: list[dict], sf: object) -> dict:
             if not timed:
                 incomplete += 1  # probe shard died entirely: burst evidence
                 continue
-            if set(timed) == set(CALIBRATION_FLOORS):
-                ratio = sum(timed.values()) / floor_sum
-            else:
+            if set(timed) != set(CALIBRATION_FLOORS):
                 incomplete += 1
-                ratio = max(
-                    t / CALIBRATION_FLOORS[n] for n, t in timed.items()
-                )
-            worst = max(worst, ratio)
+            # Per-query max, uniformly, complete windows included (r15
+            # self-review): a sum-ratio lets one quiet probe mask the
+            # other's burst (q6 at 1.6x + q14 at floor sums to 1.26 —
+            # under the warn threshold — while the identical burst in a
+            # window where q14 died would have stamped 1.6).
+            worst = max(
+                worst,
+                max(t / CALIBRATION_FLOORS[n] for n, t in timed.items()),
+            )
         # best was non-empty and complete, so at least one invocation
         # timed a probe query → worst > 0 here always.
         stamp["calibration_ratio_worst"] = round(worst, 3)

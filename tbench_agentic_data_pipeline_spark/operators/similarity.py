@@ -2016,13 +2016,19 @@ def bounded_cell_keys(
     the equality pair join either way, so pair output is unchanged
     (the r14 parity sweep hash-pins this)."""
     taken = set(df.columns)
-    clash = taken.intersection({"__cell", "__depth", "__cnt"})
+    reserved = {"__cell", "__depth", "__cnt", "subkey"}
+    if depth_col is not None:
+        reserved.add(depth_col)
+    clash = taken.intersection(reserved)
     if clash:
         # The split works on caller-supplied frames; silently joining on
-        # a caller column of the same name would either make the join
-        # ambiguous or drop the caller's data (r14 ADVICE).
+        # (or withColumn-overwriting) a caller column of the same name
+        # would either make the join ambiguous or drop the caller's
+        # data (r14 ADVICE; r15 self-review added the OUTPUT columns —
+        # withColumn("subkey"/depth_col) replaces silently).
         raise ValueError(
-            "bounded_cell_keys reserves temp columns __cell/__depth/__cnt; "
+            "bounded_cell_keys reserves columns __cell/__depth/__cnt/"
+            f"subkey{'/' + depth_col if depth_col else ''}; "
             f"input already has {sorted(clash)}"
         )
     counts = df.groupBy(F.col(cell_col).alias("__cell")).agg(

@@ -40,24 +40,21 @@ def _clear_stale_location(spark: SparkSession, table: str) -> None:
     skipped when any other database carries a same-named table (the
     plausible way such an external gets created; skipping only forfeits
     cleanup — ``saveAsTable`` then surfaces the real error), and the
-    directory is deleted only when every top-level entry is shaped like
-    Spark task output (part-*/_SUCCESS/_committed*/_temporary/CRCs), so
-    a location holding anything a human put there survives. Deletion
-    failures (permissions, odd residue) are swallowed so
-    ``saveAsTable`` surfaces the real, actionable error.
+    location is deleted only when its content is shaped like Spark task
+    output (directory of part-*/_SUCCESS/_committed*/_temporary/CRCs;
+    Spark never leaves a plain file at a managed location, so a plain
+    file there is someone's data and always survives — r15 self-review),
+    so a location holding anything a human put there is never touched.
+    The cross-database scan runs only once residue is actually present
+    (r15 self-review: the common clean-warehouse write must not pay a
+    per-database catalog RPC). Deletion failures (permissions, odd
+    residue) are swallowed so ``saveAsTable`` surfaces the real,
+    actionable error.
     """
     if "." in table or spark.catalog.currentDatabase() != "default":
         return
     if spark.catalog.tableExists(table):
         return
-    try:
-        for db in spark.catalog.listDatabases():
-            if db.name != "default" and spark.catalog.tableExists(
-                f"`{db.name}`.`{table}`"
-            ):
-                return
-    except Exception:
-        return  # can't prove the location is orphaned → don't delete
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     for prefix in ("file://", "file:"):
         if warehouse.startswith(prefix):
@@ -67,11 +64,22 @@ def _clear_stale_location(spark: SparkSession, table: str) -> None:
         return
     location = Path(warehouse) / table.lower()
     try:
-        if location.is_dir():
-            if all(_spark_output_shaped(p.name) for p in location.iterdir()):
-                shutil.rmtree(location)
-        elif location.exists():
-            location.unlink()  # stale residue can be a plain file too
+        if not location.is_dir():
+            return  # absent, or a plain file (never Spark residue)
+        if not all(_spark_output_shaped(p.name) for p in location.iterdir()):
+            return  # human content present — never delete
+    except OSError:
+        return
+    try:
+        for db in spark.catalog.listDatabases():
+            if db.name != "default" and spark.catalog.tableExists(
+                f"`{db.name}`.`{table}`"
+            ):
+                return
+    except Exception:
+        return  # can't prove the location is orphaned → don't delete
+    try:
+        shutil.rmtree(location)
     except OSError:
         pass
 

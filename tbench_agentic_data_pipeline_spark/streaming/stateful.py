@@ -432,6 +432,18 @@ def st_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_lineage_tag(checkpoint: str) -> str:
+    """Stable id of a checkpoint LINEAGE for the drain's operation
+    stamps: batch ids are only meaningful within one checkpoint's
+    sequence, so ops are namespaced by a digest of the checkpoint path —
+    replays within a lineage collide (recognized and skipped), distinct
+    lineages never falsely collide (a fresh checkpoint after losing one
+    must not have its batch 0 mistaken for the old lineage's batch 0)."""
+    import hashlib
+
+    return hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+
+
 def minhash_dedup_drain(
     stream: DataFrame,
     index_table,
@@ -457,12 +469,29 @@ def minhash_dedup_drain(
     history). Docs too short to shingle (< 3 tokens) contribute no bands
     and can never match, mirroring the batch pipeline.
 
-    Exactly-once: the checkpoint prevents re-delivery; a crash inside a
-    batch re-runs ``foreachBatch``, so every table commit is guarded by
-    an ``operation`` stamp consulted in that table's own history —
-    whichever commits already landed are skipped, the missing ones
-    apply, and the batch converges to applied-exactly-once per table
-    (the ``incremental_rollup_drain`` transaction-log pattern).
+    Exactly-once, at TWO levels (r15 self-review tightened both):
+
+    - KEY level: ingestion is first-wins per ``key_col`` — each batch is
+      anti-joined against the keys already in ``corpus_table``, so a
+      re-delivered key (a later micro-batch resending a doc, or a
+      replay under a DIFFERENT checkpoint) is filtered before matching:
+      no self-matches, no duplicate index/corpus rows, and a batch whose
+      every key is already ingested is a complete no-op (no empty
+      commits). This is what makes a LOST checkpoint safe: a fresh
+      checkpoint re-delivers all files as one batch, the already-
+      ingested keys drop out, and any file that arrived while the old
+      checkpoint was dead is processed normally.
+    - BATCH level: a crash INSIDE a batch re-runs ``foreachBatch``
+      before the corpus append lands, so the key filter alone would
+      double-apply; every table commit is therefore also guarded by an
+      ``operation`` stamp — ``minhash_<table>_<lineage>_<batch_id>``,
+      where the lineage tag is derived from the checkpoint path so
+      replays within one checkpoint lineage are recognized and distinct
+      lineages never falsely collide — consulted in that table's own
+      history (the ``incremental_rollup_drain`` transaction-log
+      pattern). Caveat: WIPING a checkpoint directory and reusing the
+      same path makes a new lineage indistinguishable from a replay;
+      use a fresh checkpoint path after losing one.
 
     ``trigger`` defaults to the availableNow drain (process everything
     pending, checkpoint, stop); pass e.g. ``{"processingTime": "1
@@ -472,6 +501,8 @@ def minhash_dedup_drain(
     from tbench_agentic_data_pipeline_spark.operators.dedup import (
         jaccard_milli as _jm, minhash_index,
     )
+
+    tag = _drain_lineage_tag(checkpoint)
 
     def _guarded_commit(table, df: DataFrame, op: str) -> None:
         if any(h.get("operation") == op for h in table.history()):
@@ -483,6 +514,13 @@ def minhash_dedup_drain(
 
     def step(batch: DataFrame, batch_id: int) -> None:
         fresh = batch.dropDuplicates([key_col])
+        if corpus_table.current_version() is not None:
+            fresh = fresh.join(
+                corpus_table.read().select(key_col), key_col, "left_anti"
+            )
+        fresh = fresh.localCheckpoint()
+        if fresh.isEmpty():
+            return  # every key already ingested — first-wins no-op
         bands = minhash_index(
             fresh, key_col=key_col, text_col=text_col, hash_fn=hash_fn
         ).localCheckpoint()
@@ -531,9 +569,11 @@ def minhash_dedup_drain(
                 f"batch bigint, new_id {key_type}, dup_of {key_type}, "
                 "jaccard_milli bigint",
             )
-        _guarded_commit(matches_table, matches, f"minhash_matches_{batch_id}")
-        _guarded_commit(index_table, bands, f"minhash_index_{batch_id}")
-        _guarded_commit(corpus_table, toks, f"minhash_corpus_{batch_id}")
+        _guarded_commit(
+            matches_table, matches, f"minhash_matches_{tag}_{batch_id}"
+        )
+        _guarded_commit(index_table, bands, f"minhash_index_{tag}_{batch_id}")
+        _guarded_commit(corpus_table, toks, f"minhash_corpus_{tag}_{batch_id}")
 
     return (
         stream.writeStream.foreachBatch(step)

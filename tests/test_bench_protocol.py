@@ -224,6 +224,16 @@ def test_calibration_stamp_ratio_and_probe_minima():
     # window in `passes` also trips it (r14 verdict task #6)
     assert "noisy box" in st3["calibration_warning"]
     assert "noisy box" in stamp["calibration_warning"]
+    # r15 self-review: a single-query burst in a COMPLETE window must
+    # not hide behind the other probe's quiet reading (the old Σ-ratio
+    # read 1.6x-q6 + floor-q14 as 1.26 — under the warn threshold)
+    one_burst = [
+        {q6: CALIBRATION_FLOORS[q6] * 1.6, q14: CALIBRATION_FLOORS[q14]}
+    ]
+    st5 = _calibration_stamp(one_burst, CALIBRATION_FLOOR_SF)
+    assert st5["calibration_ratio_worst"] == 1.6
+    assert "noisy box" in st5["calibration_warning"]
+    assert "calibration_probe_incomplete" not in st5
     # quiet complete windows: no incomplete count, no warning
     quiet = [dict(CALIBRATION_FLOORS), dict(CALIBRATION_FLOORS)]
     st_q = _calibration_stamp(quiet, CALIBRATION_FLOOR_SF)

@@ -801,8 +801,10 @@ def test_minhash_dedup_drain_matches_batch_mirror(spark, tmp_path):
         matches_table.current_version(),
     ) == v_before
 
-    # fresh checkpoint: all three files re-deliver as batch 0, whose ops
-    # are already in every table's history → guard skips all commits
+    # fresh checkpoint: all three files re-deliver as batch 0 of a NEW
+    # lineage; every key is already in the corpus, so the first-wins
+    # filter makes the whole batch a no-op — no duplicate rows, no
+    # empty commits
     drain(checkpoint=str(tmp_path / "ckpt2"))
     assert (
         index_table.current_version(),
@@ -814,6 +816,32 @@ def test_minhash_dedup_drain_matches_batch_mirror(spark, tmp_path):
         for r in matches_table.read().collect()
     }
     assert got2 == got
+
+    # r15 self-review: checkpoint LOST while new data arrived — the old
+    # batch-id-only op guard silently dropped the new file (its ops
+    # collided with the dead lineage's batch 0). A brand-new doc whose
+    # text duplicates an ingested doc lands in the source dir; a drain
+    # under a third checkpoint re-delivers everything as one batch, the
+    # already-ingested keys drop out via the key filter, and the new doc
+    # is indexed AND matched against the pre-existing corpus.
+    dup_src = docs.orderBy("doc_id").limit(1).collect()[0]
+    new_id = 1_000_000 + dup_src["doc_id"]
+    spark.createDataFrame(
+        [(new_id, dup_src["text"])], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    drain(checkpoint=str(tmp_path / "ckpt3"))
+    got3 = {
+        (r["new_id"], r["dup_of"])
+        for r in matches_table.read().collect()
+    }
+    assert (new_id, dup_src["doc_id"]) in got3, got3
+    # exactly one new commit per table (the new doc's batch), keys never
+    # duplicated in the corpus
+    assert index_table.current_version() == v_before[0] + 1
+    assert (
+        corpus_table.read().groupBy("doc_id").count()
+        .where(F.col("count") > 1).count() == 0
+    )
 
 
 def test_minhash_dedup_drain_live_mode_stop_and_resume(spark, tmp_path):
@@ -830,7 +858,7 @@ def test_minhash_dedup_drain_live_mode_stop_and_resume(spark, tmp_path):
 
     from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
     from tbench_agentic_data_pipeline_spark.streaming.stateful import (
-        minhash_dedup_drain,
+        _drain_lineage_tag, minhash_dedup_drain,
     )
 
     schema = "doc_id long, text string"
@@ -859,6 +887,7 @@ def test_minhash_dedup_drain_live_mode_stop_and_resume(spark, tmp_path):
     src = tmp_path / "arriving"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
+    tag = _drain_lineage_tag(ckpt)
 
     def start_live():
         stream = (
@@ -884,7 +913,7 @@ def test_minhash_dedup_drain_live_mode_stop_and_resume(spark, tmp_path):
     ).parquet(str(src))
     q = start_live()
     try:
-        assert wait_for("minhash_index_0", index_table), "batch 0 never landed"
+        assert wait_for(f"minhash_index_{tag}_0", index_table), "batch 0 never landed"
     finally:
         q.stop()  # mid-stream stop: checkpoint has batch 0 committed
 
@@ -894,7 +923,7 @@ def test_minhash_dedup_drain_live_mode_stop_and_resume(spark, tmp_path):
     ).parquet(str(src))
     q = start_live()
     try:
-        assert wait_for("minhash_index_1", index_table), "batch 1 never landed"
+        assert wait_for(f"minhash_index_{tag}_1", index_table), "batch 1 never landed"
     finally:
         q.stop()
 
@@ -910,8 +939,11 @@ def test_minhash_dedup_drain_live_mode_stop_and_resume(spark, tmp_path):
     # two seeded tables), so nothing was re-delivered across the
     # stop/restart boundary
     for t, want in (
-        (index_table, ["seed", "minhash_index_0", "minhash_index_1"]),
-        (corpus_table, ["seed", "minhash_corpus_0", "minhash_corpus_1"]),
-        (matches_table, ["minhash_matches_0", "minhash_matches_1"]),
+        (index_table,
+         ["seed", f"minhash_index_{tag}_0", f"minhash_index_{tag}_1"]),
+        (corpus_table,
+         ["seed", f"minhash_corpus_{tag}_0", f"minhash_corpus_{tag}_1"]),
+        (matches_table,
+         [f"minhash_matches_{tag}_0", f"minhash_matches_{tag}_1"]),
     ):
         assert [h["operation"] for h in t.history()] == want
