@@ -60,8 +60,10 @@ def main() -> None:
     print(f"mandatory block ({len(mandatory)} of 50 slots):")
     for n in mandatory:
         print(f"  {n}  (newest green r{newest.get(n, 0)})")
+    # 149 is the committed capacity-policy cap (registry.py: one spare
+    # slot under the 3x50 schedulability ceiling), not the ceiling itself
     print(f"free slots: {50 - len(mandatory)}  "
-          f"(registry {len(entries)}/150)")
+          f"(registry {len(entries)}/149 cap)")
     if registry._WINDOW_ROUND < target:
         print(
             "NOTE: bump registry._WINDOW_ROUND to "
