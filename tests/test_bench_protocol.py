@@ -428,3 +428,39 @@ def test_composition_floors_reference_registered_queries():
         "pipeline_corpus_build_embdup",
         "pipeline_incremental_tick",
     } <= set(HEADLINE)
+
+
+def test_calibration_ratio_never_exceeds_worst_property():
+    """Invariant of the r15 uniform per-query worst metric: the best-
+    window ratio (Σ per-query minima / Σ floors — a floor-weighted
+    average of per-query minima ratios) can never exceed the worst-
+    window ratio (max per-query t/floor over all windows), for ANY
+    probe history including partial and dead windows. A violation would
+    mean the stamp's two numbers can cross and the 'quiet floor vs
+    burst' reading becomes incoherent."""
+    from hypothesis import given, strategies as st
+
+    from bench import (
+        CALIBRATION_FLOOR_SF,
+        CALIBRATION_FLOORS,
+        _calibration_stamp,
+    )
+
+    names = sorted(CALIBRATION_FLOORS)
+    window = st.dictionaries(
+        st.sampled_from(names),
+        st.floats(min_value=0.01, max_value=100.0,
+                  allow_nan=False, allow_infinity=False),
+        max_size=len(names),
+    )
+
+    @given(st.lists(window, min_size=1, max_size=6))
+    def check(passes):
+        stamp = _calibration_stamp(passes, CALIBRATION_FLOOR_SF)
+        if "calibration_ratio" in stamp:
+            assert (
+                stamp["calibration_ratio"]
+                <= stamp["calibration_ratio_worst"] + 1e-9
+            ), stamp
+
+    check()
