@@ -144,6 +144,39 @@ def worker() -> None:
     spark.stop()
 
 
+def _probe_ratio() -> float | None:
+    """One calibration-probe invocation (bench.py's byte-stable q6/q14
+    shard at the sf0.1 floor SF), folded to the r15 worst-window metric:
+    max per-query t/floor. A ~50 min sweep outruns the bench's own
+    probe brackets, so the sweep interleaves its OWN probes between
+    workers — the printed trail is what lets a reader accept or discard
+    the table (the r15 re-measure was discarded exactly for lacking
+    this). None when the probe shard dies (itself suspicious)."""
+    import subprocess
+
+    from bench import CALIBRATION_FLOORS
+
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "bench.py"), "--shard",
+            *CALIBRATION_FLOORS,
+        ],
+        capture_output=True, text=True,
+        env=dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1"),
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            times = json.loads(line).get("times", {})
+        except (json.JSONDecodeError, AttributeError):
+            continue
+        timed = {n: t for n, t in times.items() if n in CALIBRATION_FLOORS}
+        if timed:
+            return round(
+                max(t / CALIBRATION_FLOORS[n] for n, t in timed.items()), 2
+            )
+    return None
+
+
 def main() -> None:
     if "--worker" in sys.argv:
         worker()
@@ -153,6 +186,7 @@ def main() -> None:
     from _common import run_worker_json, splice_autogen
 
     results: dict[int, dict[str, float]] = {}
+    probe_trail: list[float | None] = [_probe_ratio()]
     for p in range(PASSES):
         pass_results: dict[int, dict[str, float]] = {}
         for n in THREADS:
@@ -162,9 +196,11 @@ def main() -> None:
                 f"pass {p + 1} local[{n}] worker",
             )
             pass_results[n] = parsed
+            probe_trail.append(_probe_ratio())
             print(
                 f"pass {p + 1}/{PASSES} local[{n}]: {parsed} "
-                f"(loadavg {os.getloadavg()[0]:.1f})",
+                f"(loadavg {os.getloadavg()[0]:.1f}, "
+                f"probe {probe_trail[-1]})",
                 file=sys.stderr,
             )
         fold_results(results, pass_results)
@@ -197,6 +233,14 @@ def main() -> None:
         "not a scaling defect of the search path; the thread-responsive "
         "ADC/search half is covered by `sim_pq_adc_topk` in the scale "
         "curve."
+    )
+    lines.append("")
+    lines.append(
+        "Box-health probe trail for THIS sweep (q6/q14 shard before the "
+        "sweep and after every worker; max per-query t/floor, ~1.0 = "
+        f"quiet): {probe_trail}. Cells measured next to a ≳1.3 probe "
+        "are burst-suspect — defer to the per-stage floors and "
+        "COMPOSITION_FLOORS before reading a regression off this table."
     )
     table = "\n".join(lines)
     print(table)
