@@ -633,3 +633,39 @@ def test_snapshot_delta_model_based_random_ops(spark, tmp_path):
             # public read surfaces, even after raw compaction persists it
             assert "__commit_v" not in t.read().columns, (seq, op)
             assert "__commit_v" not in t.read_merged("task_id").columns
+
+
+def test_append_delta_custom_operation_stamp(spark, tmp_path):
+    """r15: append_delta grew an ``operation`` parameter so streaming
+    drains can use the snapshot history as their applied-transaction
+    log. The custom stamp must appear verbatim in history() for both
+    the empty-table path (delegates to commit) and the chained-delta
+    path, and the default stamp must stay byte-compatible with prior
+    rounds ('append_delta')."""
+    from tbench_agentic_data_pipeline_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "opstamp"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    t.append_delta(df, operation="drain_batch_0")  # empty-table path
+    t.append_delta(df.selectExpr("k + 1 as k", "v"), operation="drain_batch_1")
+    t.append_delta(df.selectExpr("k + 2 as k", "v"))  # default stamp
+    assert [h["operation"] for h in t.history()] == [
+        "drain_batch_0", "drain_batch_1", "append_delta",
+    ]
+    assert t.read().count() == 3
+
+
+def test_drain_lineage_tag_is_stable_and_path_distinct():
+    """The drain's operation namespace: same checkpoint path → same tag
+    (same-lineage replays must collide and be skipped); different path →
+    different tag (a fresh checkpoint's batch 0 must not be mistaken for
+    a dead lineage's batch 0 — the r15 self-review data-loss shape)."""
+    from tbench_agentic_data_pipeline_spark.streaming.stateful import (
+        _drain_lineage_tag,
+    )
+
+    a1 = _drain_lineage_tag("/tmp/ckpt-a")
+    a2 = _drain_lineage_tag("/tmp/ckpt-a")
+    b = _drain_lineage_tag("/tmp/ckpt-b")
+    assert a1 == a2 and a1 != b
+    assert len(a1) == 8 and all(c in "0123456789abcdef" for c in a1)
