@@ -192,7 +192,9 @@ def test_connected_components_max_iters_guard(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iters=1)
+        # local_solve_below=0 pins the DISTRIBUTED loop's guard (the
+        # default local fast path has no iteration budget to exhaust)
+        connected_components(edges, max_iters=1, local_solve_below=0)
 
 
 def test_connected_components_long_chain_converges_logarithmically(spark):
@@ -206,12 +208,17 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(100, 140)], ["src", "dst"]
     )
-    got = {r.node: r.label for r in connected_components(edges).collect()}
+    # local_solve_below=0: this test pins the DISTRIBUTED loop's
+    # convergence behavior (the default path local-solves a 40-edge graph)
+    got = {
+        r.node: r.label
+        for r in connected_components(edges, local_solve_below=0).collect()
+    }
     assert got == {i: 100 for i in range(100, 141)}
     # rounds-to-convergence is surfaced for bench observability, and a
     # 40-diameter path must close in ~log2(40) rounds, not 40.
     rounds = connected_components.last_rounds
-    assert rounds is not None and rounds <= 8, rounds
+    assert rounds is not None and 0 < rounds <= 8, rounds
 
 
 def test_connected_components_deep_chain_worst_case(spark):
@@ -233,7 +240,9 @@ def test_connected_components_deep_chain_worst_case(spark):
     edges = spark.range(n - 1).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
-    out = connected_components(edges).collect()
+    # local_solve_below=0: the pointer-jump worst case is a property of
+    # the DISTRIBUTED loop; the default path local-solves a 2047-edge path
+    out = connected_components(edges, local_solve_below=0).collect()
     assert len(out) == n
     assert all(r["label"] == 0 for r in out)
     rounds = connected_components.last_rounds
@@ -273,10 +282,52 @@ def test_connected_components_random_graphs_match_union_find(spark):
         ]
         edge_list = [(a, b) for a, b in edge_list if a != b]
         edges = spark.createDataFrame(edge_list, ["src", "dst"])
-        got = {
+        # BOTH paths must match the independent ground truth: the
+        # default local fast path and the forced distributed loop.
+        got_local = {
             r.node: r.label for r in connected_components(edges).collect()
         }
-        assert got == union_find_labels(edge_list), f"seed {seed}"
+        assert connected_components.last_rounds == 0  # took the fast path
+        got_dist = {
+            r.node: r.label
+            for r in connected_components(edges, local_solve_below=0).collect()
+        }
+        assert connected_components.last_rounds > 0  # took the loop
+        want = union_find_labels(edge_list)
+        assert got_local == want, f"seed {seed} (local)"
+        assert got_dist == want, f"seed {seed} (distributed)"
+
+
+def test_connected_components_local_path_threshold_and_nulls(spark):
+    """The r15 local fast path: the edge-count gate is exact (>= the
+    threshold goes distributed), a NULL endpoint falls back to the
+    distributed loop's join semantics, and the local result's schema
+    matches the distributed one exactly."""
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+    # 3 edges: threshold 4 → local; threshold 3 → distributed
+    connected_components(edges, local_solve_below=4).collect()
+    assert connected_components.last_rounds == 0
+    connected_components(edges, local_solve_below=3).collect()
+    assert connected_components.last_rounds > 0
+
+    local_df = connected_components(edges, local_solve_below=4)
+    dist_df = connected_components(edges, local_solve_below=0)
+    assert local_df.schema == dist_df.schema
+    assert {(r.node, r.label) for r in local_df.collect()} == {
+        (r.node, r.label) for r in dist_df.collect()
+    }
+
+    # NULL endpoint → the local path stands down (single source of truth
+    # for NULL-join semantics stays the distributed loop)
+    edges_null = spark.createDataFrame(
+        [(1, 2), (None, 3)], "src bigint, dst bigint"
+    )
+    connected_components(edges_null).collect()
+    assert connected_components.last_rounds > 0
 
 
 def test_simhash_near_pairs_exact_vs_exhaustive(spark):
@@ -752,7 +803,9 @@ def test_connected_components_releases_superseded_rounds(spark):
     edges = spark.range(199).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
-    out = connected_components(edges)
+    # local_solve_below=0: checkpoint-release hygiene is a property of
+    # the DISTRIBUTED loop (the local path pins no label checkpoints)
+    out = connected_components(edges, local_solve_below=0)
     labels = {r["node"]: r["label"] for r in out.collect()}
     assert len(labels) == 200 and set(labels.values()) == {0}
     assert connected_components.last_rounds >= 3
