@@ -74,6 +74,40 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def per_dim_sums(dim: int, col: str = "iv") -> Column:
+    """``array(sum(element_at(col,1)), …, sum(element_at(col,dim)))`` as
+    ONE parsed SQL expression. Building the same 64 per-dimension SUM
+    aggregates as individual Column objects costs hundreds of py4j
+    round-trips — measured ~1-1.5 s of pure driver time per query
+    invocation on the IVF family (r15 optimization round,
+    tools/profile_query.py: sim_ivf_retrain's construct phase was 1.5 s
+    with a single Spark job). One ``F.expr`` string parses in a single
+    round-trip into the IDENTICAL aggregation (per-dimension SUMs,
+    map-side combinable; the array wrapper is a post-aggregation
+    projection exactly like the previous explicit ``F.array``)."""
+    terms = ",".join(f"sum(element_at({col}, {i + 1}))" for i in range(dim))
+    return F.expr(f"array({terms})")
+
+
+def milli_centroid(sums: str = "s", n: str = "n") -> Column:
+    """``transform(s, x -> floor(x * 1000 / n))`` — the integer-milli
+    centroid from per-dimension sums, same op order both engines use
+    (exact bigint multiply, ONE double divide, floor)."""
+    return F.expr(f"transform({sums}, x -> floor(x * 1000 / {n}))")
+
+
+def int_sq_dist(vec: str, cent: str) -> Column:
+    """``Σ (v·1000 − c)²`` over two bigint arrays as one parsed
+    expression (the IVF family's exact integer distance; seed 0L keeps
+    the fold bigint end to end, matching the previous
+    ``F.lit(0).cast("long")`` seed)."""
+    return F.expr(
+        f"aggregate(zip_with({vec}, {cent}, "
+        "(a, b) -> (a * 1000 - b) * (a * 1000 - b)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (bit-stable across engines)."""
     return F.aggregate(
@@ -1554,20 +1588,12 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim, nprobe = 64, 2
     ivec = F.transform(F.col("emb"), lambda x: F.floor(x * 1000))
+    # single-round-trip 64-sum aggregation (r15 optimization round; the
+    # committed (label, n, s) snapshot schema is unchanged)
     stats = (
         emb.select("label", ivec.alias("iv"))
         .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at(F.col("iv"), i + 1)).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        )
-        .select(
-            "label", "n",
-            F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("s"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"), per_dim_sums(dim).alias("s"))
     )
     # Per-call run directory (pid + monotonic counter), NOT a shared
     # fixed path: the returned DataFrame lazily reads the committed
@@ -1716,34 +1742,19 @@ def sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 2 == 1).alias("is_batch"),
     )
     existing = base.where(~F.col("is_batch"))
+    # single-round-trip expression construction (r15 optimization round;
+    # identical aggregation/centroid/distance semantics — see per_dim_sums)
     cellsum = existing.groupBy(F.col("label").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("iv", i + 1)).alias(f"s{i}")
-            for i in range(dim)
-        ],
+        per_dim_sums(dim).alias("s"),
     )
-    cent = cellsum.select(
-        "cluster",
-        F.array(
-            *[
-                F.floor(F.col(f"s{i}") * 1000 / F.col("n"))
-                for i in range(dim)
-            ]
-        ).alias("cv"),
-    )
-    d = F.aggregate(
-        F.zip_with(
-            F.col("iv"), F.col("cv"),
-            lambda a, b: (a * 1000 - b) * (a * 1000 - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    cent = cellsum.select("cluster", milli_centroid().alias("cv"))
     scored = base.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "is_batch",
-        F.struct(d.alias("d"), F.col("cluster").alias("c")).alias("dc"),
+        F.struct(
+            int_sq_dist("iv", "cv").alias("d"), F.col("cluster").alias("c")
+        ).alias("dc"),
     )
     best = scored.groupBy("vec_id", "is_batch").agg(F.min("dc").alias("b"))
     t_sum = F.sum(F.when(~F.col("is_batch"), F.col("b.d")))
@@ -1896,37 +1907,20 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def cell_centroids(rows: DataFrame) -> DataFrame:
+        # per_dim_sums/milli_centroid: same per-dimension SUM aggregation
+        # and floor((s*1000)/n) op order as the previous explicit Column
+        # loops, built in 2 py4j round-trips instead of ~400 (r15
+        # optimization round — the construction tax was 1.5 s/invocation)
         cellsum = rows.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("iv", i + 1)).alias(f"s{i}")
-                for i in range(dim)
-            ],
+            per_dim_sums(dim).alias("s"),
         )
-        return cellsum.select(
-            "cluster",
-            F.array(
-                *[
-                    F.floor(F.col(f"s{i}") * 1000 / F.col("n"))
-                    for i in range(dim)
-                ]
-            ).alias("cv"),
-        )
+        return cellsum.select("cluster", milli_centroid().alias("cv"))
 
     cent_h = cell_centroids(base.where(~F.col("is_batch"))).select(
         "cluster", F.col("cv").alias("cv_h")
     )
     cent_a = cell_centroids(base).select("cluster", F.col("cv").alias("cv_a"))
-
-    def dist(cv: str) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("iv"), F.col(cv),
-                lambda a, b: (a * 1000 - b) * (a * 1000 - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
 
     scored = (
         base.join(F.broadcast(cent_h), "cluster")
@@ -1934,8 +1928,8 @@ def sim_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cluster",
             "is_batch",
-            dist("cv_h").alias("__dsr"),
-            dist("cv_a").alias("__dnr"),
+            int_sq_dist("iv", "cv_h").alias("__dsr"),
+            int_sq_dist("iv", "cv_a").alias("__dnr"),
         )
         .selectExpr(
             "cluster",
