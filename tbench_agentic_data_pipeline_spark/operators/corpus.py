@@ -843,20 +843,29 @@ def pipeline_incremental_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
             # One parsed SQL expression for the whole k-cell argmin instead
             # of k × (struct + fold + 64 literal Columns) — the literal-array
             # construction alone was ~1300 py4j round-trips per invocation
-            # (r15 optimization round). Identical expression tree after
-            # parsing: struct comparison is lexicographic → min by
-            # (d, cluster), the oracle's ROW_NUMBER() ORDER BY d, cluster.
+            # (r15 optimization round). The codebook is emitted as ONE
+            # all-literal array-of-structs that ConstantFolding collapses
+            # to a single Literal at optimization time, and the per-cell
+            # distance fold runs as a `transform` LOOP over it — the
+            # per-row generated code is a small loop instead of ~k×64
+            # unrolled multiply-adds (whose compile cost dominated the
+            # fixture-scale run and made the query hypersensitive to a
+            # shard-mate's JIT/code-cache pressure). Semantics identical:
+            # struct comparison is lexicographic → min by (d, cluster),
+            # the oracle's ROW_NUMBER() ORDER BY d, cluster.
             cells = ",".join(
-                "struct(aggregate(zip_with({iv}, array({arr}), "
-                "(a, b) -> (a * 1000 - b) * (a * 1000 - b)), "
-                "0L, (acc, v) -> acc + v) AS d, {c}L AS c)".format(
-                    iv=iv_col,
-                    arr=",".join(f"{v}L" for v in cv),
-                    c=c,
+                "struct(array({arr}) AS cv, {c}L AS c)".format(
+                    arr=",".join(f"{v}L" for v in cv), c=c
                 )
                 for c, cv in codebook
             )
-            return F.expr(f"array_min(array({cells})).d")
+            return F.expr(
+                "array_min(transform("
+                f"array({cells}), "
+                f"cb -> struct(aggregate(zip_with({iv_col}, cb.cv, "
+                "(a, b) -> (a * 1000 - b) * (a * 1000 - b)), "
+                "0L, (acc, v) -> acc + v) AS d, cb.c AS c))).d"
+            )
 
         # --- stage 3: the persisted training baseline (ivf_train_stats' global
         # floor-mean — at production read off the index, replayed here) ------

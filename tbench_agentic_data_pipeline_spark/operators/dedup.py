@@ -729,10 +729,21 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the string form measured ~0.4 s slower at sf0.1), with the same
     # collision-tolerant bucket-identity semantics every hash bucket in
     # this module already has.
+    #
+    # The signature MUST be materialized as a real column before banding
+    # (r15 optimization round): band_keys takes 16 element_at references
+    # into the signature, and a raw 16-term array expression inlines
+    # whole into every one of them — the before-plan carried ~520 copies
+    # of the array_min(transform(shingles, xxhash64…)) subtree, blowing
+    # the projection past codegen limits into interpreted evaluation.
+    # An aliased column in its own Project is computed once per row
+    # (CollapseProject keeps multiply-referenced expensive aliases
+    # un-inlined), same rows, same values.
+    sig = sh.select("doc_id", "shingles", xx_sig.alias("xsig"))
     indexed_bands = F.transform(
-        band_keys(xx_sig, 8, 2), lambda k, i: F.xxhash64(i, k)
+        band_keys(F.col("xsig"), 8, 2), lambda k, i: F.xxhash64(i, k)
     )
-    enriched = sh.select("doc_id", "shingles", indexed_bands.alias("xb"))
+    enriched = sig.select("doc_id", "shingles", indexed_bands.alias("xb"))
     # md5 twin (dedup_minhash_bands' exact pipeline) generates the
     # oracle-reproducible candidates; exact shingle Jaccard verifies.
     md5_bands = minhash_band_df(sh, "doc_id", "shingles", 8, 4, 2, hash_fn="md5")
