@@ -500,24 +500,22 @@ CALIBRATION_FLOOR_SF = 0.1
 # across 9 fresh-JVM invocations bracketed by quiet probes); only a
 # sustained reading beyond that band with a quiet calibration stamp
 # warrants a code bisect, and the first step remains the byte-diff rule.
-# Provenance (sf0.1, local[32], bench --shard fresh-JVM invocations):
-# - pipeline_corpus_build: min of 5 quiet invocations, 2026-08-16
-#   (never benched in a driver record before).
-# - pipeline_corpus_build_neardup: min of 8 invocations 2026-08-16
-#   (3.332), corroborating the r14 record's 3.388.
-# - pipeline_corpus_build_embdup: r14 committed record (calibration
-#   stamp 0.819, the quietest verified window; post-depth-broadcast
-#   code only — pre-r14 records measured a different pair stage);
-#   today's 8 invocations bottomed at 4.746.
-# - pipeline_incremental_tick: r12 committed record — the r14 checkout
-#   A/B established r12 code ≡ HEAD for this query, so 3.04 is a
-#   legitimate same-code quiet observation; today's 9 invocations
-#   bottomed at 3.386.
+# Provenance (sf0.1, local[32]): RE-FLOORED at the r15 optimization
+# close (2026-08-17) — r15 changed all four compositions' code (CC
+# driver-local solve, single-expr IVF construction, overlapped tick
+# fronts, constant-folded tick argmin), so the r12-r14 floors described
+# code that no longer ships. Each floor is the min over this round's
+# optimized-code observations: two full bench records (probe-bracketed,
+# calibration stamps 0.821/1.273 and 0.825/1.399; per-query min-merge
+# over 2 passes each — plans/r15/BENCH_final*.json) plus 5 fresh-JVM
+# `bench.py --shard <q>` solo invocations per query the same session.
+# Pre-r15 floors for the archive: build 0.706, neardup 3.332,
+# embdup 4.737, tick 3.04.
 COMPOSITION_FLOORS = {
-    "pipeline_corpus_build": 0.706,
-    "pipeline_corpus_build_neardup": 3.332,
-    "pipeline_corpus_build_embdup": 4.737,
-    "pipeline_incremental_tick": 3.04,
+    "pipeline_corpus_build": 0.631,
+    "pipeline_corpus_build_neardup": 2.464,
+    "pipeline_corpus_build_embdup": 2.596,
+    "pipeline_incremental_tick": 1.432,
 }
 
 

@@ -44,15 +44,26 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Shuffle width: explicit, not the 200 default. AQE coalesces down.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        # Let the planner pick shuffled-hash join when its size conditions
-        # hold (optimization guide §3.1/§9): SHJ skips both sort passes of
-        # sort-merge and was measured faster on every affected TPC-H
-        # query at sf0.1 (q21 1.31→1.13 s, q20 0.79→0.60 s — the two
-        # plans that carried a SortMergeJoin). Not a local-only tune: the
-        # planner still requires the build side to fit its per-partition
-        # size conditions, and AQE's skew split stays available, so at
-        # cluster scale oversized builds keep sort-merge automatically.
+        # Shuffled-hash join policy (optimization guide §3.1 and its §9
+        # config block): SHJ skips both sort passes of sort-merge when the
+        # build side fits a per-partition hash map. At sf0.1 this is a
+        # deliberate no-op — the only two static SortMergeJoins in the
+        # headline plans (q20/q21) are promoted to broadcast by AQE at
+        # runtime either way (interleaved A/B confirmed timing-neutral) —
+        # but at cluster scale, joins whose smaller side exceeds the
+        # broadcast threshold yet is ≥3x smaller than the other side take
+        # SHJ instead of sorting both sides. The planner's
+        # canBuildLocalHashMap size gate and AQE's skew split keep
+        # oversized builds on sort-merge automatically.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # AQE's runtime SMJ→SHJ rewrite is OFF until this is set (guide
+        # §3.1): with it equal to advisoryPartitionSizeInBytes, a planned
+        # sort-merge whose every post-shuffle build partition measures
+        # ≤64 MB at runtime is rewritten to shuffled-hash before the
+        # final stage runs (verified via the AQE plan-change log; at
+        # sf0.1 broadcast promotion wins first, so local plans are
+        # unchanged). Per-partition size-gated → scale-safe.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "67108864")
         # Arrow for all Python exchange paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
