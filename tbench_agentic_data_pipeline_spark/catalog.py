@@ -58,11 +58,57 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# Per-process table-schema cache (r15 optimization round, guide §1.2/§6):
+# footer schema inference launches one Spark job (~0.1 s even warm) on
+# EVERY ``spark.read.parquet`` call, and nearly every query loads 1-4
+# fixture tables — a uniform per-query tax that a metastore would absorb
+# at cluster scale (the catalog, not the files, is the schema source of
+# truth there). The cache holds ONLY metadata (StructType), never rows or
+# results, and is keyed on the table's file signature (per-file name,
+# size, mtime_ns), so a rewritten or regenerated fixture re-infers
+# automatically — the cached schema can never describe different bytes.
+_TABLE_SCHEMA_CACHE: dict[str, tuple[tuple, T.StructType]] = {}
+
+
+def _file_signature(path: str) -> tuple | None:
+    """Stable content signature of a scan source: (name, size, mtime_ns)
+    per data file, sorted. None when unknowable (object stores) — the
+    caller then skips caching, exactly like `_source_file_sizes`."""
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+        if os.path.isdir(path):
+            entries = []
+            for root, _, files in os.walk(path):
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    st = os.stat(os.path.join(root, f))
+                    entries.append((f, st.st_size, st.st_mtime_ns))
+            return tuple(sorted(entries))
+    except OSError:
+        return None
+    return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Parquet scan → column pruning + predicate
-    pushdown come free from the declarative plan."""
+    pushdown come free from the declarative plan. The schema comes from
+    the per-process cache when the table's file signature matches a
+    prior inference (see `_TABLE_SCHEMA_CACHE`); plans are byte-identical
+    either way — supplying the schema only skips the inference job."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    sig = _file_signature(path)
+    key = os.path.realpath(path)
+    cached = _TABLE_SCHEMA_CACHE.get(key)
+    if sig is not None and cached is not None and cached[0] == sig:
+        df = spark.read.schema(cached[1]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if sig is not None:
+            _TABLE_SCHEMA_CACHE[key] = (sig, df.schema)
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col] if col in df.columns else None
         if field is None:

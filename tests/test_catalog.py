@@ -105,3 +105,27 @@ def test_release_local_checkpoint_frees_blocks(spark):
     assert not (added & persistent_rdd_ids(spark)), "blocks not freed"
     # no-op on a non-checkpointed plan: must not raise
     release_local_checkpoint(spark.range(5))
+
+
+def test_load_table_schema_cache_hit_and_invalidation(spark, tmp_path):
+    """r15 opt: load_table caches the inferred schema per (path, file
+    signature) so repeat loads skip the footer-inference job. The cached
+    schema must equal inference, and a rewritten file (new signature)
+    must re-infer — the cache can never describe different bytes."""
+    from tbench_agentic_data_pipeline_spark.catalog import _TABLE_SCHEMA_CACHE
+
+    p = table_path(str(tmp_path), "region")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(p)
+    first = load_table(spark, str(tmp_path), "region")
+    key = os.path.realpath(p)
+    assert key in _TABLE_SCHEMA_CACHE
+    second = load_table(spark, str(tmp_path), "region")  # cache hit
+    assert second.schema == first.schema
+    assert [tuple(r) for r in second.collect()] == [(1, "a")]
+    # rewrite with a different schema: signature changes, cache must miss
+    spark.createDataFrame(
+        [(2, 3.5, "x")], "id long, extra double, s string"
+    ).write.mode("overwrite").parquet(p)
+    third = load_table(spark, str(tmp_path), "region")
+    assert "extra" in third.columns
+    assert [tuple(r) for r in third.collect()] == [(2, 3.5, "x")]

@@ -669,3 +669,62 @@ def test_drain_lineage_tag_is_stable_and_path_distinct():
     b = _drain_lineage_tag("/tmp/ckpt-b")
     assert a1 == a2 and a1 != b
     assert len(a1) == 8 and all(c in "0123456789abcdef" for c in a1)
+
+
+def test_snapshot_stored_schema_matches_inference(spark, tmp_path):
+    """r15 opt: unpartitioned commits record the written schema in the
+    manifest so chain readers skip footer inference. The stored schema
+    must be indistinguishable from inference — i.e. the written schema
+    with every nullability flag (incl. nested) forced true."""
+    t = SnapshotTable(spark, str(tmp_path / "sch"))
+    df = spark.createDataFrame(
+        [(1, ("a", [1, 2]), {"k": 1.5})],
+        "id int, s struct<x:string, ys:array<int>>, m map<string,double>",
+    )
+    v = t.commit(df)
+    manifest = t._read_manifest()
+    stored = t._stored_schema(manifest, v)
+    inferred = spark.read.parquet(
+        os.path.join(str(tmp_path / "sch"), f"v={v}")
+    ).schema
+    assert stored == inferred
+    # and the read path actually uses it without changing results
+    assert t.read().schema == inferred
+    assert [tuple(r) for r in t.read().collect()] == [
+        (1, ("a", [1, 2]), {"k": 1.5})
+    ]
+
+
+def test_snapshot_stored_schema_skipped_for_partitioned(spark, tmp_path):
+    """Partitioned versions keep inference: their partition columns live
+    in directory names, not in the data files, so the written schema is
+    NOT the file schema."""
+    t = SnapshotTable(spark, str(tmp_path / "part"))
+    v = t.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, stage string"),
+        partition_by=["stage"],
+    )
+    assert t._stored_schema(t._read_manifest(), v) is None
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a"), (2, "b")]
+
+
+def test_snapshot_legacy_manifest_without_schema_falls_back(spark, tmp_path):
+    """Manifests written before the schema field (pre-r15-opt) must keep
+    reading via inference — including delta chains and cow appends."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "legacy"))
+    t.commit(spark.createDataFrame([(1, "a")], "id long, s string"))
+    t.append_delta(spark.createDataFrame([(2, "b")], "id long, s string"))
+    # strip the stored schemas, simulating a pre-upgrade manifest
+    mp = t._manifest_path
+    m = _json.load(open(mp))
+    for h in m["history"]:
+        h.pop("schema", None)
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    assert t._stored_schema(t._read_manifest(), 1) is None
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a"), (2, "b")]
+    # cow append over the legacy chain (exercises the base_cols fallback)
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    assert t.read().count() == 3
