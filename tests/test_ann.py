@@ -670,7 +670,17 @@ def test_knn_join_paths_agree_on_null_buckets(spark):
     """A NULL bucket key is its own group in knn_join_arrow's groupBy; the
     blocked path's broadcast count-join must be null-safe so the two
     documented result-identical paths really are (ADVICE r4: a plain
-    equi-join silently dropped NULL-bucket rows from the blocked path)."""
+    equi-join silently dropped NULL-bucket rows from the blocked path).
+
+    The id/40 third component is load-bearing: pure [cos i, sin i]
+    rotations make cosine similarity depend only on |i-j|, so pairs with
+    equal gaps tie EXACTLY in real arithmetic (query 31's neighbors 25
+    and 37, both gap 6), and this test compares ranks across DIFFERENT
+    GEMM shapes (full bucket vs block_rows=5) whose BLAS kernels round
+    such a tie to different last ulps — the paths' contract is agreement
+    modulo accumulation order, not bit-equal ties. The magnitude term
+    separates every within-row cosine pair by ≥1.7e-4 (verified
+    numerically), 11 orders above kernel ulp noise."""
     from tbench_agentic_data_pipeline_spark.operators.similarity import (
         knn_join_arrow,
         knn_join_blocked,
@@ -684,6 +694,7 @@ def test_knn_join_paths_agree_on_null_buckets(spark):
         F.array(
             F.cos(F.col("id").cast("double")),
             F.sin(F.col("id").cast("double")),
+            F.col("id").cast("double") / 40.0,
         ).alias("emb"),
     )
     one = {
