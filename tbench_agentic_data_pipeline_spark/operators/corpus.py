@@ -360,7 +360,9 @@ def pipeline_corpus_build_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     clusters = connected_components(
         pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
     )
-    n_labels = clusters.count()  # checkpointed: a cheap scalar action
+    # exact output cardinality, recorded by the CC call itself — no
+    # re-count job (r16 optimization round)
+    n_labels = connected_components.last_n_nodes
     surv = resolve_near_duplicates(
         deduped, clusters, "doc_id",
         prefer=[F.length("text").desc()],
@@ -553,7 +555,9 @@ def pipeline_corpus_build_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     )
-    n_labels = clusters.count()  # checkpointed: a cheap scalar action
+    # exact output cardinality, recorded by the CC call itself — no
+    # re-count job (r16 optimization round)
+    n_labels = connected_components.last_n_nodes
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),

@@ -984,6 +984,7 @@ def connected_components(
             # 0 distributed rounds: the bench's cc_rounds stamp reads 0
             # when the graph resolved in the local fast path.
             connected_components.last_rounds = 0
+            connected_components.last_n_nodes = len(labels)
             return out
         # NULL endpoints have engine-defined join semantics in the
         # distributed loop (they never match an equality join); keep
@@ -1022,6 +1023,18 @@ def connected_components(
     )
     sym = sym.coalesce(loop_parts)
     labels = labels.coalesce(loop_parts)
+    # The output always carries exactly one row per node (the head-start
+    # init enumerates the node set; every round is a left join that
+    # preserves it), so the sizing count doubles as the result
+    # cardinality. Exposed like last_rounds so callers that need the
+    # cluster-table size for their own join-strategy decisions
+    # (resolve_near_duplicates' n_labels, the compositions' cluster-size
+    # broadcast) read it instead of re-counting the returned table —
+    # one scalar job per composition saved at every scale (r16
+    # optimization round, guide §1.2 "count your jobs"). Same
+    # process-global snapshot-right-after-the-call contract as
+    # last_rounds.
+    connected_components.last_n_nodes = n_nodes
     for it in range(max_iters):
         nbr_min = (
             sym.join(hint(labels), sym.s == labels.node)
@@ -1091,6 +1104,7 @@ def connected_components(
 
 
 connected_components.last_rounds = None
+connected_components.last_n_nodes = None
 
 
 _CC_ORACLE = """
@@ -1563,7 +1577,9 @@ def dedup_resolve_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    n_labels = clusters.count()  # checkpointed: a cheap scalar action
+    # exact output cardinality, recorded by the CC call itself — no
+    # re-count job (r16 optimization round)
+    n_labels = connected_components.last_n_nodes
     docs = load_table(spark, sf_dir, "documents")
     surv = resolve_near_duplicates(
         docs, clusters, "doc_id",

@@ -97,12 +97,12 @@ class SnapshotTable:
                 # recorded so maintenance ops (compact) can preserve the
                 # layout without the caller restating it
                 "partition_by": list(partition_by or []),
-                # the written schema (Delta-log style): readers of an
-                # UNPARTITIONED version supply it instead of re-running
-                # footer inference — one Spark job (~0.1 s even warm)
-                # saved per chain member per read (r15 optimization
-                # round). Partitioned versions keep inference: their
-                # partition columns live in directory names, not files.
+                # the written schema (Delta-log style): readers supply
+                # it instead of re-running footer inference — one Spark
+                # job (~0.1 s even warm) saved per chain member per
+                # read (r15 optimization round; partitioned versions
+                # reconstruct the inference-shaped schema from it since
+                # r16 — see _stored_schema).
                 "schema": df.schema.json(),
             }
         )
@@ -111,13 +111,29 @@ class SnapshotTable:
 
     def _stored_schema(self, manifest: dict, v: int):
         """The read schema for version ``v`` from its commit record, or
-        None when unavailable (pre-schema manifests, partitioned
-        layouts) — the caller then falls back to footer inference.
-        Parquet inference on Spark-written files returns the written
-        schema with every nullability flag forced true (file sources are
-        always nullable-read), so the stored schema is normalized the
-        same way — the resulting DataFrame is indistinguishable from the
-        inferred one."""
+        None when unavailable (pre-schema manifests) — the caller then
+        falls back to footer inference. Parquet inference on
+        Spark-written files returns the written schema with every
+        nullability flag forced true (file sources are always
+        nullable-read), so the stored schema is normalized the same way
+        — the resulting DataFrame is indistinguishable from the
+        inferred one.
+
+        PARTITIONED versions (r16 optimization round, the r15 gap): the
+        partition columns live in directory names, not data files, so
+        the written schema is not the FILE schema — but discovery-time
+        inference always appends the partition columns AFTER the data
+        columns, in ``partition_by`` (= directory nesting) order, so
+        the inference-shaped schema is reconstructed here from the
+        stored one: data fields in written order, then partition fields
+        in ``partition_by`` order. Partition-column TYPES come from the
+        stored schema (the transaction log is the source of truth,
+        exactly Delta's rule): for the string-valued partition columns
+        the engine writes this is byte-identical to value inference,
+        and for numeric ones it round-trips the WRITTEN type where
+        per-directory value inference could narrow it (e.g. a long
+        column whose values happen to fit int). One footer-inference
+        Spark job saved per chain member per partitioned read."""
         rec = next(
             (
                 h
@@ -126,9 +142,21 @@ class SnapshotTable:
             ),
             None,
         )
-        if not rec or rec.get("partition_by") or not rec.get("schema"):
+        if not rec or not rec.get("schema"):
             return None
         d = json.loads(rec["schema"])
+        part_by = rec.get("partition_by") or []
+        if part_by:
+            fields = d.get("fields", [])
+            names = {f.get("name") for f in fields}
+            if not all(p in names for p in part_by):
+                return None  # malformed record: stand down to inference
+            d["fields"] = [
+                f for f in fields if f.get("name") not in part_by
+            ] + [
+                next(f for f in fields if f.get("name") == p)
+                for p in part_by
+            ]
 
         def _force_nullable(x):
             if isinstance(x, dict):

@@ -330,6 +330,28 @@ def test_connected_components_local_path_threshold_and_nulls(spark):
     assert connected_components.last_rounds > 0
 
 
+def test_connected_components_last_n_nodes_matches_output(spark):
+    """r16 optimization round: ``last_n_nodes`` replaces the callers'
+    own ``clusters.count()`` (compositions use it for join-strategy
+    decisions), so it must equal the returned table's exact cardinality
+    on BOTH paths."""
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["src", "dst"]
+    )
+    out_local = connected_components(edges)  # 5 edges < default gate
+    assert connected_components.last_rounds == 0
+    assert connected_components.last_n_nodes == out_local.count() == 8
+
+    out_dist = connected_components(edges, local_solve_below=0)
+    n_dist = connected_components.last_n_nodes
+    assert connected_components.last_rounds > 0
+    assert n_dist == out_dist.count() == 8
+
+
 def test_simhash_near_pairs_exact_vs_exhaustive(spark):
     # Banded candidate generation + popcount verify must return EXACTLY
     # the pairs within hamming <= bands-1 of each other (pigeonhole

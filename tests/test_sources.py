@@ -695,15 +695,68 @@ def test_snapshot_stored_schema_matches_inference(spark, tmp_path):
     ]
 
 
-def test_snapshot_stored_schema_skipped_for_partitioned(spark, tmp_path):
-    """Partitioned versions keep inference: their partition columns live
-    in directory names, not in the data files, so the written schema is
-    NOT the file schema."""
+def test_snapshot_stored_schema_partitioned_reconstructs(spark, tmp_path):
+    """r16 opt (the r15 gap): partitioned versions reconstruct the
+    inference-shaped read schema from the stored one — data fields in
+    written order, partition fields appended in partition_by order —
+    so partitioned chain reads skip footer inference too. For the
+    string-valued partition columns the engine writes, the
+    reconstruction must be byte-identical to discovery-time
+    inference."""
     t = SnapshotTable(spark, str(tmp_path / "part"))
+    # partition col deliberately NOT last in the written order: the
+    # reconstruction must move it to the end, where discovery puts it
+    df = spark.createDataFrame(
+        [("staging", 1, "a"), ("review", 2, "b")],
+        "stage string, id int, payload string",
+    )
+    v = t.commit(df, partition_by=["stage"])
+    stored = t._stored_schema(t._read_manifest(), v)
+    inferred = spark.read.parquet(
+        os.path.join(str(tmp_path / "part"), f"v={v}")
+    ).schema
+    assert stored == inferred
+    assert t.read().schema == inferred
+    assert sorted(tuple(r) for r in t.read().collect()) == [
+        (1, "a", "staging"),
+        (2, "b", "review"),
+    ]
+
+
+def test_snapshot_stored_schema_partitioned_type_fidelity(spark, tmp_path):
+    """Partition-column TYPES come from the stored schema (the log is
+    the source of truth, Delta's rule): a LONG partition column whose
+    directory values happen to fit int round-trips as long, where
+    per-directory value inference would narrow it to int."""
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(spark, str(tmp_path / "partlong"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "bucket long, s string")
+    t.commit(df, partition_by=["bucket"])
+    out = t.read()
+    assert out.schema["bucket"].dataType == T.LongType()
+    assert sorted(tuple(r) for r in out.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_snapshot_stored_schema_partitioned_malformed_falls_back(spark, tmp_path):
+    """A manifest whose stored schema is missing a partition column
+    (hand-edited / foreign writer) must stand down to inference, not
+    produce a wrong read schema."""
+    import json as _json
+
+    t = SnapshotTable(spark, str(tmp_path / "partbad"))
     v = t.commit(
         spark.createDataFrame([(1, "a"), (2, "b")], "id int, stage string"),
         partition_by=["stage"],
     )
+    mp = t._manifest_path
+    m = _json.load(open(mp))
+    for h in m["history"]:
+        sch = _json.loads(h["schema"])
+        sch["fields"] = [f for f in sch["fields"] if f["name"] != "stage"]
+        h["schema"] = _json.dumps(sch)
+    with open(mp, "w") as f:
+        _json.dump(m, f)
     assert t._stored_schema(t._read_manifest(), v) is None
     assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a"), (2, "b")]
 
