@@ -276,6 +276,73 @@ def spread_for_compute(
     return df.repartition(parallelism, key)
 
 
+# Byte floor per partition for stages whose heavy work crosses the
+# JVM→Python Arrow boundary (r16 optimization round, guide §4: batch
+# sizing is part of the boundary cost). Each MapInPandas/applyInPandas
+# TASK pays a fixed Python-side cost (worker dispatch, Arrow
+# serialization setup, numpy dispatch) regardless of rows, so fanning a
+# small input to full parallelism multiplies fixed cost past the work:
+# the r15 driver scaling block measured the PQ/kNN family 1.3-3x FASTER
+# at 8 cores than 32 (sim_pq_adc_topk low/high ratio 0.32), and the r16
+# width sweep (tools/width_experiment.py, local[32], sf0.1, best-of-3)
+# reproduced it directly:
+#
+#   width          2      4      8     16     32(=shipped)
+#   pq_adc       0.588  0.546  0.525  0.526  0.890
+#   topk_cosine  0.521  0.511  0.474  0.479  0.619
+#   knn_arrow    0.414  0.366  0.362  0.341  0.447
+#   knn_auto     0.514  0.506  0.504  0.479  0.780
+#   ivfpq        1.450  1.343  1.222  1.362  1.830
+#
+# 128 KB of compressed source per task ≈ 1k embedding rows ≈ one Arrow
+# batch of real work — the knee of the curve above. The clamp below
+# keeps this strictly a SMALL-INPUT gate: at any real scale
+# ceil(bytes / floor) dwarfs the session parallelism, so the width is
+# the session parallelism (or, wide-scan case, no exchange at all) and
+# plans are unchanged.
+_PY_STAGE_PARTITION_BYTES = 128 * 1024
+
+
+def spread_for_py_compute(
+    df: DataFrame, key: str, *, source_path: str | None = None
+) -> DataFrame:
+    """:func:`spread_for_compute` for pipelines whose dominant compute
+    runs in Python workers (``mapInPandas``/``applyInPandas`` GEMM,
+    codec, encode stages): same narrow/wide gate, but when the source is
+    fixture-small the fan-out width is derived from the source bytes
+    (``ceil(bytes / _PY_STAGE_PARTITION_BYTES)``, clamped to [1,
+    parallelism]) instead of pinned at full parallelism — per-task
+    Python fixed costs dominate tiny partitions (measurements above).
+    Wide inputs (a 100 TB scan) skip the exchange exactly like
+    ``spread_for_compute``; unknowable sizes (object stores) fall back
+    to the full-parallelism repartition that AQE coalesces."""
+    spark = df.sparkSession
+    parallelism = _target_parallelism(spark)
+    if source_path is not None:
+        mpb = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+            134_217_728,
+        )
+        oc = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304"),
+            4_194_304,
+        )
+        est = _scan_partition_estimate(source_path, mpb, oc, parallelism)
+        if est is not None and est >= parallelism:
+            return df
+        nbytes = source_bytes(source_path)
+        if nbytes is not None:
+            width = max(
+                1,
+                min(
+                    parallelism,
+                    math.ceil(nbytes / _PY_STAGE_PARTITION_BYTES),
+                ),
+            )
+            return df.repartition(width, key)
+    return df.repartition(parallelism, key)
+
+
 def _source_file_sizes(path: str) -> list[int] | None:
     """Per-file byte sizes of a scan source (file or directory; hidden
     and marker files excluded, matching Spark's file-index filter), or

@@ -24,6 +24,7 @@ from tbench_agentic_data_pipeline_spark.catalog import (
     load_table,
     release_local_checkpoint,
     spread_for_compute,
+    spread_for_py_compute,
     table_path,
 )
 from tbench_agentic_data_pipeline_spark.operators.dedup import (
@@ -543,8 +544,17 @@ def pipeline_corpus_build_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining pair-join exchange sits AFTER the per-row work — the
     historical AQE-coalescing cost of the old window form was measured
     at 2.23 s vs 1.60 s with coalescing off (SCALING.md, r14
-    spread-extension note) before the restructure removed it."""
-    emb = spread_for_compute(
+    spread-extension note) before the restructure removed it.
+
+    ``spread_for_py_compute`` rather than ``spread_for_compute`` (r16):
+    the pair build's signature stage is a pandas-UDF GEMM
+    (``lsh_bucket_assign_arrow``), so its fan-out width pays the
+    Python-boundary fixed cost per task — size-gated exactly like the
+    PQ/kNN family (the catalog.py measurement table). At ~sf1 and up
+    the gate passes through at full width (8 MB source > the byte
+    floor x parallelism), so the r14 strong-scaling findings hold
+    unchanged."""
+    emb = spread_for_py_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         source_path=table_path(sf_dir, "embeddings"),
@@ -599,6 +609,7 @@ def tick_reject_list(sf_dir: str, docs: DataFrame) -> DataFrame:
     from tbench_agentic_data_pipeline_spark.operators.dedup import (
         _verify_join_sides,
         jaccard_milli,
+        jaccard_prefilter,
         minhash_index,
     )
 
@@ -620,6 +631,8 @@ def tick_reject_list(sf_dir: str, docs: DataFrame) -> DataFrame:
     return (
         cand.join(tn, "new_id")
         .join(te, "dup_of")
+        # size-bound prune first (see dedup.jaccard_prefilter)
+        .where(jaccard_prefilter(F.col("toks_n"), F.col("toks_e"), 500))
         .where(jaccard_milli(F.col("toks_n"), F.col("toks_e")) >= 500)
         .select(F.col("new_id").alias("doc_id"))
         .distinct()

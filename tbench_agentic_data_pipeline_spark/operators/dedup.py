@@ -465,6 +465,25 @@ def jaccard_milli(tokens_a: Column, tokens_b: Column) -> Column:
     return F.floor(inter * 1000 / union).cast("bigint")
 
 
+def jaccard_prefilter(
+    tokens_a: Column, tokens_b: Column, thr_milli: int
+) -> Column:
+    """Size-only NECESSARY condition for ``jaccard_milli(a, b) >=
+    thr_milli`` (r16 optimization round, guide §2.3 — do the cheap
+    bound before the expensive set intersection): with lo/hi the
+    smaller/larger set size, |∩| ≤ lo and |∪| ≥ hi, and for integer
+    thr, floor(i·1000/u) ≥ thr ⟺ i·1000 ≥ thr·u, so every qualifying
+    pair satisfies lo·1000 ≥ thr·hi. Pairs failing that can NEVER pass
+    the exact verify, so pruning them first is semantics-identical —
+    it just skips their ``array_intersect`` (O(|a|+|b|) per pair; 43%
+    of sf0.1 LSH candidates prune at thr=800, and the fraction is what
+    matters at corpus scale where the verify join is pair-dominated).
+    Sizes are O(1) reads of arrays the verify join already carries."""
+    lo = F.least(F.size(tokens_a), F.size(tokens_b)).cast("bigint")
+    hi = F.greatest(F.size(tokens_a), F.size(tokens_b)).cast("bigint")
+    return lo * 1000 >= F.lit(int(thr_milli)).cast("bigint") * hi
+
+
 # ---------------------------------------------------------------------------
 # Registered oracle-checkable queries
 # ---------------------------------------------------------------------------
@@ -762,6 +781,9 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(sa, "key_a")
         .join(sb, "key_b")
+        # size-bound prune first: skips the O(|a|+|b|) intersect for
+        # pairs that can never reach 0.8 (43% of sf0.1 candidates)
+        .where(jaccard_prefilter(F.col("sh_a"), F.col("sh_b"), 800))
         .withColumn(
             "shingle_jaccard_milli", jaccard_milli(F.col("sh_a"), F.col("sh_b"))
         )
@@ -846,6 +868,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        # size-bound prune first (see jaccard_prefilter)
+        .where(jaccard_prefilter(F.col("toks_a"), F.col("toks_b"), 800))
         .withColumn(
             "n_common",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
@@ -977,8 +1001,25 @@ def connected_components(
                     T.StructField("label", node_type, True),
                 ]
             )
-            out = edges.sparkSession.createDataFrame(
-                sorted(labels.items()), out_schema
+            # Bounded slice count (r16 optimization round):
+            # createDataFrame(list) defaults to one Python-RDD slice per
+            # core, and every downstream job that evaluates this local
+            # relation re-runs one near-empty Python eval per slice —
+            # 32 per consumer at local[32] for a ~1k-row label table.
+            # ~50k rows per slice keeps the relation a handful of real
+            # evals at the gate's 100k-edge ceiling.
+            rows_sorted = sorted(labels.items())
+            sess = edges.sparkSession
+            n_slices = max(
+                1,
+                min(
+                    sess.sparkContext.defaultParallelism,
+                    1 + len(rows_sorted) // 50_000,
+                ),
+            )
+            out = sess.createDataFrame(
+                sess.sparkContext.parallelize(rows_sorted, n_slices),
+                out_schema,
             )
             release_local_checkpoint(base)
             # 0 distributed rounds: the bench's cc_rounds stamp reads 0
@@ -1499,6 +1540,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(tn, "new_id")
         .join(te, "dup_of")
+        # size-bound prune first (see jaccard_prefilter)
+        .where(jaccard_prefilter(F.col("toks_n"), F.col("toks_e"), 500))
         .withColumn(
             "jaccard_milli", jaccard_milli(F.col("toks_n"), F.col("toks_e"))
         )

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from tbench_agentic_data_pipeline_spark.catalog import (
     load_table,
     spread_for_compute,
+    spread_for_py_compute,
     table_path,
 )
 from tbench_agentic_data_pipeline_spark.functions.numeric import stable_round
@@ -566,7 +567,7 @@ def sim_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence test (`tests/test_ann.py`: recall == 1, |Δcos| < 1e-9)
     and benchmarked as the headline top-k (VERDICT r2 #2 — the bench must
     measure the path you'd run at 100 TB, not the oracle twin)."""
-    emb = spread_for_compute(
+    emb = spread_for_py_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         source_path=table_path(sf_dir, "embeddings"),
@@ -1031,7 +1032,17 @@ def ivfpq_search_topk(
             ),
         ]
     )
-    probes = corpus_codes.sparkSession.createDataFrame(probe_rows, schema)
+    sess = corpus_codes.sparkSession
+    # ONE slice, not defaultParallelism (r16 optimization round, guide
+    # §1.2): createDataFrame(list) parallelizes into one Python-RDD
+    # slice PER CORE, so the broadcast build of this ≤|queries|·nprobe
+    # row relation ran a 32-task job (one near-empty Python eval per
+    # task — measured 0.3-0.5 s at local[32] for 6 rows) on every
+    # action. |queries| is driver-bounded by contract, so one slice is
+    # the right shape at any scale.
+    probes = sess.createDataFrame(
+        sess.sparkContext.parallelize(probe_rows, 1), schema
+    )
     scored = corpus_codes.join(F.broadcast(probes), cell_col).select(
         query_key,
         corpus_key,
@@ -1121,7 +1132,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the m-byte codes (~32× less IO than float32 vectors) against
     broadcast LUTs with one top-k exchange — the two-stage PQ pipeline's
     candidate half, with exact re-ranking a keyed join away."""
-    emb = spread_for_compute(
+    emb = spread_for_py_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         source_path=table_path(sf_dir, "embeddings"),
@@ -1579,7 +1590,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SnapshotTable,
     )
 
-    emb = spread_for_compute(
+    emb = spread_for_py_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         source_path=table_path(sf_dir, "embeddings"),
@@ -1635,15 +1646,27 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     w = Window.partitionBy("q_id").orderBy("d", "label")
-    probes = (
+    # One subplan, not two (r16 optimization round, guide §1.2): the
+    # probe ranking used to aggregate into its own `probes` frame that
+    # was then BROADCAST-JOINED back onto the query rows — a second
+    # broadcast build job inside the queries collect for a table whose
+    # rows are one-per-query anyway. q_emb is constant within each q_id
+    # group (the crossJoin replicates the query row per centroid), so
+    # carrying it through the same aggregation with first() yields the
+    # identical (q_id, q_emb, probe_cells) rows with one fewer exchange
+    # and one fewer broadcast build — at any scale, since |queries| is
+    # driver-bounded here by contract.
+    queries = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("d", probe_d)
         .withColumn("pr", F.row_number().over(w))
         .where(F.col("pr") <= nprobe)
         .groupBy("q_id")
-        .agg(F.sort_array(F.collect_list("label")).alias("probe_cells"))
+        .agg(
+            F.first("q_emb").alias("q_emb"),
+            F.sort_array(F.collect_list("label")).alias("probe_cells"),
+        )
     )
-    queries = q.select("q_id", "q_emb").join(F.broadcast(probes), "q_id")
     codes = pq_encode_arrow(emb, 8, 16, dim, carry_cols=("label",))
     out = ivfpq_search_topk(
         codes, queries, 5, 8, 16, dim, cell_col="label"
@@ -2285,8 +2308,10 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side-combined ``groupBy(cell).count()`` broadcast (codebook-
     bounded, zero corpus-side exchange) and one pair-join exchange on
     the (cell, key) pair — with the explode adding rows only inside
-    already-bounded buckets."""
-    emb = spread_for_compute(
+    already-bounded buckets. ``spread_for_py_compute`` (r16): the
+    signature stage is a pandas-UDF GEMM, so its fan-out is size-gated
+    like the rest of the Python-boundary family."""
+    emb = spread_for_py_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         source_path=table_path(sf_dir, "embeddings"),
@@ -2918,7 +2943,7 @@ def sim_knn_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`knn_join_arrow`. NOT registered — pinned by the equivalence
     test and benchmarked as the headline kNN join, exactly the
     ``sim_topk_cosine`` / ``_arrow`` split."""
-    emb = spread_for_compute(
+    emb = spread_for_py_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         source_path=table_path(sf_dir, "embeddings"),
@@ -2939,7 +2964,7 @@ def sim_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the dispatch overhead vs the direct `knn_join_arrow` path is a
     measured number in BENCH, not an assumption. NOT registered: the
     fold twin remains the oracle, the arrow twin the equivalence pin."""
-    emb = spread_for_compute(
+    emb = spread_for_py_compute(
         load_table(spark, sf_dir, "embeddings"),
         "vec_id",
         source_path=table_path(sf_dir, "embeddings"),

@@ -318,7 +318,18 @@ class SnapshotTable:
             df = df.repartition(*part_by)
             return self.commit(df, operation="compact", partition_by=part_by)
         n_files = max(1, math.ceil(total / target_file_bytes))
-        return self.commit(df.repartition(n_files), operation="compact")
+        # coalesce, not repartition (r16 optimization round, guide §2.4
+        # "remove shuffles outright"): file-sizing needs row COUNTS per
+        # output file, not any particular co-location, so the rewrite
+        # never needs an exchange — Delta's OPTIMIZE bin-packs without
+        # shuffling for the same reason. At scale the byte-derived
+        # n_files tracks the scan's own split count (both ~bytes/128 MB
+        # at the defaults), so the narrow coalesce preserves rewrite
+        # parallelism; at fixture scale it merges the chain in the same
+        # single job that writes it. The partitioned branch above keeps
+        # its repartition — hive layout genuinely requires clustering
+        # rows BY the partition columns.
+        return self.commit(df.coalesce(n_files), operation="compact")
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Storage reclamation: drop all but the newest ``keep_last``

@@ -384,7 +384,7 @@ def st_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_for_compute, table_path,
     )
     from tbench_agentic_data_pipeline_spark.operators.dedup import (
-        _verify_join_sides, jaccard_milli, minhash_index,
+        _verify_join_sides, jaccard_milli, jaccard_prefilter, minhash_index,
     )
 
     docs = spread_for_compute(
@@ -424,6 +424,8 @@ def st_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(tn, "new_id")
         .join(te, "dup_of")
+        # size-bound prune first (see dedup.jaccard_prefilter)
+        .where(jaccard_prefilter(F.col("toks_n"), F.col("toks_e"), 500))
         .withColumn(
             "jaccard_milli", jaccard_milli(F.col("toks_n"), F.col("toks_e"))
         )
@@ -499,7 +501,9 @@ def minhash_dedup_drain(
     identical either way, pinned by the live-mode stop/restart test in
     tests/test_streaming.py."""
     from tbench_agentic_data_pipeline_spark.operators.dedup import (
-        jaccard_milli as _jm, minhash_index,
+        jaccard_milli as _jm,
+        jaccard_prefilter as _jpre,
+        minhash_index,
     )
 
     tag = _drain_lineage_tag(checkpoint)
@@ -551,6 +555,8 @@ def minhash_dedup_drain(
                     "new_id",
                 )
                 .join(corpus, "dup_of")
+                # size-bound prune first (see dedup.jaccard_prefilter)
+                .where(_jpre(F.col("toks_n"), F.col("toks_e"), tau_milli))
                 .withColumn(
                     "jaccard_milli", _jm(F.col("toks_n"), F.col("toks_e"))
                 )

@@ -352,6 +352,44 @@ def test_connected_components_last_n_nodes_matches_output(spark):
     assert n_dist == out_dist.count() == 8
 
 
+def test_jaccard_prefilter_never_prunes_qualifying_pairs(spark):
+    """r16: the size-only prefilter is a NECESSARY condition for the
+    exact integer jaccard_milli >= thr — across random set pairs (and
+    edge shapes: equal sets, disjoint, containment) no pair that
+    passes the exact verify may fail the prefilter."""
+    import random
+
+    from tbench_agentic_data_pipeline_spark.operators.dedup import (
+        jaccard_milli,
+        jaccard_prefilter,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        universe = [f"t{j}" for j in range(rng.randrange(1, 40))]
+        a = sorted(set(rng.sample(universe, rng.randrange(1, len(universe) + 1))))
+        b = sorted(set(rng.sample(universe, rng.randrange(1, len(universe) + 1))))
+        rows.append((i, a, b))
+    rows += [
+        (900, ["x", "y"], ["x", "y"]),          # identical
+        (901, ["x"], ["y"]),                    # disjoint
+        (902, ["x"], ["x", "y", "z"]),          # containment
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<string>, b array<string>"
+    )
+    for thr in (500, 800, 1000):
+        bad = df.where(
+            (jaccard_milli(F.col("a"), F.col("b")) >= thr)
+            & ~jaccard_prefilter(F.col("a"), F.col("b"), thr)
+        ).count()
+        assert bad == 0, f"thr={thr}: prefilter pruned a qualifying pair"
+        # and it prunes SOMETHING on this fixture (not vacuously true)
+        pruned = df.where(~jaccard_prefilter(F.col("a"), F.col("b"), thr)).count()
+        assert pruned > 0
+
+
 def test_simhash_near_pairs_exact_vs_exhaustive(spark):
     # Banded candidate generation + popcount verify must return EXACTLY
     # the pairs within hamming <= bands-1 of each other (pigeonhole
