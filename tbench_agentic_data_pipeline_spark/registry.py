@@ -130,88 +130,78 @@ def query(
 # (newest file = _WINDOW_ROUND). At each round start, bump this stamp
 # FIRST — the staleness test then prints the exact mandatory block the
 # new window must contain (tools/next_window.py computes it any time).
-_WINDOW_ROUND: int = 15
+_WINDOW_ROUND: int = 16
 
-# Round-15 rotation (tools/next_window.py at r14-close printed exactly this
+# Round-16 rotation (tools/next_window.py at r15-close printed exactly this
 # mandatory block):
-# - the 48 queries whose newest external row is round 12 — staleness
-#   ceiling, non-negotiable: the filter family p1-p8, the mutation family
-#   u2/u3/u4/u6/u8, windows w2/w4/w5/w6, the PQ/quantized sim family,
-#   sim_topk_cosine/sim_lsh_buckets, snapshot compaction twins, setops
-#   so2/so3, queue/validation (st1, x7, x_fail_first), streaming
-#   st_incremental_rollup, curation (contamination/ngram_novelty),
-#   text_tfidf/zipf, dedup_cluster_components/dedup_minhash_fast,
-#   events_funnel, a8 pair, a_percentiles/a_salted_sum/a_stats_gauntlet,
-#   j2/j3/j4, and the mm codec trio;
-# - round-13 greens prefilled into the 2 remaining slots. The 49
-#   registered r13 greens expire together at r16, so prefills MUST come
-#   from that cohort to keep the r16 window schedulable. Chosen: the two
-#   similarity.py r13 greens sim_ivf_retrain + sim_ivfpq_topk — the file
-#   churns this round (bounded_cell_keys collision guard + docstring
-#   fixes, r14 ADVICE), so these double as driver-side regression checks
-#   on the churn. New queries registered this round replace prefills
-#   from the BOTTOM up.
+# - the 47 queries whose newest external row is round 13 — staleness
+#   ceiling, non-negotiable: the f_* gauntlets, the TPC-H mid-family
+#   (q2/q4/q6-q9, q11-q22), the streaming window trio + watermark,
+#   aggregation/setop stragglers, j_asof/j_range, the survivors/sweep/
+#   leakage dedup rungs, sim_centroid_outliers + the IVF pair, the
+#   mm image/gif-frames codecs, u1, w7/w8, text_bm25, events_attribution.
+# - 3 free slots prefilled with this ROUND'S churned paths (r16 is an
+#   optimization round; the picks give the driver a fresh external row
+#   on each changed family): pipeline_corpus_build_embdup (Python-
+#   boundary width gate + CC count fold), dedup_minhash_fast (jaccard
+#   size-prefilter), snap_merge_on_read (compact exchange removal).
 # Everything rotated out keeps its newest-green row and stays pinned by
 # the local parity harness (tests/test_oracle_parity.py), which checks
 # ALL queries with the driver's own gate — at sf0.01 always, and at
 # sf0.1 under SPARK_GRAFT_DEEP_PARITY.
 _FRONT_ORDER: tuple[str, ...] = (
-    # -- newest row is r12: staleness ceiling forces these 48 ---------------
-    "a8_distinct_users_per_type",
-    "a8_pytest_summary_parse",
-    "a_percentiles",
-    "a_salted_sum",
-    "a_stats_gauntlet",
-    "dedup_cluster_components",
+    # -- newest row is r13: staleness ceiling forces these 47 ---------------
+    "a_conditional_distinct",
+    "a_cube_priority_status",
+    "a_heavy_hitters_cms",
+    "corpus_leakage_safe_split",
+    "dedup_exact",
+    "dedup_resolve_survivors",
+    "dedup_threshold_sweep",
+    "events_attribution",
+    "f_array_gauntlet",
+    "f_datetime_gauntlet",
+    "f_json_gauntlet",
+    "f_map_gauntlet",
+    "f_string_gauntlet",
+    "j_asof_last_view",
+    "j_range_incident_window",
+    "mm_gif_frames",
+    "mm_image_codec",
+    "q11_important_part_value",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "sim_centroid_outliers",
+    "sim_ivf_incremental",
+    "sim_ivfpq_topk",
+    "so4_array_difference",
+    "so5_intersect_nations",
+    "st_dedup_watermark",
+    "st_session_windows",
+    "st_tumbling_window",
+    "text_bm25_topk",
+    "u1_keyed_patch",
+    "w7_ntile_quartiles",
+    "w8_trailing_week_activity",
+    # -- free slots: this round's churned paths (see note above) --
+    "pipeline_corpus_build_embdup",
     "dedup_minhash_fast",
-    "events_funnel",
-    "j2_anti_join_customers_without_orders",
-    "j3_full_outer_reconciliation",
-    "j4_parent_child_counts",
-    "mm_decode_features",
-    "mm_gif_codec",
-    "mm_video_codec",
-    "p1_point_lookup",
-    "p2_filter_project",
-    "p3_first_match_claim",
-    "p4_existence_guard",
-    "p5_stage_predicate",
-    "p6_timeout_predicate",
-    "p7_ownership_predicate",
-    "p8_prefix_projection",
-    "sim_lsh_buckets",
-    "sim_pq_adc_topk",
-    "sim_pq_trained_topk",
-    "sim_quantized_topk",
-    "sim_topk_cosine",
-    "snap_compact_vacuum",
     "snap_merge_on_read",
-    "so2_delete_by_key",
-    "so3_key_set_difference",
-    "st1_claim_assignment",
-    "st_incremental_rollup",
-    "text_contamination",
-    "text_ngram_novelty",
-    "text_tfidf_topk",
-    "text_zipf_fluency",
-    "u2_map_mutation",
-    "u3_claim_transition",
-    "u4_complete_transition",
-    "u6_timeout_release",
-    "u8_production_derivation",
-    "w2_global_topn",
-    "w4_fifo_claim_order",
-    "w5_running_total",
-    "w6_lag_gap_seconds",
-    "x7_validation_pipeline",
-    "x_fail_first_policy",
-    # -- round-13 green prefilled (similarity.py churns this round; the
-    # -- r13 cohort expires at r16, so the prefill re-greens an r13 row) --
-    "sim_ivf_retrain",
-    # -- new this round (replaced the bottom prefill, per policy): the
-    # -- streaming minhash-dedup twin, registered in the same commit that
-    # -- retired dedup_embedding_cosine (capacity policy) --
-    "st_minhash_dedup",
 )
 
 
